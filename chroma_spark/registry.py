@@ -1,0 +1,277 @@
+"""Query registry: every operator exposed through the driver contract.
+
+Each entry pairs a Spark implementation ``(spark, sf_dir) -> DataFrame``
+(built from the engine's operator modules) with a DuckDB oracle SQL string
+computing the identical result on the driver's pre-registered views
+(``region nation customer supplier part orders lineitem events documents
+embeddings``). ``__spark_entry__.py`` re-exports this registry.
+
+Parity rules (driver hashes values after sorting columns by name):
+- alias every computed column identically on both sides;
+- all float outputs are rounded to 6 decimals on both sides (absorbs
+  non-associative float summation differences);
+- ints are BIGINT on both sides (DuckDB ``sum(INTEGER)`` yields HUGEINT —
+  always ``CAST`` aggregates);
+- no raw timestamps in outputs (formatted as strings).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# The "collection" view: documents + embeddings as one Chroma-style record
+# table (id, document, embedding, typed metadata). Derived nullable metadata
+# columns exercise the missing-key semantics of the Where grammar
+# (FIXTURES.md T1 nullability requirements). Both backends build the exact
+# same view.
+# ---------------------------------------------------------------------------
+
+_M_SRC = "CASE WHEN id % 5 = 0 THEN NULL ELSE source END"
+_M_SCORE = "CASE WHEN id % 7 = 0 THEN NULL ELSE round(n_chars * CAST(0.01 AS DOUBLE), 2) END"
+_M_BOOL = "CASE WHEN id % 11 = 0 THEN NULL WHEN id % 2 = 0 THEN TRUE ELSE FALSE END"
+
+
+def collection_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    embs = load(spark, sf_dir, "embeddings")
+    base = (
+        docs.join(F.broadcast(embs), docs.doc_id == embs.vec_id, "left")
+        .select(
+            docs.doc_id.alias("id"),
+            F.col("text").alias("document"),
+            "lang",
+            "source",
+            "n_chars",
+            "label",
+            "embedding",
+        )
+    )
+    return base.select(
+        "*",
+        F.expr(_M_SRC).alias("m_src"),
+        F.expr(_M_SCORE).alias("m_score"),
+        F.expr(_M_BOOL).alias("m_bool"),
+        F.slice(F.split(F.col("document"), " "), 1, 3).alias("m_tags"),
+    )
+
+
+COLL_SQL = f"""
+WITH __base AS (
+  SELECT d.doc_id AS id, d.text AS document, d.lang, d.source, d.n_chars,
+         e.label, e.embedding
+  FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+), coll AS (
+  SELECT *, {_M_SRC} AS m_src, {_M_SCORE} AS m_score, {_M_BOOL} AS m_bool,
+         (string_split(document, ' '))[1:3] AS m_tags
+  FROM __base
+)
+"""
+
+
+@dataclass
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => non-SQL-expressible, driver does rows-only check
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = Query(fn, oracle)
+        return fn
+
+    return deco
+
+
+ARRAY_KEYS = frozenset({"m_tags"})
+
+
+def _where_query(name: str, where: dict, out_cols: list[str]) -> None:
+    """Register a get(where=...) query and its oracle in one shot — both
+    sides compile the SAME dict via the twin compilers in where.py."""
+    from .where import where_to_column, where_to_sql
+
+    def fn(spark: SparkSession, sf_dir: str, _w=where, _cols=tuple(out_cols)) -> DataFrame:
+        return collection_df(spark, sf_dir).filter(where_to_column(_w, ARRAY_KEYS)).select(*_cols)
+
+    cols = ", ".join(f'"{c}"' for c in out_cols)
+    sql = f"{COLL_SQL} SELECT {cols} FROM coll WHERE {where_to_sql(where, ARRAY_KEYS)}"
+    QUERIES[name] = Query(fn, sql)
+
+
+def _where_doc_query(name: str, wd: dict, out_cols: list[str]) -> None:
+    from .where import where_doc_to_column, where_doc_to_sql
+
+    def fn(spark: SparkSession, sf_dir: str, _w=wd, _cols=tuple(out_cols)) -> DataFrame:
+        return collection_df(spark, sf_dir).filter(where_doc_to_column(_w)).select(*_cols)
+
+    cols = ", ".join(f'"{c}"' for c in out_cols)
+    sql = f"{COLL_SQL} SELECT {cols} FROM coll WHERE {where_doc_to_sql(wd)}"
+    QUERIES[name] = Query(fn, sql)
+
+
+# --- Where grammar suite (SURVEY §2.2; oracle semantics
+# chromadb/test/property/test_filtering.py:32-109) ---
+
+_where_query("where_eq_shorthand", {"lang": "en"}, ["id", "lang", "source"])
+_where_query("where_ne_missing_key", {"m_src": {"$ne": "src3"}}, ["id", "m_src"])
+_where_query(
+    "where_in_nin",
+    {"$and": [{"source": {"$in": ["src1", "src2", "src3", "src4"]}}, {"m_src": {"$nin": ["src2", "src3"]}}]},
+    ["id", "source", "m_src"],
+)
+_where_query(
+    "where_range_and",
+    {"$and": [{"n_chars": {"$gte": 200}}, {"n_chars": {"$lt": 900}}, {"m_score": {"$gt": 3.0}}]},
+    ["id", "n_chars", "m_score"],
+)
+_where_query(
+    "where_nested_bool",
+    {
+        "$or": [
+            {"$and": [{"lang": "en"}, {"m_bool": True}]},
+            {"$and": [{"lang": {"$ne": "en"}}, {"n_chars": {"$lte": 300}}]},
+            {"m_score": {"$eq": 1.5}},
+        ]
+    },
+    ["id", "lang", "n_chars", "m_bool"],
+)
+_where_query("where_array_contains", {"m_tags": {"$contains": "spark"}}, ["id"])
+_where_query("where_array_not_contains", {"m_tags": {"$not_contains": "table"}}, ["id"])
+
+# --- WhereDocument suite ---
+
+_where_doc_query("doc_contains", {"$contains": "spark table"}, ["id"])
+_where_doc_query(
+    "doc_not_contains_or",
+    {"$or": [{"$not_contains": "table"}, {"$contains": "merge batch"}]},
+    ["id"],
+)
+_where_doc_query("doc_regex", {"$regex": "(spark|query) (table|scan)"}, ["id"])
+_where_doc_query(
+    "doc_regex_and_not",
+    {"$and": [{"$regex": "spark"}, {"$not_regex": "window (table|merge)"}]},
+    ["id"],
+)
+
+
+# --- Pagination (Limit {offset, limit} — SURVEY §2.5, limit.rs:23-36) ---
+
+
+@register(
+    "get_page",
+    COLL_SQL
+    + "SELECT id, n_chars FROM (SELECT id, n_chars FROM coll WHERE n_chars >= 100"
+    + " ORDER BY id LIMIT 23 OFFSET 17)",
+)
+def get_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.limit import page
+    from .where import where_to_column
+
+    coll = collection_df(spark, sf_dir).filter(where_to_column({"n_chars": {"$gte": 100}}))
+    return page(coll, [F.col("id").asc()], offset=17, limit=23).select("id", "n_chars")
+
+
+# --- count (SURVEY §2.5 count_records) ---
+
+
+@register(
+    "count_records",
+    COLL_SQL + "SELECT CAST(count(*) AS BIGINT) AS n FROM coll WHERE (\"lang\" IS NOT NULL AND \"lang\" != 'en')",
+)
+def count_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .where import where_to_column
+
+    coll = collection_df(spark, sf_dir).filter(where_to_column({"lang": {"$ne": "en"}}))
+    return coll.agg(F.count("*").alias("n"))
+
+
+# --- Dense exact KNN (SURVEY §2.3; oracle invariants.py:207-226) ---
+
+_KNN_RECORDS_SQL = "SELECT vec_id AS id, embedding FROM embeddings"
+_KNN_QUERIES_SQL = "SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5"
+
+
+def _knn_query(name: str, space: str, k: int = 10) -> None:
+    from .operators.knn import exact_knn, exact_knn_sql
+
+    def fn(spark: SparkSession, sf_dir: str, _space=space, _k=k) -> DataFrame:
+        embs = load(spark, sf_dir, "embeddings")
+        records = embs.select(F.col("vec_id").alias("id"), "embedding")
+        queries = embs.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return exact_knn(records, queries, k=_k, space=_space)
+
+    QUERIES[name] = Query(fn, exact_knn_sql(_KNN_RECORDS_SQL, _KNN_QUERIES_SQL, k, space))
+
+
+_knn_query("knn_l2_exact", "l2")
+_knn_query("knn_cosine_exact", "cosine")
+_knn_query("knn_ip_exact", "ip")
+
+
+@register("knn_filtered", None)  # oracle assigned below
+def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-before-KNN (reference: executor/local.py:107-127 prefilter)."""
+    from .operators.knn import exact_knn
+    from .where import where_to_column
+
+    embs = load(spark, sf_dir, "embeddings")
+    records = (
+        embs.select(F.col("vec_id").alias("id"), "embedding", "label")
+        .filter(where_to_column({"label": {"$in": [0, 2, 4, 6, 8]}}))
+        .select("id", "embedding")
+    )
+    queries = embs.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return exact_knn(records, queries, k=10, space="cosine")
+
+
+def _knn_filtered_oracle() -> str:
+    from .operators.knn import exact_knn_sql
+    from .where import where_to_sql
+
+    pred = where_to_sql({"label": {"$in": [0, 2, 4, 6, 8]}})
+    rec = f"SELECT vec_id AS id, embedding FROM embeddings WHERE {pred}"
+    return exact_knn_sql(rec, _KNN_QUERIES_SQL, 10, "cosine")
+
+
+QUERIES["knn_filtered"].oracle = _knn_filtered_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Driver contract surface
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}

@@ -1,0 +1,273 @@
+"""Chroma ``Where`` / ``WhereDocument`` grammar -> predicate compilers.
+
+Grammar (reference: ``chromadb/base_types.py:129-158``; ADT
+``rust/types/src/metadata.rs:1400-1404``)::
+
+    Where        := {key: value}                      -- shorthand for $eq
+                  | {key: {op: value}}                -- op in $eq $ne $gt $gte
+                                                      --       $lt $lte $in $nin
+                                                      --       $contains $not_contains (array cols)
+                  | {"$and": [Where, ...]} | {"$or": [Where, ...]}
+    WhereDocument:= {"$contains": str} | {"$not_contains": str}
+                  | {"$regex": str}    | {"$not_regex": str}
+                  | {"$and": [...]}    | {"$or": [...]}
+
+Oracle semantics (``chromadb/test/property/test_filtering.py:32-109``):
+
+- ``$eq/$gt/$gte/$lt/$lte/$in/$contains``: the key MUST exist (a NULL column
+  value means "key absent" -> row does not match).
+- ``$ne/$nin/$not_contains``: a MISSING key MATCHES (NULL -> True).
+- int/float cross-type equality (``1 == 1.0``) is allowed -> Spark/DuckDB
+  numeric coercion handles it.
+- document ``$contains``: substring; empty/missing document -> False.
+  ``$not_contains``: missing document -> True. Same polarity for
+  ``$regex``/``$not_regex``.
+
+Two twin compilers walk the same dict:
+
+- :func:`where_to_column`  -> ``pyspark.sql.Column`` (the engine path; a
+  plain ``df.filter(col)`` that Catalyst pushes down to the parquet scan).
+- :func:`where_to_sql`     -> DuckDB SQL string (the oracle path, used by
+  ``oracle_sql()`` so engine and oracle can never drift).
+
+NULL discipline: under ``$and``/``$or`` a NULL predicate result behaves like
+False for row selection in both Spark and DuckDB (three-valued logic: a row
+is kept iff the predicate is TRUE), and the negative operators inject
+explicit ``IS NULL OR`` branches, so the two backends agree row-for-row.
+"""
+
+from __future__ import annotations
+
+from typing import AbstractSet, Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_COMPARE_OPS = {"$eq", "$ne", "$gt", "$gte", "$lt", "$lte"}
+_SET_OPS = {"$in", "$nin"}
+_ARRAY_OPS = {"$contains", "$not_contains"}
+_SQL_CMP = {"$eq": "=", "$ne": "!=", "$gt": ">", "$gte": ">=", "$lt": "<", "$lte": "<="}
+
+
+class WhereError(ValueError):
+    """Raised on a malformed Where / WhereDocument payload."""
+
+
+def _sql_lit(v: Any) -> str:
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    raise WhereError(f"unsupported literal type: {type(v).__name__}")
+
+
+def _validate_scalar(v: Any) -> None:
+    if not isinstance(v, (bool, int, float, str)):
+        raise WhereError(f"expected scalar operand, got {type(v).__name__}")
+
+
+def _validate_op(op: str, val: Any, key: str, array_keys: AbstractSet[str]) -> None:
+    """Payload validation independent of any Spark session (the reference
+    rejects malformed plans at the frontend before execution —
+    ``rust/frontend/src/impls/service_based_frontend.rs:2813-2819``)."""
+    if key in array_keys or op in _ARRAY_OPS:
+        if op not in _ARRAY_OPS:
+            raise WhereError(f"op {op} not valid on array key {key}")
+        _validate_scalar(val)
+        return
+    if op in _SET_OPS:
+        if not isinstance(val, list) or not val:
+            raise WhereError(f"{op} expects a non-empty list")
+        for v in val:
+            _validate_scalar(v)
+        return
+    if op not in _COMPARE_OPS:
+        raise WhereError(f"unknown operator {op}")
+    _validate_scalar(val)
+    if op in ("$gt", "$gte", "$lt", "$lte") and isinstance(val, bool):
+        # range ops are numeric/lexicographic; bools are rejected
+        raise WhereError(f"{op} requires a numeric or string operand")
+
+
+# ---------------------------------------------------------------------------
+# Spark Column backend
+# ---------------------------------------------------------------------------
+
+
+def where_to_column(where: dict[str, Any], array_keys: AbstractSet[str] = frozenset()) -> Column:
+    """Compile a Where dict into a Spark ``Column`` predicate."""
+    if not isinstance(where, dict) or len(where) == 0:
+        raise WhereError("where must be a non-empty dict")
+    if len(where) > 1:
+        # implicit $and over multiple keys (chroma accepts a multi-key dict)
+        return _and_all([where_to_column({k: v}, array_keys) for k, v in where.items()])
+    [(key, operand)] = where.items()
+    if key in ("$and", "$or"):
+        if not isinstance(operand, list) or not operand:
+            raise WhereError(f"{key} expects a non-empty list")
+        parts = [where_to_column(w, array_keys) for w in operand]
+        return _and_all(parts) if key == "$and" else _or_all(parts)
+    if not isinstance(operand, dict):
+        _validate_scalar(operand)
+        operand = {"$eq": operand}
+    if len(operand) != 1:
+        raise WhereError("operator object must have exactly one op")
+    [(op, val)] = operand.items()
+    _validate_op(op, val, key, array_keys)
+    c = F.col(key)
+    if key in array_keys or op in _ARRAY_OPS:
+        if op == "$contains":
+            return c.isNotNull() & F.array_contains(c, F.lit(val))
+        return c.isNull() | ~F.array_contains(c, F.lit(val))
+    if op in _SET_OPS:
+        return c.isin(val) if op == "$in" else (c.isNull() | ~c.isin(val))
+    if op == "$eq":
+        return c.isNotNull() & (c == F.lit(val))
+    if op == "$ne":
+        return c.isNull() | (c != F.lit(val))
+    cmp = {"$gt": c > val, "$gte": c >= val, "$lt": c < val, "$lte": c <= val}
+    return c.isNotNull() & cmp[op]
+
+
+def where_doc_to_column(wd: dict[str, Any], doc_col: str = "document") -> Column:
+    """Compile a WhereDocument dict into a Spark Column predicate.
+
+    Missing/NULL documents behave as "" (reference empty-doc semantics:
+    ``$contains`` -> False, ``$not_contains`` -> True).
+    """
+    if not isinstance(wd, dict) or len(wd) != 1:
+        raise WhereError("where_document must be a single-key dict")
+    [(op, val)] = wd.items()
+    if op in ("$and", "$or"):
+        if not isinstance(val, list) or not val:
+            raise WhereError(f"{op} expects a non-empty list")
+        parts = [where_doc_to_column(w, doc_col) for w in val]
+        return _and_all(parts) if op == "$and" else _or_all(parts)
+    if not isinstance(val, str) or val == "":
+        raise WhereError(f"{op} expects a non-empty string")
+    if op not in ("$contains", "$not_contains", "$regex", "$not_regex"):
+        raise WhereError(f"unknown document operator {op}")
+    if op in ("$regex", "$not_regex"):
+        validate_regex(val)
+    doc = F.coalesce(F.col(doc_col), F.lit(""))
+    if op == "$contains":
+        return doc.contains(val)
+    if op == "$not_contains":
+        return ~doc.contains(val)
+    if op == "$regex":
+        validate_regex(val)
+        return doc.rlike(val)
+    if op == "$not_regex":
+        validate_regex(val)
+        return ~doc.rlike(val)
+    raise WhereError(f"unknown document operator {op}")
+
+
+def _and_all(parts: list[Column]) -> Column:
+    out = parts[0]
+    for p in parts[1:]:
+        out = out & p
+    return out
+
+
+def _or_all(parts: list[Column]) -> Column:
+    out = parts[0]
+    for p in parts[1:]:
+        out = out | p
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL backend (oracle twin)
+# ---------------------------------------------------------------------------
+
+
+def where_to_sql(where: dict[str, Any], array_keys: AbstractSet[str] = frozenset()) -> str:
+    """Compile the same Where dict to a DuckDB boolean SQL expression."""
+    if not isinstance(where, dict) or len(where) == 0:
+        raise WhereError("where must be a non-empty dict")
+    if len(where) > 1:
+        return "(" + " AND ".join(where_to_sql({k: v}, array_keys) for k, v in where.items()) + ")"
+    [(key, operand)] = where.items()
+    if key in ("$and", "$or"):
+        if not isinstance(operand, list) or not operand:
+            raise WhereError(f"{key} expects a non-empty list")
+        joiner = " AND " if key == "$and" else " OR "
+        return "(" + joiner.join(where_to_sql(w, array_keys) for w in operand) + ")"
+    if not isinstance(operand, dict):
+        operand = {"$eq": operand}
+    [(op, val)] = operand.items()
+    _validate_op(op, val, key, array_keys)
+    q = f'"{key}"'
+    if key in array_keys or op in _ARRAY_OPS:
+        if op == "$contains":
+            return f"({q} IS NOT NULL AND list_contains({q}, {_sql_lit(val)}))"
+        if op == "$not_contains":
+            return f"({q} IS NULL OR NOT list_contains({q}, {_sql_lit(val)}))"
+        raise WhereError(f"op {op} not valid on array key {key}")
+    if op == "$in":
+        return f"({q} IN ({', '.join(_sql_lit(v) for v in val)}))"
+    if op == "$nin":
+        return f"({q} IS NULL OR {q} NOT IN ({', '.join(_sql_lit(v) for v in val)}))"
+    if op == "$eq":
+        return f"({q} IS NOT NULL AND {q} = {_sql_lit(val)})"
+    if op == "$ne":
+        return f"({q} IS NULL OR {q} != {_sql_lit(val)})"
+    if op in _SQL_CMP:
+        return f"({q} IS NOT NULL AND {q} {_SQL_CMP[op]} {_sql_lit(val)})"
+    raise WhereError(f"unknown operator {op}")
+
+
+def where_doc_to_sql(wd: dict[str, Any], doc_col: str = "document") -> str:
+    """Compile the same WhereDocument dict to a DuckDB boolean expression."""
+    [(op, val)] = wd.items()
+    if op in ("$and", "$or"):
+        joiner = " AND " if op == "$and" else " OR "
+        return "(" + joiner.join(where_doc_to_sql(w, doc_col) for w in val) + ")"
+    doc = f'coalesce("{doc_col}", \'\')'
+    if op == "$contains":
+        return f"contains({doc}, {_sql_lit(val)})"
+    if op == "$not_contains":
+        return f"NOT contains({doc}, {_sql_lit(val)})"
+    if op == "$regex":
+        validate_regex(val)
+        return f"regexp_matches({doc}, {_sql_lit(val)})"
+    if op == "$not_regex":
+        validate_regex(val)
+        return f"NOT regexp_matches({doc}, {_sql_lit(val)})"
+    raise WhereError(f"unknown document operator {op}")
+
+
+# ---------------------------------------------------------------------------
+# Regex dialect validation (reference: rust/types/src/regex/mod.rs:11-33 —
+# ChromaRegex rejects byte-oriented patterns and unsupported constructs).
+# We additionally stay inside the Java-regex ∩ RE2 common subset so the Spark
+# engine (`rlike`, Java regex) and the DuckDB oracle (RE2) agree.
+# ---------------------------------------------------------------------------
+
+_FORBIDDEN_REGEX_TOKENS = (
+    "(?<",  # lookbehind (not in RE2)
+    "(?=",  # lookahead (not in RE2)
+    "(?!",  # negative lookahead
+    "\\x",  # byte escapes (ChromaRegex rejects byte patterns)
+    "\\0",
+)
+
+
+def validate_regex(pattern: str) -> None:
+    """Reject patterns outside the supported dialect.
+
+    Mirrors ChromaRegex's validation stance (``rust/types/src/regex/mod.rs``):
+    unsupported constructs fail at *validation* time, not mid-query.
+    """
+    import re
+
+    for tok in _FORBIDDEN_REGEX_TOKENS:
+        if tok in pattern:
+            raise WhereError(f"regex construct {tok!r} is outside the supported dialect")
+    try:
+        re.compile(pattern)
+    except re.error as e:
+        raise WhereError(f"invalid regex: {e}") from e
