@@ -19,8 +19,9 @@ from chroma_spark import registry as _registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: filtered exact cosine KNN on /root/testdata/sf0.001."""
-    return _registry.QUERIES["knn_filtered"].fn(spark, "/root/testdata/sf0.001")
+    """Flagship on /root/testdata/sf0.001: the full hybrid-search pipeline
+    (Where filter -> two $knn rank terms -> group-by MinK -> limit)."""
+    return _registry.QUERIES["search_full"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,262 @@
+"""Rank-expression calculus for hybrid search.
+
+Faithful re-expression of the reference's ``RankExpr`` evaluator
+(``rust/worker/src/execution/operators/rank.rs:16-170``; client builders
+``chromadb/execution/expression/operator.py:621-1238``) as DataFrame plans.
+
+A :class:`RankDomain` is the evaluated score set of an expression:
+
+- ``support``: DataFrame ``(id, score)`` — scores of specific records
+  (``None`` == empty support, a "flat" domain);
+- ``default``: score of records NOT in support (``None`` == records outside
+  the support are excluded).
+
+Merge rules (``rank.rs:34-120``), which the DataFrame implementation must
+reproduce exactly:
+
+- both defaults present  -> support over the UNION of ids (each side's
+  default fills its gaps); default = op(defaults);
+- one default present    -> support over the OTHER side's ids only;
+  default = None;
+- both defaults None     -> support over the INTERSECTION; default = None.
+
+n-ary ops fold with their identity: ``$sum``->flat(0), ``$mul``->flat(1),
+``$max``->flat(f32::MIN), ``$min``->flat(f32::MAX) (``rank.rs:117-133``).
+``$knn`` with ``return_rank`` scores by 0-based position (``rank.rs:148``).
+The final result is the support ONLY — the top-level default is never
+expanded over the collection (``rank.rs:196-204``).
+
+Grammar accepted here (dict form, as the client serializes it)::
+
+    {"$knn": {"query": [f32...], "key": "#embedding", "limit": n,
+              "default": f|None, "return_rank": bool, "space": "l2|cosine|ip"}}
+    {"$val": c}
+    {"$sum": [e...]} {"$sub": {"left": e, "right": e}}
+    {"$mul": [e...]} {"$div": {"left": e, "right": e}}
+    {"$abs": e} {"$exp": e} {"$log": e}
+    {"$min": [e...]} {"$max": [e...]}
+
+Physical shape: every ``$knn`` term is one exact/ANN top-k (broadcast
+nested-loop + two-stage top-k, no shuffle of the record side); arithmetic
+over domains is full-outer / left / inner joins on id keyed by the merge
+rule — at most ``limit`` rows per side, so these joins are tiny regardless
+of collection size.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.distance import ROUND_DECIMALS
+from .knn import exact_knn
+
+F32_MIN = -3.4028234663852886e38
+F32_MAX = 3.4028234663852886e38
+
+
+class RankError(ValueError):
+    """Malformed rank expression."""
+
+
+@dataclass
+class RankDomain:
+    support: DataFrame | None  # columns: id, score
+    default: float | None
+
+
+def _map_default(d: float | None, fn: Callable[[float], float]) -> float | None:
+    if d is None:
+        return None
+    try:
+        return fn(d)
+    except (ValueError, OverflowError):
+        return float("nan")
+
+
+def _merge(left: RankDomain, right: RankDomain, op: Callable[[Any, Any], Any]) -> RankDomain:
+    """DataFrame transcription of RankDomain::merge (rank.rs:34-120)."""
+    ld, rd = left.default, right.default
+    new_default = op(ld, rd) if (ld is not None and rd is not None) else None
+    if left.support is None and right.support is None:
+        return RankDomain(None, new_default)
+    if left.support is None:
+        if ld is None:  # empty domain: intersection with nothing
+            return RankDomain(None, None)
+        sup = right.support.select("id", op(F.lit(ld), F.col("score")).alias("score"))
+        return RankDomain(sup, new_default)
+    if right.support is None:
+        if rd is None:
+            return RankDomain(None, None)
+        sup = left.support.select("id", op(F.col("score"), F.lit(rd)).alias("score"))
+        return RankDomain(sup, new_default)
+    l = left.support.select(F.col("id"), F.col("score").alias("__ls"))
+    r = right.support.select(F.col("id"), F.col("score").alias("__rs"))
+    if ld is not None and rd is not None:
+        joined = l.join(r, "id", "full_outer")
+        lval, rval = F.coalesce(F.col("__ls"), F.lit(ld)), F.coalesce(F.col("__rs"), F.lit(rd))
+    elif ld is not None:  # right side bounds the support
+        joined = r.join(l, "id", "left")
+        lval, rval = F.coalesce(F.col("__ls"), F.lit(ld)), F.col("__rs")
+    elif rd is not None:  # left side bounds the support
+        joined = l.join(r, "id", "left")
+        lval, rval = F.col("__ls"), F.coalesce(F.col("__rs"), F.lit(rd))
+    else:
+        joined = l.join(r, "id", "inner")
+        lval, rval = F.col("__ls"), F.col("__rs")
+    return RankDomain(joined.select("id", op(lval, rval).alias("score")), new_default)
+
+
+def _fold(domains: list[RankDomain], identity: float, op) -> RankDomain:
+    acc = RankDomain(None, identity)
+    for d in domains:
+        acc = _merge(acc, d, op)
+    return acc
+
+
+class RankEvaluator:
+    """Evaluates a rank expression dict over a candidate record DataFrame.
+
+    ``records`` is the (already Where-filtered) candidate set — $knn terms
+    search within it (the reference's filter-before-ANN:
+    ``orchestration/knn_filter.rs`` feeding ``knn.rs``).
+    """
+
+    def __init__(
+        self,
+        records: DataFrame,
+        id_col: str = "id",
+        vec_col: str = "embedding",
+        default_space: str = "l2",
+        knn_fn: Callable[..., DataFrame] | None = None,
+    ) -> None:
+        self.records = records
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.default_space = default_space
+        self.knn_fn = knn_fn or exact_knn
+
+    def evaluate(self, expr: dict[str, Any]) -> RankDomain:
+        if not isinstance(expr, dict) or len(expr) != 1:
+            raise RankError("rank expression must be a single-op dict")
+        [(op, arg)] = expr.items()
+        if op == "$val":
+            return RankDomain(None, float(arg))
+        if op == "$knn":
+            return self._knn(arg)
+        if op == "$sum":
+            return _fold([self.evaluate(e) for e in arg], 0.0, lambda a, b: a + b)
+        if op == "$mul":
+            return _fold([self.evaluate(e) for e in arg], 1.0, lambda a, b: a * b)
+        if op == "$max":
+            return _fold(
+                [self.evaluate(e) for e in arg],
+                F32_MIN,
+                lambda a, b: F.greatest(a, b) if _iscol(a, b) else max(a, b),
+            )
+        if op == "$min":
+            return _fold(
+                [self.evaluate(e) for e in arg],
+                F32_MAX,
+                lambda a, b: F.least(a, b) if _iscol(a, b) else min(a, b),
+            )
+        if op == "$sub":
+            return _merge(self.evaluate(arg["left"]), self.evaluate(arg["right"]), lambda a, b: a - b)
+        if op == "$div":
+            return _merge(self.evaluate(arg["left"]), self.evaluate(arg["right"]), lambda a, b: a / b)
+        if op in ("$abs", "$exp", "$log"):
+            d = self.evaluate(arg)
+            col_fn, py_fn = {
+                "$abs": (F.abs, abs),
+                "$exp": (F.exp, math.exp),
+                "$log": (F.log, lambda x: math.log(x) if x > 0 else float("nan")),
+            }[op]
+            sup = None
+            if d.support is not None:
+                sup = d.support.select("id", col_fn(F.col("score")).alias("score"))
+            return RankDomain(sup, _map_default(d.default, py_fn))
+        raise RankError(f"unknown rank operator {op}")
+
+    def _knn(self, arg: dict[str, Any]) -> RankDomain:
+        qvec = arg.get("query")
+        if not isinstance(qvec, (list, tuple)) or not qvec:
+            raise RankError("$knn requires a dense query vector")
+        limit = int(arg.get("limit", 16))
+        space = arg.get("space", self.default_space)
+        return_rank = bool(arg.get("return_rank", False))
+        default = arg.get("default")
+        spark = self.records.sparkSession
+        qdf = spark.createDataFrame(
+            [(0, [float(x) for x in qvec])], "query_id INT, embedding ARRAY<FLOAT>"
+        )
+        # round_decimals=None: rank arithmetic must run on RAW distances —
+        # doing arithmetic on already-rounded values then rounding again
+        # creates exact decimal halves where engines' round() disagree.
+        # Rounding happens exactly once, in finalize_scores.
+        top = self.knn_fn(
+            self.records,
+            qdf,
+            k=limit,
+            space=space,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            round_decimals=None,
+        )
+        score = (F.col("rank") - 1).cast("double") if return_rank else F.col("dist")
+        sup = top.select(F.col(self.id_col).alias("id"), score.alias("score"))
+        return RankDomain(sup, float(default) if default is not None else None)
+
+
+def _iscol(a, b) -> bool:
+    from pyspark.sql import Column
+
+    return isinstance(a, Column) or isinstance(b, Column)
+
+
+def rrf(
+    knn_terms: list[dict[str, Any]],
+    k: int = 60,
+    weights: list[float] | None = None,
+    normalize: bool = False,
+) -> dict[str, Any]:
+    """Desugar reciprocal-rank fusion exactly like the client does
+    (``operator.py:1144-1238``): ``-(sum_i w_i / (k + rank_i))``.
+
+    Each term must be a ``$knn`` dict; ``return_rank`` is forced on.
+    """
+    if not knn_terms:
+        raise RankError("RRF requires at least one rank")
+    if k <= 0:
+        raise RankError("k must be positive")
+    weights = list(weights) if weights else [1.0] * len(knn_terms)
+    if len(weights) != len(knn_terms):
+        raise RankError("weights length must match ranks")
+    if any(w < 0 for w in weights):
+        raise RankError("weights must be non-negative")
+    if normalize:
+        s = sum(weights)
+        if s <= 0:
+            raise RankError("weight sum must be positive")
+        weights = [w / s for w in weights]
+    terms = []
+    for w, t in zip(weights, knn_terms):
+        t = {**t, "return_rank": True}
+        terms.append(
+            {"$div": {"left": {"$val": w}, "right": {"$sum": [{"$val": float(k)}, {"$knn": t}]}}}
+        )
+    total = {"$sum": terms} if len(terms) > 1 else terms[0]
+    return {"$sub": {"left": {"$val": 0.0}, "right": total}}
+
+
+def finalize_scores(domain: RankDomain, round_decimals: int | None = ROUND_DECIMALS) -> DataFrame:
+    """Support-only result (rank.rs:196-204), canonically rounded."""
+    if domain.support is None:
+        raise RankError("rank expression has empty support (nothing to order by)")
+    score = F.col("score")
+    if round_decimals is not None:
+        score = F.round(score, round_decimals) + F.lit(0.0)
+    return domain.support.select("id", score.alias("score"))

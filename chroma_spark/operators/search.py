@@ -1,0 +1,83 @@
+"""The hybrid ``search()`` pipeline.
+
+Mirrors the reference orchestration
+(``rust/worker/src/execution/orchestration/rank.rs:81-128``)::
+
+    with rank:    Filter -> [$knn terms] -> Rank -> RankedGroupBy
+                  -> Limit -> Select
+    without rank: Filter -> Limit (by insertion offset) -> Select
+
+All stages are DataFrame transformations; the Where filter runs BEFORE the
+$knn terms (filter-before-ANN, ``executor/local.py:107-127``), so Catalyst
+pushes it into the scan and each KNN term searches only candidates.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..where import where_doc_to_column, where_to_column
+from .group_by import ranked_group_by
+from .limit import page
+from .rank import RankEvaluator, finalize_scores
+
+
+def search(
+    records: DataFrame,
+    where: dict[str, Any] | None = None,
+    where_document: dict[str, Any] | None = None,
+    rank: dict[str, Any] | None = None,
+    group_by: dict[str, Any] | None = None,
+    limit: int | None = None,
+    offset: int = 0,
+    select: list[str] | None = None,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    doc_col: str = "document",
+    array_keys: frozenset[str] = frozenset(),
+    default_space: str = "l2",
+    knn_fn=None,
+) -> DataFrame:
+    """Run a Search payload; returns records (+ ``score`` when ranked)."""
+    candidates = records
+    if where is not None:
+        candidates = candidates.filter(where_to_column(where, array_keys))
+    if where_document is not None:
+        candidates = candidates.filter(where_doc_to_column(where_document, doc_col))
+
+    if rank is None:
+        out = candidates
+        order = [F.col(id_col).asc()]
+    else:
+        ev = RankEvaluator(
+            candidates, id_col=id_col, vec_col=vec_col, default_space=default_space, knn_fn=knn_fn
+        )
+        scores = finalize_scores(ev.evaluate(rank))
+        # hydration join (reference KnnProjection: winners only fetch payload)
+        out = scores.withColumnRenamed("id", "__sid").join(
+            candidates, F.col("__sid") == F.col(id_col), "inner"
+        ).drop("__sid")
+        if group_by:
+            agg = group_by.get("aggregate", {})
+            if len(agg) != 1:
+                raise ValueError("group_by.aggregate must be {$min_k|$max_k: {keys, k}}")
+            [(mode_op, spec)] = agg.items()
+            mode = {"$min_k": "min_k", "$max_k": "max_k"}.get(mode_op)
+            if mode is None:
+                raise ValueError(f"unknown aggregate {mode_op}")
+            sort_keys = [k.replace("#score", "score") for k in spec["keys"]]
+            out = ranked_group_by(
+                out, list(group_by["keys"]), int(spec["k"]), sort_keys, mode, id_col
+            )
+        order = [F.col("score").asc(), F.col(id_col).asc()]
+
+    out = page(out, order, offset=offset, limit=limit)
+    if select is not None:
+        cols = [c for c in select]
+        if rank is not None and "score" not in cols:
+            cols.append("score")
+        out = out.select(*cols)
+    return out

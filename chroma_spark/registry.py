@@ -264,6 +264,202 @@ def _knn_filtered_oracle() -> str:
 QUERIES["knn_filtered"].oracle = _knn_filtered_oracle()
 
 
+# --- Rank expressions / hybrid search (SURVEY §2.4; rank.rs:16-170) ---
+
+
+def _emb_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), "embedding", "label"
+    )
+
+
+def _qvec(spark: SparkSession, sf_dir: str, vid: int) -> list[float]:
+    row = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vid)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+def _knn_cte(alias: str, space: str, qid: int, k: int, records_sql: str, rounded: bool = False) -> str:
+    """DuckDB CTE: top-k by distance with 1-based rn. ``rounded=False``
+    keeps RAW distances (rank arithmetic rounds once, at the end — rounding
+    twice creates decimal halves where engines' round() disagree)."""
+    from .functions.distance import distance_sql
+
+    d = distance_sql("r.embedding", "q.embedding", space)
+    if rounded:
+        d = f"(round({d}, 6) + 0.0)"
+    return f"""{alias} AS (
+  SELECT id, dist, rn FROM (
+    SELECT id, dist, row_number() OVER (ORDER BY dist ASC, id ASC) AS rn
+    FROM (SELECT r.id AS id, {d} AS dist
+          FROM ({records_sql}) r
+          CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {qid}) q)
+  ) WHERE rn <= {k}
+)"""
+
+
+_EMB_RECORDS_SQL = "SELECT vec_id AS id, embedding FROM embeddings"
+
+
+@register(
+    "rank_rrf",
+    "WITH "
+    + _knn_cte("ka", "cosine", 0, 50, _EMB_RECORDS_SQL)
+    + ",\n"
+    + _knn_cte("kb", "l2", 1, 50, _EMB_RECORDS_SQL)
+    + """
+SELECT coalesce(ka.id, kb.id) AS id,
+       (round(0.0 - (1.0 / (60.0 + coalesce(CAST(ka.rn - 1 AS DOUBLE), 100.0))
+                   + 1.0 / (60.0 + coalesce(CAST(kb.rn - 1 AS DOUBLE), 100.0))), 6) + 0.0) AS score
+FROM ka FULL OUTER JOIN kb ON ka.id = kb.id""",
+)
+def rank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two KNN rankings (client desugar
+    operator.py:1144-1238; evaluated per rank.rs merge rules)."""
+    from .operators.rank import RankEvaluator, finalize_scores, rrf
+
+    expr = rrf(
+        [
+            {"query": _qvec(spark, sf_dir, 0), "limit": 50, "space": "cosine", "default": 100.0},
+            {"query": _qvec(spark, sf_dir, 1), "limit": 50, "space": "l2", "default": 100.0},
+        ],
+        k=60,
+    )
+    ev = RankEvaluator(_emb_records(spark, sf_dir))
+    return finalize_scores(ev.evaluate(expr))
+
+
+@register(
+    "rank_arith",
+    "WITH "
+    + _knn_cte("ka", "cosine", 0, 20, _EMB_RECORDS_SQL)
+    + ",\n"
+    + _knn_cte("kb", "l2", 1, 20, _EMB_RECORDS_SQL)
+    + """
+SELECT coalesce(ka.id, kb.id) AS id,
+       (round(coalesce(0.5 * ka.dist, 1.0) + coalesce(0.5 * kb.dist, 50.0), 6) + 0.0) AS score
+FROM ka FULL OUTER JOIN kb ON ka.id = kb.id""",
+)
+def rank_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sum of two KNN distances with per-term defaults (RankDomain
+    union semantics, rank.rs:34-56)."""
+    from .operators.rank import RankEvaluator, finalize_scores
+
+    expr = {
+        "$sum": [
+            {"$mul": [{"$val": 0.5}, {"$knn": {"query": _qvec(spark, sf_dir, 0), "limit": 20, "space": "cosine", "default": 2.0}}]},
+            {"$mul": [{"$val": 0.5}, {"$knn": {"query": _qvec(spark, sf_dir, 1), "limit": 20, "space": "l2", "default": 100.0}}]},
+        ]
+    }
+    ev = RankEvaluator(_emb_records(spark, sf_dir))
+    return finalize_scores(ev.evaluate(expr))
+
+
+@register(
+    "rank_minmax_unary",
+    "WITH "
+    + _knn_cte("ka", "cosine", 0, 30, _EMB_RECORDS_SQL)
+    + ",\n"
+    + _knn_cte("kb", "l2", 0, 30, _EMB_RECORDS_SQL)
+    + """
+SELECT ka.id AS id,
+       (round(greatest(exp(-1.0 * ka.dist), ln(1.0 + kb.dist)), 6) + 0.0) AS score
+FROM ka JOIN kb ON ka.id = kb.id""",
+)
+def rank_minmax_unary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$max/$exp/$log over no-default domains (intersection semantics,
+    rank.rs:86-99)."""
+    from .operators.rank import RankEvaluator, finalize_scores
+
+    q0 = _qvec(spark, sf_dir, 0)
+    expr = {
+        "$max": [
+            {"$exp": {"$mul": [{"$val": -1.0}, {"$knn": {"query": q0, "limit": 30, "space": "cosine"}}]}},
+            {"$log": {"$sum": [{"$val": 1.0}, {"$knn": {"query": q0, "limit": 30, "space": "l2"}}]}},
+        ]
+    }
+    ev = RankEvaluator(_emb_records(spark, sf_dir))
+    return finalize_scores(ev.evaluate(expr))
+
+
+# --- RankedGroupBy + full search pipeline (SURVEY §2.4/2.5) ---
+
+
+@register(
+    "group_topk",
+    "WITH "
+    + _knn_cte("ka", "cosine", 0, 100, _EMB_RECORDS_SQL)
+    + """
+SELECT id, label, score FROM (
+  SELECT j.*, row_number() OVER (PARTITION BY label ORDER BY score ASC, id ASC) AS gr
+  FROM (SELECT k.id, e.label, (round(k.dist, 6) + 0.0) AS score
+        FROM ka k JOIN embeddings e ON k.id = e.vec_id) j
+) WHERE gr <= 3""",
+)
+def group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN then group-by-label MinK(3) via the search() pipeline
+    (ranked_group_by.rs:104)."""
+    from .operators.search import search
+
+    return search(
+        _emb_records(spark, sf_dir),
+        rank={"$knn": {"query": _qvec(spark, sf_dir, 0), "limit": 100, "space": "cosine"}},
+        group_by={"keys": ["label"], "aggregate": {"$min_k": {"keys": ["#score"], "k": 3}}},
+        select=["id", "label"],
+    )
+
+
+_SEARCH_FULL_RECORDS_SQL = (
+    "SELECT vec_id AS id, embedding FROM embeddings"
+    " WHERE (\"label\" IN (0, 1, 2, 3, 4, 5, 6))"
+)
+
+
+@register(
+    "search_full",
+    "WITH "
+    + _knn_cte("ka", "cosine", 0, 20, _SEARCH_FULL_RECORDS_SQL)
+    + ",\n"
+    + _knn_cte("kb", "l2", 1, 20, _SEARCH_FULL_RECORDS_SQL)
+    + """,
+scored AS (
+  SELECT coalesce(ka.id, kb.id) AS id,
+         (round(coalesce(0.5 * ka.dist, 1.0) + coalesce(0.5 * kb.dist, 50.0), 6) + 0.0) AS score
+  FROM ka FULL OUTER JOIN kb ON ka.id = kb.id
+),
+grouped AS (
+  SELECT id, label, score FROM (
+    SELECT j.*, row_number() OVER (PARTITION BY label ORDER BY score ASC, id ASC) AS gr
+    FROM (SELECT s.id, e.label, s.score FROM scored s JOIN embeddings e ON s.id = e.vec_id) j
+  ) WHERE gr <= 2
+)
+SELECT id, label, score FROM grouped ORDER BY score ASC, id ASC LIMIT 10 OFFSET 3""",
+)
+def search_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: Where filter -> rank arithmetic over two KNN terms ->
+    group-by MinK -> offset/limit -> select (the full §3.2 pipeline)."""
+    from .operators.search import search
+
+    return search(
+        _emb_records(spark, sf_dir),
+        where={"label": {"$in": [0, 1, 2, 3, 4, 5, 6]}},
+        rank={
+            "$sum": [
+                {"$mul": [{"$val": 0.5}, {"$knn": {"query": _qvec(spark, sf_dir, 0), "limit": 20, "space": "cosine", "default": 2.0}}]},
+                {"$mul": [{"$val": 0.5}, {"$knn": {"query": _qvec(spark, sf_dir, 1), "limit": 20, "space": "l2", "default": 100.0}}]},
+            ]
+        },
+        group_by={"keys": ["label"], "aggregate": {"$min_k": {"keys": ["#score"], "k": 2}}},
+        offset=3,
+        limit=10,
+        select=["id", "label"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------
