@@ -1,0 +1,358 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's own surface (SURVEY §7 phase 7): the operators a
+100-TB text corpus needs before training — exact hash dedup, MinHash+LSH,
+SimHash, n-gram Jaccard verification, embedding-cosine near-dup. Each has a
+DuckDB SQL twin for the oracle gate.
+
+Scale design notes:
+- exact dedup: one hash-keyed aggregation — the canonical map-side-combine
+  groupBy; no skew unless one document dominates (then AQE skew split).
+- minhash LSH: signatures are per-row column math (md5-based, engine
+  portable); candidate generation is a self-join on (band, band_hash) —
+  the shuffle key is the band bucket, which is uniformly distributed by
+  construction. Verification joins only candidate pairs.
+- simhash: per-row 32-bit signature, then pair generation; at scale pairs
+  come from banding the signature bits (prefix buckets), not the full cross
+  join used for small-corpus verification.
+- embedding near-dup: brute-force pair scan here; the scale path is the IVF
+  index (ann/) restricting pairs to same-centroid buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_long, md5_long_sql, tokens, tokens_sql, word_ngrams, word_ngrams_sql
+
+# ---------------------------------------------------------------------------
+# Exact (hash) dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(
+    docs: DataFrame, key: F.Column, id_col: str = "id", min_count: int = 2
+) -> DataFrame:
+    """Duplicate groups by a hash key: ``(fp, n_dups, keep_id)``.
+
+    ``keep_id`` is the smallest id in the group (the row a dedup pass keeps).
+    """
+    return (
+        docs.select(F.md5(key).alias("fp"), F.col(id_col).alias("id"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_dups"), F.min("id").alias("keep_id"))
+        .filter(F.col("n_dups") >= min_count)
+    )
+
+
+def exact_dup_groups_sql(docs_sql: str, key_sql: str, id_col: str = "id", min_count: int = 2) -> str:
+    return f"""
+SELECT md5({key_sql}) AS fp, CAST(count(*) AS BIGINT) AS n_dups, min("{id_col}") AS keep_id
+FROM ({docs_sql}) GROUP BY fp HAVING count(*) >= {min_count}"""
+
+
+# ---------------------------------------------------------------------------
+# Shingles + n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "document", id_col: str = "id") -> DataFrame:
+    """Distinct word n-gram shingles per doc: ``(id, sh)``."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_ngrams(tokens(F.col(text_col)), n))).alias("sh"),
+    )
+
+
+def _shingles_sql(docs_sql: str, n: int, text_col: str = "document", id_col: str = "id") -> str:
+    toks = tokens_sql(f'"{text_col}"')
+    return f"""
+SELECT "{id_col}" AS id, unnest(list_distinct({word_ngrams_sql(f"({toks})", n)})) AS sh
+FROM ({docs_sql})"""
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    text_col: str = "document",
+    id_col: str = "id",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs ``(id_a, id_b, jac)`` with Jaccard >= threshold over
+    word-``n``-gram shingle sets (id_a < id_b).
+
+    Without ``candidates`` this self-joins on shared shingles (exact but
+    quadratic in per-shingle doc frequency — fine for verification);
+    with a candidate pair DataFrame (e.g. from :func:`minhash_candidates`)
+    only those pairs are verified.
+    """
+    sh = shingles(docs, n, text_col, id_col)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    if candidates is None:
+        a = sh.select(F.col("id").alias("id_a"), "sh")
+        b = sh.select(F.col("id").alias("id_b"), "sh")
+        common = (
+            a.join(b, "sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("c"))
+        )
+    else:
+        a = sh.select(F.col("id").alias("id_a"), "sh")
+        b = sh.select(F.col("id").alias("id_b"), "sh")
+        common = (
+            candidates.join(a, "id_a").join(b, ["id_b", "sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("c"))
+        )
+    jac = (
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.round(
+                    F.col("c").cast("double")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("c")).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("jac"),
+        )
+    )
+    return jac.filter(F.col("jac") >= threshold)
+
+
+def jaccard_pairs_sql(docs_sql: str, threshold: float, n: int = 3) -> str:
+    sh = _shingles_sql(docs_sql, n)
+    return f"""
+WITH __sh AS ({sh}),
+__sizes AS (SELECT id, count(*) AS sz FROM __sh GROUP BY id),
+__common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+  FROM __sh a JOIN __sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, jac FROM (
+  SELECT id_a, id_b,
+         (round(CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE), 6) + 0.0) AS jac
+  FROM __common JOIN __sizes sa ON id_a = sa.id JOIN __sizes sb ON id_b = sb.id
+) WHERE jac >= {threshold!r}"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame, num_perm: int = 16, n: int = 3, text_col: str = "document", id_col: str = "id"
+) -> DataFrame:
+    """``(id, m0..m{P-1})`` minhash signature columns.
+
+    Permutation p's hash of a shingle is ``md5_long(p || '|' || shingle)`` —
+    deterministic and identical in the SQL twin (no engine-specific hash).
+    """
+    sh = shingles(docs, n, text_col, id_col)
+    aggs = [
+        F.min(md5_long(F.concat(F.lit(f"{p}|"), F.col("sh")))).alias(f"m{p}")
+        for p in range(num_perm)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_candidates(
+    signatures: DataFrame, bands: int, rows: int, id_col: str = "id"
+) -> DataFrame:
+    """LSH banding: pairs sharing any band bucket; ``(id_a, id_b)`` distinct."""
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"m{b * rows + r}").cast("string") for r in range(rows)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), md5_long(F.concat_ws("|", *cols)).alias("bh"))
+        )
+    banded = signatures.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = banded.select(F.col("id").alias("id_a"), "band", "bh")
+    b2 = banded.select(F.col("id").alias("id_b"), "band", "bh")
+    return (
+        a.join(b2, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    threshold: float,
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "document",
+    id_col: str = "id",
+) -> DataFrame:
+    """Full minhash pipeline: signatures -> LSH candidates -> exact Jaccard
+    verification at ``threshold``. The scalable near-dup path: no all-pairs
+    join ever materializes."""
+    rows = num_perm // bands
+    sig = minhash_signatures(docs, num_perm, n, text_col, id_col)
+    cand = minhash_candidates(sig, bands, rows, "id")
+    return jaccard_pairs(docs, threshold, n, text_col, id_col, candidates=cand)
+
+
+def minhash_dedup_pairs_sql(
+    docs_sql: str, threshold: float, num_perm: int = 16, bands: int = 4, n: int = 3
+) -> str:
+    rows = num_perm // bands
+    sh = _shingles_sql(docs_sql, n)
+    mins = ",\n         ".join(
+        f"min({md5_long_sql(repr(str(p) + '|') + ' || sh')}) AS m{p}" for p in range(num_perm)
+    )
+    band_rows = []
+    for b in range(bands):
+        concat = " || '|' || ".join(f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows))
+        band_rows.append(f"SELECT id, {b} AS band, {md5_long_sql(f'({concat})')} AS bh FROM __sig")
+    bands_sql = "\nUNION ALL\n".join(band_rows)
+    return f"""
+WITH __sh AS ({sh}),
+__sig AS (SELECT id, {mins} FROM __sh GROUP BY id),
+__banded AS ({bands_sql}),
+__cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM __banded a JOIN __banded b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+),
+__sizes AS (SELECT id, count(*) AS sz FROM __sh GROUP BY id),
+__common AS (
+  SELECT c.id_a, c.id_b, count(*) AS cnt
+  FROM __cand c JOIN __sh a ON c.id_a = a.id JOIN __sh b ON c.id_b = b.id AND a.sh = b.sh
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, jac FROM (
+  SELECT id_a, id_b,
+         (round(CAST(cnt AS DOUBLE) / CAST(sa.sz + sb.sz - cnt AS DOUBLE), 6) + 0.0) AS jac
+  FROM __common JOIN __sizes sa ON id_a = sa.id JOIN __sizes sb ON id_b = sb.id
+) WHERE jac >= {threshold!r}"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash_signatures(
+    docs: DataFrame, bits: int = SIMHASH_BITS, text_col: str = "document", id_col: str = "id"
+) -> DataFrame:
+    """``(id, simhash BIGINT)``: tf-weighted simhash over md5 token hashes."""
+    tf = (
+        docs.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+        .select("id", "tf", md5_long(F.col("term")).alias("h"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
+                -F.col("tf")
+            )
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    per_doc = tf.groupBy("id").agg(*bit_sums)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return per_doc.select("id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int,
+    bits: int = SIMHASH_BITS,
+    text_col: str = "document",
+    id_col: str = "id",
+) -> DataFrame:
+    """``(id_a, id_b, hamming)`` pairs within ``max_hamming``.
+
+    All-pairs comparison (verification scale); the 100-TB path buckets by
+    signature bit-bands first, same as minhash LSH.
+    """
+    sig = simhash_signatures(docs, bits, text_col, id_col)
+    a = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs_sql(
+    docs_sql: str, max_hamming: int, bits: int = SIMHASH_BITS
+) -> str:
+    toks = tokens_sql('"document"')
+    vsums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN tf ELSE -tf END) AS v{b}" for b in range(bits)
+    )
+    sig = " + ".join(f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END" for b in range(bits))
+    return f"""
+WITH __tf AS (
+  SELECT id, term, count(*) AS tf, {md5_long_sql("term")} AS h FROM (
+    SELECT "id" AS id, unnest({toks}) AS term FROM ({docs_sql})
+  ) GROUP BY id, term
+),
+__v AS (SELECT id, {vsums} FROM __tf GROUP BY id),
+__sig AS (SELECT id, ({sig}) AS simhash FROM __v)
+SELECT a.id AS id_a, b.id AS id_b, CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM __sig a JOIN __sig b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_topk(
+    records: DataFrame, k: int, id_col: str = "id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Top-``k`` most-similar pairs by cosine distance: ``(id_a, id_b, dist)``.
+
+    Brute-force pair scan (verification scale); the scale path restricts
+    pairs to shared IVF centroid buckets (see ann/)."""
+    from ..functions.distance import cosine
+
+    a = records.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = records.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.round(cosine(F.col("va"), F.col("vb")), 6) + F.lit(0.0)).alias("dist"),
+        )
+    )
+    return pairs.orderBy(F.col("dist").asc(), F.col("id_a").asc(), F.col("id_b").asc()).limit(k)
+
+
+def embedding_neardup_topk_sql(records_sql: str, k: int) -> str:
+    from ..functions.distance import cosine_sql
+
+    d = cosine_sql("a.embedding", "b.embedding")
+    return f"""
+SELECT id_a, id_b, dist FROM (
+  SELECT a.id AS id_a, b.id AS id_b, (round({d}, 6) + 0.0) AS dist
+  FROM ({records_sql}) a JOIN ({records_sql}) b ON a.id < b.id
+) ORDER BY dist ASC, id_a ASC, id_b ASC LIMIT {k}"""

@@ -1,0 +1,155 @@
+"""Text-analysis operators: quality scoring, language-ID heuristic, token
+counting, document fingerprinting.
+
+The training-data-pipeline companions to dedup (SURVEY §7 phase 7). All
+pure column expressions (no Python in the hot path) with DuckDB SQL twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import BPE_TOKEN_RE, md5_long, md5_long_sql, tokens, tokens_sql
+
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+_LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "y", "es"),
+}
+
+
+def _sql_set(vals) -> str:
+    return ", ".join("'" + v + "'" for v in vals)
+
+
+def text_stats(docs: DataFrame, text_col: str = "document", id_col: str = "id") -> DataFrame:
+    """Per-doc stats: ``(id, n_tokens, n_uniq, avg_token_len, stop_ratio,
+    uniq_ratio, quality)``. All ratios computed raw and rounded once."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    nu = F.size(F.array_distinct(toks))
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    avg_len = total_len.cast("double") / n.cast("double")
+    stop_ratio = n_stop.cast("double") / n.cast("double")
+    uniq_ratio = nu.cast("double") / n.cast("double")
+    quality = (
+        F.lit(0.4) * F.least(F.lit(1.0), n.cast("double") / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.3) * uniq_ratio
+    )
+    r = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n.cast("bigint").alias("n_tokens"),
+        nu.cast("bigint").alias("n_uniq"),
+        r(avg_len).alias("avg_token_len"),
+        r(stop_ratio).alias("stop_ratio"),
+        r(uniq_ratio).alias("uniq_ratio"),
+        r(quality).alias("quality"),
+    )
+
+
+def text_stats_sql(docs_sql: str, text_col: str = "document", id_col: str = "id") -> str:
+    toks = tokens_sql(f'"{text_col}"')
+    stop = _sql_set(EN_STOPWORDS)
+    return f"""
+SELECT id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(nu AS BIGINT) AS n_uniq,
+       (round(CAST(total_len AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0) AS avg_token_len,
+       (round(CAST(n_stop AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0) AS stop_ratio,
+       (round(CAST(nu AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0) AS uniq_ratio,
+       (round(0.4 * least(1.0, CAST(n AS DOUBLE) / 100.0)
+            + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n AS DOUBLE))
+            + 0.3 * CAST(nu AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0) AS quality
+FROM (
+  SELECT "{id_col}" AS id,
+         len(t) AS n,
+         len(list_distinct(t)) AS nu,
+         list_sum(list_transform(t, x -> length(x))) AS total_len,
+         len(list_filter(t, x -> x IN ({stop}))) AS n_stop
+  FROM (SELECT "{id_col}", {toks} AS t FROM ({docs_sql}))
+)"""
+
+
+def lang_id(docs: DataFrame, text_col: str = "document", id_col: str = "id") -> DataFrame:
+    """Marker-stopword language guess: ``(id, pred_lang)`` — deterministic
+    argmax with fixed tie-break order en > de > fr > es."""
+    toks = tokens(F.col(text_col))
+
+    def _marker_count(markers):
+        # single-arg lambda: pyspark's higher-order filter dispatches on arity
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    counts = {lang: _marker_count(markers) for lang, markers in _LANG_MARKERS.items()}
+    en, de, fr, es = counts["en"], counts["de"], counts["fr"], counts["es"]
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en >= es), "en")
+        .when((de >= fr) & (de >= es), "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+    )
+    return docs.select(F.col(id_col).alias("id"), pred.alias("pred_lang"))
+
+
+def lang_id_sql(docs_sql: str, text_col: str = "document", id_col: str = "id") -> str:
+    toks = tokens_sql(f'"{text_col}"')
+    cnt = {
+        lang: f"len(list_filter(t, x -> x IN ({_sql_set(m)})))"
+        for lang, m in _LANG_MARKERS.items()
+    }
+    return f"""
+SELECT id,
+       CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+            WHEN de >= fr AND de >= es THEN 'de'
+            WHEN fr >= es THEN 'fr'
+            ELSE 'es' END AS pred_lang
+FROM (
+  SELECT "{id_col}" AS id, {cnt['en']} AS en, {cnt['de']} AS de,
+         {cnt['fr']} AS fr, {cnt['es']} AS es
+  FROM (SELECT "{id_col}", {toks} AS t FROM ({docs_sql}))
+)"""
+
+
+def token_counts_by_group(
+    docs: DataFrame, group_col: str, text_col: str = "document"
+) -> DataFrame:
+    """BPE-ish token counts summed per group: ``(group, total_tokens)``.
+
+    Tokenizes like a byte-level pre-tokenizer (letter runs / digit runs /
+    single punctuation) via ``regexp_extract_all`` — JVM-side, no UDF.
+    """
+    n = F.size(F.regexp_extract_all(F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(BPE_TOKEN_RE), 0))
+    return (
+        docs.select(F.col(group_col).alias("grp"), n.alias("n"))
+        .groupBy("grp")
+        .agg(F.sum("n").cast("bigint").alias("total_tokens"))
+    )
+
+
+def token_counts_by_group_sql(docs_sql: str, group_col: str, text_col: str = "document") -> str:
+    return f"""
+SELECT "{group_col}" AS grp, CAST(sum(n) AS BIGINT) AS total_tokens FROM (
+  SELECT "{group_col}", len(regexp_extract_all(lower(coalesce("{text_col}", '')), '{BPE_TOKEN_RE}')) AS n
+  FROM ({docs_sql})
+) GROUP BY grp"""
+
+
+def fingerprints(docs: DataFrame, text_col: str = "document", id_col: str = "id") -> DataFrame:
+    """Deterministic 60-bit content fingerprint per doc: ``(id, fp)``."""
+    return docs.select(
+        F.col(id_col).alias("id"), md5_long(F.coalesce(F.col(text_col), F.lit(""))).alias("fp")
+    )
+
+
+def fingerprints_sql(docs_sql: str, text_col: str = "document", id_col: str = "id") -> str:
+    doc = 'coalesce("' + text_col + "\", '')"
+    return f"""
+SELECT "{id_col}" AS id, {md5_long_sql(doc)} AS fp
+FROM ({docs_sql})"""

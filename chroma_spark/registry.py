@@ -460,6 +460,159 @@ def search_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Sparse / BM25 / full-text statistics (SURVEY §2.1, §2.3; idf.rs:24-31) ---
+
+from .operators.sparse import doc_frequency_sql as _doc_frequency_sql  # noqa: E402
+
+_DOCS_SQL = 'SELECT doc_id AS id, text AS document FROM documents'
+
+
+@register(
+    "doc_freq_topk",
+    "SELECT term, df FROM (SELECT term, df, row_number() OVER (ORDER BY df DESC, term ASC) AS rn FROM ("
+    + _doc_frequency_sql(_DOCS_SQL)
+    + ")) WHERE rn <= 30",
+)
+def doc_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term document-frequency table, top 30 (the Idf operator's input
+    aggregate; also the 'statistics' attached function analog)."""
+    from .operators.sparse import doc_frequency
+
+    docs = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"), F.col("text").alias("document"))
+    return doc_frequency(docs).orderBy(F.col("df").desc(), F.col("term").asc()).limit(30)
+
+
+@register("bm25_topk", None)  # oracle attached below
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-15 for a fixed query (fastembed doc weights + chroma IDF)."""
+    from .operators.sparse import bm25_topk
+
+    docs = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"), F.col("text").alias("document"))
+    return bm25_topk(docs, ["spark", "table", "merge"], k=15)
+
+
+def _bm25_oracle() -> str:
+    from .operators.sparse import bm25_topk_sql
+
+    return bm25_topk_sql(_DOCS_SQL, ["spark", "table", "merge"], k=15)
+
+
+QUERIES["bm25_topk"].oracle = _bm25_oracle()
+
+_SPARSE_DIM = 512
+_MD5_IDX_SQL = "(CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % " + str(_SPARSE_DIM) + ")"
+
+
+@register(
+    "sparse_dot_topk",
+    f"""
+WITH __toks AS (
+  SELECT doc_id AS id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')) AS term
+  FROM documents
+),
+__post AS (
+  SELECT id, CAST({_MD5_IDX_SQL} AS INT) AS idx, CAST(count(*) AS DOUBLE) AS w
+  FROM __toks GROUP BY id, idx
+),
+__qpost AS (SELECT id AS query_id, idx, w AS q_w FROM __post WHERE id < 2),
+__scored AS (
+  SELECT q.query_id, p.id, (round(sum(p.w * q.q_w), 6) + 0.0) AS score
+  FROM __post p JOIN __qpost q ON p.idx = q.idx
+  GROUP BY q.query_id, p.id
+)
+SELECT query_id, id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rn
+  FROM __scored
+) WHERE rn <= 10""",
+)
+def sparse_dot_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SparseVector struct construction + posting-list dot-product top-k
+    (sparse_index_knn.rs re-expressed as explode/join/agg)."""
+    from .operators.sparse import build_sparse, sparse_dot_topk
+
+    docs = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"), F.col("text").alias("document"))
+    sv = build_sparse(docs, _SPARSE_DIM)
+    queries = sv.filter(F.col("id") < 2).select(F.col("id").alias("query_id"), "sparse")
+    return sparse_dot_topk(sv, queries, k=10)
+
+
+# --- Dedup suite (training-data pipeline ops; BASELINE.json north star) ---
+
+
+def _docs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.col("text").alias("document")
+    )
+
+
+def _register_dedup() -> None:
+    from .functions.text import tokens
+    from .operators import dedup as D
+
+    def exact_fn(spark, sf_dir):
+        docs = _docs_df(spark, sf_dir)
+        key = F.concat_ws(" ", F.slice(tokens(F.col("document")), 1, 5))
+        return D.exact_dup_groups(docs, key)
+
+    exact_sql = D.exact_dup_groups_sql(
+        _DOCS_SQL,
+        "array_to_string((list_filter(string_split_regex(lower(document), '\\s+'), t -> t != ''))[1:5], ' ')",
+    )
+    QUERIES["dedup_exact_prefix"] = Query(exact_fn, exact_sql)
+
+    QUERIES["dedup_jaccard"] = Query(
+        lambda spark, sf_dir: D.jaccard_pairs(_docs_df(spark, sf_dir), 0.5),
+        D.jaccard_pairs_sql(_DOCS_SQL, 0.5),
+    )
+    QUERIES["dedup_minhash_lsh"] = Query(
+        lambda spark, sf_dir: D.minhash_dedup_pairs(_docs_df(spark, sf_dir), 0.5),
+        D.minhash_dedup_pairs_sql(_DOCS_SQL, 0.5),
+    )
+    QUERIES["dedup_simhash"] = Query(
+        lambda spark, sf_dir: D.simhash_pairs(_docs_df(spark, sf_dir), max_hamming=3),
+        D.simhash_pairs_sql(_DOCS_SQL, max_hamming=3),
+    )
+    QUERIES["neardup_embedding"] = Query(
+        lambda spark, sf_dir: D.embedding_neardup_topk(
+            load(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("id"), "embedding"), k=20
+        ),
+        D.embedding_neardup_topk_sql(_EMB_RECORDS_SQL, k=20),
+    )
+
+
+_register_dedup()
+
+
+# --- Text analysis (language-ID, quality, token counts, fingerprints) ---
+
+
+def _register_textstats() -> None:
+    from .operators import textstats as T
+
+    QUERIES["text_quality"] = Query(
+        lambda spark, sf_dir: T.text_stats(_docs_df(spark, sf_dir)),
+        T.text_stats_sql(_DOCS_SQL),
+    )
+    QUERIES["lang_id_pred"] = Query(
+        lambda spark, sf_dir: T.lang_id(_docs_df(spark, sf_dir)),
+        T.lang_id_sql(_DOCS_SQL),
+    )
+    QUERIES["token_counts_by_source"] = Query(
+        lambda spark, sf_dir: T.token_counts_by_group(
+            load(spark, sf_dir, "documents").select(F.col("text").alias("document"), "source"),
+            "source",
+        ),
+        T.token_counts_by_group_sql("SELECT text AS document, source FROM documents", "source"),
+    )
+    QUERIES["doc_fingerprint"] = Query(
+        lambda spark, sf_dir: T.fingerprints(_docs_df(spark, sf_dir)),
+        T.fingerprints_sql(_DOCS_SQL),
+    )
+
+
+_register_textstats()
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------
