@@ -1,0 +1,299 @@
+"""Public API: Client / Collection, mirroring the reference surface.
+
+``chromadb/api/models/Collection.py``: add(:96) update(:459) upsert(:515)
+delete(:559) get peek(:194) query(:212) search(:368) count(:61) fork(:329)
+— re-expressed over parquet + WAL storage (sources/collection.py) with all
+reads/queries as DataFrame plans.
+
+Reads default to ReadLevel INDEX_AND_WAL (base ∪ un-compacted log,
+materialized on the fly — ``rust/types/src/execution/plan.rs:553``);
+``read_level="index_only"`` skips the log tail. ``compact()`` is the
+compaction orchestrator analog: fold log into a new base version and
+register it in the catalog.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .operators.knn import exact_knn
+from .operators.search import search as search_op
+from .sources.collection import (
+    Catalog,
+    CollectionError,
+    CollectionMeta,
+    CollectionStore,
+)
+from .sources.log import materialize
+from .where import where_doc_to_column, where_to_column
+
+_META_SPARK_TYPES = {bool: T.BooleanType(), int: T.LongType(), float: T.DoubleType(), str: T.StringType()}
+
+
+class Client:
+    """Entry point; ``root`` is the storage directory (local or any
+    Hadoop-compatible FS URI on a cluster)."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.catalog = Catalog(root)
+
+    def create_collection(
+        self,
+        name: str,
+        dimension: int | None = None,
+        space: str = "l2",
+        metadata: dict[str, Any] | None = None,
+        get_or_create: bool = False,
+    ) -> "Collection":
+        meta = CollectionMeta(
+            name=name,
+            id=uuid.uuid4().hex,
+            dimension=dimension,
+            space=space,
+            metadata=metadata or {},
+        )
+        self.catalog.create(meta, get_or_create=get_or_create)
+        return Collection(self, name)
+
+    def get_collection(self, name: str) -> "Collection":
+        self.catalog.get(name)
+        return Collection(self, name)
+
+    def get_or_create_collection(self, name: str, **kw) -> "Collection":
+        return self.create_collection(name, get_or_create=True, **kw)
+
+    def delete_collection(self, name: str) -> None:
+        self.catalog.drop(name)
+
+    def list_collections(self) -> list[str]:
+        return self.catalog.list()
+
+
+class Collection:
+    def __init__(self, client: Client, name: str) -> None:
+        self._client = client
+        self._store = CollectionStore(client.spark, client.catalog, name)
+
+    # ------------------------------------------------------------------
+    # write surface
+    # ------------------------------------------------------------------
+
+    @property
+    def name(self) -> str:
+        return self._store.name
+
+    @property
+    def version(self) -> int:
+        return self._store.meta.version
+
+    def add(self, ids, embeddings=None, documents=None, uris=None, metadatas=None) -> None:
+        """Insert records; duplicate ids (already present) are an error
+        (Collection.py:96 contract)."""
+        existing = self.get(ids=list(ids), include=[])
+        dup = [r["id"] for r in existing]
+        if dup:
+            raise CollectionError(f"duplicate ids in add: {sorted(dup)[:5]}")
+        self._append("ADD", ids, embeddings, documents, uris, metadatas)
+
+    def update(self, ids, embeddings=None, documents=None, uris=None, metadatas=None) -> None:
+        self._append("UPDATE", ids, embeddings, documents, uris, metadatas)
+
+    def upsert(self, ids, embeddings=None, documents=None, uris=None, metadatas=None) -> None:
+        self._append("UPSERT", ids, embeddings, documents, uris, metadatas)
+
+    def delete(self, ids=None, where=None, where_document=None) -> None:
+        if ids is None:
+            matched = self.get(where=where, where_document=where_document, include=[])
+            ids = [r["id"] for r in matched]
+            if not ids:
+                return
+        self._append("DELETE", ids, None, None, None, None)
+
+    def _append(self, op, ids, embeddings, documents, uris, metadatas) -> None:
+        meta = self._store.meta
+        ids = [str(i) for i in ids]
+        n = len(ids)
+        if embeddings is not None:
+            dims = {len(e) for e in embeddings if e is not None}
+            if meta.dimension is None and dims:
+                meta.dimension = dims.pop()
+                if dims:
+                    raise CollectionError("inconsistent embedding dimensions")
+            elif dims and dims != {meta.dimension}:
+                raise CollectionError(
+                    f"embedding dimension {dims} != collection dimension {meta.dimension}"
+                )
+
+        def _col(vals, i):
+            return None if vals is None else vals[i]
+
+        rows = []
+        meta_keys: dict[str, type] = {}
+        for m in metadatas or []:
+            for k, v in (m or {}).items():
+                meta_keys.setdefault(k, type(v))
+        for i in range(n):
+            m = _col(metadatas, i) or {}
+            emb = _col(embeddings, i)
+            rows.append(
+                {
+                    "seq_id": meta.log_position + i,
+                    "op": op,
+                    "id": ids[i],
+                    "embedding": [float(x) for x in emb] if emb is not None else None,
+                    "document": _col(documents, i),
+                    "uri": _col(uris, i),
+                    **{k: m.get(k) for k in meta_keys},
+                }
+            )
+        fields = [
+            T.StructField("seq_id", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("id", T.StringType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("document", T.StringType()),
+            T.StructField("uri", T.StringType()),
+        ]
+        for k, t in meta_keys.items():
+            if t not in _META_SPARK_TYPES:
+                raise CollectionError(f"unsupported metadata type {t.__name__} for key {k!r}")
+            fields.append(T.StructField(k, _META_SPARK_TYPES[t]))
+        df = self._client.spark.createDataFrame(rows, T.StructType(fields))
+        path = self._store.append_log(df)
+        meta.log_paths = [*meta.log_paths, path]
+        meta.log_position += n
+        self._store.catalog.update(meta)
+
+    # ------------------------------------------------------------------
+    # state assembly (ReadLevels) + compaction
+    # ------------------------------------------------------------------
+
+    def snapshot(self, read_level: str = "index_and_wal") -> DataFrame | None:
+        """Materialized record state as a DataFrame (None when empty)."""
+        base = self._store.read_base()
+        log = self._store.read_log() if read_level != "index_only" else None
+        if log is None:
+            return base
+        if base is None:
+            return materialize(None, log)
+        # give the log every base column (schema may have evolved); then
+        # materialize() aligns the base side to the log's field set
+        base_types = dict(base.dtypes)
+        for c in base.columns:
+            if c not in log.columns:
+                log = log.withColumn(c, F.lit(None).cast(base_types[c]))
+        return materialize(base, log)
+
+    def compact(self) -> int:
+        """Fold the WAL into a new base version; returns the new version."""
+        meta = self._store.meta
+        snap = self.snapshot()
+        if snap is None:
+            return meta.version
+        new_version = meta.version + 1
+        path = self._store.write_base(snap, new_version)
+        meta.version = new_version
+        meta.base_paths = [path]
+        meta.log_paths = []
+        self._store.catalog.update(meta)
+        return new_version
+
+    def fork(self, name: str) -> "Collection":
+        """Zero-copy clone at the current version (Collection.py:329):
+        the child references the parent's part files; new writes diverge."""
+        parent = self._store.meta
+        child = CollectionMeta(
+            name=name,
+            id=uuid.uuid4().hex,
+            dimension=parent.dimension,
+            space=parent.space,
+            metadata=dict(parent.metadata),
+            base_paths=list(parent.base_paths),
+            log_paths=list(parent.log_paths),
+            log_position=parent.log_position,
+        )
+        self._store.catalog.create(child)
+        return Collection(self._client, name)
+
+    # ------------------------------------------------------------------
+    # read surface
+    # ------------------------------------------------------------------
+
+    def count(self, read_level: str = "index_and_wal") -> int:
+        snap = self.snapshot(read_level)
+        return 0 if snap is None else snap.count()
+
+    def peek(self, limit: int = 10) -> list[dict]:
+        return self.get(limit=limit)
+
+    def get(
+        self,
+        ids: Sequence[str] | None = None,
+        where: dict | None = None,
+        where_document: dict | None = None,
+        limit: int | None = None,
+        offset: int = 0,
+        include: Sequence[str] = ("documents", "metadatas"),
+        read_level: str = "index_and_wal",
+    ) -> list[dict]:
+        snap = self.snapshot(read_level)
+        if snap is None:
+            return []
+        if ids is not None:
+            snap = snap.filter(F.col("id").isin([str(i) for i in ids]))
+        if where is not None:
+            snap = snap.filter(where_to_column(where))
+        if where_document is not None:
+            snap = snap.filter(where_doc_to_column(where_document))
+        snap = snap.orderBy("id")
+        if offset:
+            snap = snap.offset(offset)
+        if limit is not None:
+            snap = snap.limit(limit)
+        drop = {"embeddings": "embedding", "documents": "document", "uris": "uri"}
+        cols = [c for c in snap.columns if c not in
+                {v for k, v in drop.items() if k not in include}]
+        return [r.asDict(recursive=True) for r in snap.select(*cols).collect()]
+
+    def query(
+        self,
+        query_embeddings: Sequence[Sequence[float]],
+        n_results: int = 10,
+        where: dict | None = None,
+        where_document: dict | None = None,
+        read_level: str = "index_and_wal",
+    ) -> dict:
+        """Batch KNN; returns column-major lists-of-lists (QueryResult shape,
+        chromadb/api/types.py:619-651)."""
+        snap = self.snapshot(read_level)
+        if snap is None:
+            return {"ids": [], "distances": []}
+        if where is not None:
+            snap = snap.filter(where_to_column(where))
+        if where_document is not None:
+            snap = snap.filter(where_doc_to_column(where_document))
+        spark = self._client.spark
+        qdf = spark.createDataFrame(
+            [(i, [float(x) for x in q]) for i, q in enumerate(query_embeddings)],
+            "query_id INT, embedding ARRAY<FLOAT>",
+        )
+        top = exact_knn(snap, qdf, k=n_results, space=self._store.meta.space).collect()
+        ids: list[list[str]] = [[] for _ in query_embeddings]
+        dists: list[list[float]] = [[] for _ in query_embeddings]
+        for r in sorted(top, key=lambda r: (r["query_id"], r["rank"])):
+            ids[r["query_id"]].append(r["id"])
+            dists[r["query_id"]].append(r["dist"])
+        return {"ids": ids, "distances": dists}
+
+    def search(self, read_level: str = "index_and_wal", **payload) -> DataFrame:
+        """Hybrid search (Search payload of SURVEY §3.2) as a DataFrame."""
+        snap = self.snapshot(read_level)
+        if snap is None:
+            raise CollectionError("search on empty collection")
+        return search_op(snap, default_space=self._store.meta.space, **payload)

@@ -613,6 +613,139 @@ def _register_textstats() -> None:
 _register_textstats()
 
 
+# --- WAL / streaming analogs over the events table (SURVEY §2.1, §2.8) ---
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; read ts as raw nanos BIGINT (timezone-independent)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+@register(
+    "log_materialize_events",
+    """
+WITH __ranked AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+__counts AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         (round(sum(value), 6) + 0.0) AS sum_value
+  FROM events GROUP BY user_id
+)
+SELECT r.user_id, r.event_type AS last_event_type,
+       (round(r.value, 6) + 0.0) AS last_value, c.n_events, c.sum_value
+FROM __ranked r JOIN __counts c ON r.user_id = c.user_id
+WHERE r.rn = 1""",
+)
+def log_materialize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert-log materialization analog: net state per key = last write
+    wins, ordered by (ts, event_id) — the SQL-expressible slice of
+    materialize_logs.rs (full ADD/UPDATE/DELETE fold is pytest-covered)."""
+    from pyspark.sql import Window
+
+    ev = _load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    last = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            (F.round(F.col("value"), 6) + F.lit(0.0)).alias("last_value"),
+        )
+    )
+    counts = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        (F.round(F.sum("value"), 6) + F.lit(0.0)).alias("sum_value"),
+    )
+    return last.join(counts, "user_id")
+
+
+@register(
+    "events_hourly_window",
+    """
+SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour_bucket, event_type,
+       CAST(count(*) AS BIGINT) AS n, (round(sum(value), 6) + 0.0) AS sum_value
+FROM events GROUP BY hour_bucket, event_type""",
+)
+def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (the batch shape of the Structured
+    Streaming windowed agg; hour buckets via integer division on epoch
+    nanos — exact and timezone-independent in both engines)."""
+    ev = _load_events(spark, sf_dir)
+    return (
+        ev.select(
+            F.expr("ts div 3600000000000").cast("bigint").alias("hour_bucket"),
+            "event_type",
+            "value",
+        )
+        .groupBy("hour_bucket", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.round(F.sum("value"), 6) + F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
+# --- General analytics anchors for bench (free from Spark; SURVEY §2.5
+# notes these are out of the reference surface — they anchor BENCH numbers) ---
+
+
+@register(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       (round(sum(l_quantity), 4) + 0.0) AS sum_qty,
+       (round(sum(l_extendedprice), 4) + 0.0) AS sum_base_price,
+       (round(sum(l_extendedprice * (1.0 - l_discount)), 4) + 0.0) AS sum_disc_price,
+       (round(avg(l_discount), 6) + 0.0) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        (F.round(F.sum("l_quantity"), 4) + F.lit(0.0)).alias("sum_qty"),
+        (F.round(F.sum("l_extendedprice"), 4) + F.lit(0.0)).alias("sum_base_price"),
+        (F.round(F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4) + F.lit(0.0)).alias("sum_disc_price"),
+        (F.round(F.avg("l_discount"), 6) + F.lit(0.0)).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "top_customers",
+    """
+SELECT c_mktsegment, n_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       (round(sum(o_totalprice), 4) + 0.0) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY c_mktsegment, n_name""",
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact(orders) with broadcast dims — the plan every catalog
+    join in the engine uses (small side broadcast, no fact shuffle)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_mktsegment", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.round(F.sum("o_totalprice"), 4) + F.lit(0.0)).alias("revenue"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------

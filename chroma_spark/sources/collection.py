@@ -1,0 +1,178 @@
+"""Collection storage: parquet base + append-only WAL log + JSON catalog.
+
+Maps the reference's storage model (SURVEY §1.1) to files:
+
+- catalog (``<root>/catalog.json``) — the sysdb analog: one entry per
+  collection with id, dimension, distance space, version, log position
+  (``chromadb/types.py:71-105``; register op ``operators/register.rs``).
+- ``<root>/<name>/base/`` — compacted records (the record+metadata+vector
+  segments collapsed into one parquet table; SURVEY §1.1 "Segment" row).
+- ``<root>/<name>/log/`` — WAL batches ``(seq_id, op, id, fields...)``
+  (``embeddings_queue.py:189``; wal3). Every write APPENDS parquet part
+  files; nothing is rewritten until compaction.
+- reads materialize ``base ∪ log`` (ReadLevel INDEX_AND_WAL,
+  ``rust/types/src/execution/plan.rs:553``) or base only (INDEX_ONLY).
+- ``compact()`` folds the log into a new base version (the
+  CompactOrchestrator path: partition_log -> materialize_logs -> flush ->
+  register) and truncates the log.
+- ``fork`` (``Collection.py:329``) — zero-copy: the child catalog entry
+  references the parent's base/log part files by path; new writes land in
+  the child's own log dir.
+
+Single-writer local semantics (like the reference's single-node SQLite
+WAL); on a cluster the catalog would live in a transactional store and
+appends would use unique task-attempt filenames, which parquet part files
+already give us.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+RECORD_COLS = ("id", "embedding", "document", "uri")
+LOG_COLS = ("seq_id", "op")
+
+
+class CollectionError(ValueError):
+    pass
+
+
+@dataclass
+class CollectionMeta:
+    name: str
+    id: str
+    dimension: int | None = None
+    space: str = "l2"
+    version: int = 0
+    log_position: int = 0
+    metadata: dict[str, Any] = field(default_factory=dict)
+    base_paths: list[str] = field(default_factory=list)
+    log_paths: list[str] = field(default_factory=list)
+
+
+class Catalog:
+    """JSON-file sysdb with optimistic version checks."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self.path = os.path.join(root, "catalog.json")
+        os.makedirs(root, exist_ok=True)
+
+    def _read(self) -> dict[str, dict]:
+        if not os.path.exists(self.path):
+            return {}
+        with open(self.path) as f:
+            return json.load(f)
+
+    def _write(self, data: dict[str, dict]) -> None:
+        tmp = self.path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(data, f, indent=1)
+        os.replace(tmp, self.path)
+
+    def list(self) -> list[str]:
+        return sorted(self._read())
+
+    def get(self, name: str) -> CollectionMeta:
+        data = self._read()
+        if name not in data:
+            raise CollectionError(f"collection {name!r} does not exist")
+        return CollectionMeta(**data[name])
+
+    def create(self, meta: CollectionMeta, get_or_create: bool = False) -> CollectionMeta:
+        data = self._read()
+        if meta.name in data:
+            if get_or_create:
+                return CollectionMeta(**data[meta.name])
+            raise CollectionError(f"collection {meta.name!r} already exists")
+        data[meta.name] = meta.__dict__
+        self._write(data)
+        return meta
+
+    def update(self, meta: CollectionMeta, expected_version: int | None = None) -> None:
+        """Register a new collection state; ``expected_version`` gives the
+        reference's conditional-transaction commit check
+        (``chromadb/api/__init__.py:320-450``)."""
+        data = self._read()
+        if meta.name not in data:
+            raise CollectionError(f"collection {meta.name!r} does not exist")
+        if expected_version is not None and data[meta.name]["version"] != expected_version:
+            raise CollectionError(
+                f"conditional commit failed: version is {data[meta.name]['version']}, "
+                f"expected {expected_version}"
+            )
+        data[meta.name] = meta.__dict__
+        self._write(data)
+
+    def drop(self, name: str) -> None:
+        data = self._read()
+        if name not in data:
+            raise CollectionError(f"collection {name!r} does not exist")
+        del data[name]
+        self._write(data)
+
+
+class CollectionStore:
+    """Physical IO for one collection (paths, appends, reads)."""
+
+    def __init__(self, spark: SparkSession, catalog: Catalog, name: str) -> None:
+        self.spark = spark
+        self.catalog = catalog
+        self.name = name
+
+    @property
+    def meta(self) -> CollectionMeta:
+        return self.catalog.get(self.name)
+
+    def _dir(self, kind: str, version: int | None = None) -> str:
+        sub = f"base_v{version}" if kind == "base" and version is not None else kind
+        return os.path.join(self.catalog.root, self.name, sub)
+
+    def append_log(self, df: DataFrame) -> str:
+        """Append one WAL batch as a new parquet path; returns the path."""
+        path = os.path.join(self._dir("log"), f"batch-{time.time_ns()}-{uuid.uuid4().hex[:8]}")
+        df.write.mode("error").parquet(path)
+        return path
+
+    def read_log(self) -> DataFrame | None:
+        paths = self.meta.log_paths
+        if not paths:
+            return None
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def read_base(self) -> DataFrame | None:
+        paths = self.meta.base_paths
+        if not paths:
+            return None
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def write_base(self, df: DataFrame, version: int) -> str:
+        path = self._dir("base", version)
+        df.write.mode("overwrite").parquet(path)
+        return path
+
+
+def align_columns(dfs: list[DataFrame]) -> list[DataFrame]:
+    """unionByName-compatible column alignment across evolving schemas."""
+    all_cols: list[str] = []
+    types: dict[str, str] = {}
+    for df in dfs:
+        for c, t in df.dtypes:
+            if c not in types:
+                all_cols.append(c)
+                types[c] = t
+    out = []
+    for df in dfs:
+        missing = [c for c in all_cols if c not in df.columns]
+        for c in missing:
+            df = df.withColumn(c, F.lit(None).cast(types[c]))
+        out.append(df.select(*all_cols))
+    return out

@@ -1,0 +1,132 @@
+"""Write-surface tests: add/update/upsert/delete/get/query/count/peek/fork,
+WAL materialization semantics (operation.rs:16-35 fixture T6), compaction,
+and conditional-commit version checks.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from chroma_spark.api import Client
+from chroma_spark.sources.collection import CollectionError
+
+
+@pytest.fixture()
+def client(spark, tmp_path):
+    return Client(spark, str(tmp_path / "store"))
+
+
+def _mk(client, name="c1", dim=4):
+    col = client.create_collection(name, dimension=dim, space="l2")
+    col.add(
+        ids=["a", "b", "c"],
+        embeddings=[[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0]],
+        documents=["alpha doc", "beta doc", None],
+        metadatas=[{"k": 1, "tag": "x"}, {"k": 2, "tag": "y"}, {"k": 3}],
+    )
+    return col
+
+
+def test_add_get_count(client):
+    col = _mk(client)
+    assert col.count() == 3
+    rows = col.get(where={"k": {"$gte": 2}})
+    assert sorted(r["id"] for r in rows) == ["b", "c"]
+    # missing-key semantics: $ne matches the record without 'tag'
+    rows = col.get(where={"tag": {"$ne": "x"}})
+    assert sorted(r["id"] for r in rows) == ["b", "c"]
+
+
+def test_duplicate_add_rejected(client):
+    col = _mk(client)
+    with pytest.raises(CollectionError, match="duplicate"):
+        col.add(ids=["a"], embeddings=[[9.0, 0, 0, 0]])
+    assert col.count() == 3
+
+
+def test_update_partial_fields(client):
+    col = _mk(client)
+    col.update(ids=["a"], documents=["alpha v2"], metadatas=[{"k": 10}])
+    row = col.get(ids=["a"])[0]
+    assert row["document"] == "alpha v2"
+    assert row["k"] == 10
+    assert row["tag"] == "x"  # untouched field survives partial update
+    # update of nonexistent id is a no-op
+    col.update(ids=["zz"], documents=["ghost"])
+    assert col.count() == 3
+
+
+def test_upsert_insert_and_update(client):
+    col = _mk(client)
+    col.upsert(ids=["c", "d"], documents=["gamma doc", "delta doc"],
+               embeddings=[None, [1.0, 1, 0, 0]])
+    assert col.count() == 4
+    assert col.get(ids=["c"])[0]["document"] == "gamma doc"
+    assert col.get(ids=["d"])[0]["document"] == "delta doc"
+
+
+def test_delete_and_recreate(client):
+    col = _mk(client)
+    col.delete(ids=["b"])
+    assert col.count() == 2
+    # delete -> add recreates (OverwriteExisting)
+    col.add(ids=["b"], embeddings=[[0, 9.0, 0, 0]], documents=["beta v2"])
+    row = col.get(ids=["b"])[0]
+    assert row["document"] == "beta v2"
+    assert row.get("tag") is None  # old state gone
+    # delete by where
+    col.delete(where={"k": {"$eq": 1}})
+    assert sorted(r["id"] for r in col.get()) == ["b", "c"]
+
+
+def test_query_knn_and_read_levels(client):
+    col = _mk(client)
+    res = col.query([[1.0, 0, 0, 0]], n_results=2)
+    assert res["ids"][0][0] == "a"
+    assert res["distances"][0][0] == 0.0
+    col.compact()
+    # pre-compaction write visible at index_and_wal, not at index_only
+    col.add(ids=["e"], embeddings=[[0.9, 0, 0, 0]])
+    assert col.count() == 4
+    assert col.count(read_level="index_only") == 3
+
+
+def test_compact_then_same_results(client):
+    col = _mk(client)
+    col.update(ids=["a"], metadatas=[{"k": 99}])
+    before = sorted((r["id"], r.get("k")) for r in col.get())
+    v = col.compact()
+    assert v == 1
+    after = sorted((r["id"], r.get("k")) for r in col.get())
+    assert before == after
+
+
+def test_fork_zero_copy_divergence(client):
+    col = _mk(client)
+    fork = col.fork("c1-fork")
+    fork.add(ids=["z"], embeddings=[[0, 0, 0, 1.0]])
+    assert fork.count() == 4
+    assert col.count() == 3  # parent unaffected
+
+
+def test_conditional_commit_version_check(client):
+    col = _mk(client)
+    meta = col._store.meta
+    with pytest.raises(CollectionError, match="conditional commit"):
+        col._store.catalog.update(meta, expected_version=42)
+
+
+def test_search_on_collection(client):
+    col = _mk(client)
+    df = col.search(
+        rank={"$knn": {"query": [1.0, 0, 0, 0], "limit": 3}},
+        limit=2,
+        select=["id"],
+    )
+    rows = df.collect()
+    assert [r["id"] for r in rows] == ["a", "d"] or rows[0]["id"] == "a"
+
+
+def test_peek(client):
+    col = _mk(client)
+    assert len(col.peek(limit=2)) == 2
