@@ -1,0 +1,73 @@
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from chroma_spark.registry import QUERIES  # noqa: E402
+from chroma_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative slice of SURVEY §2's inventory: filters, regex FTS, exact
+# KNN, hybrid rank fusion, full search pipeline, BM25 + sparse, dedup
+# (minhash LSH), ANN, streaming/window analogs, scan-heavy analytics.
+BENCH_QUERIES = [
+    "where_nested_bool",
+    "doc_regex",
+    "get_page",
+    "knn_cosine_exact",
+    "rank_rrf",
+    "search_full",
+    "bm25_topk",
+    "sparse_dot_topk",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "token_counts_by_source",
+    "ann_ivf_topk",
+    "log_materialize_events",
+    "events_hourly_window",
+    "pricing_summary",
+    "top_customers",
+]
+
+
+def main() -> None:
+    spark = get_spark("chroma-spark-bench")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # warm the JVM + parquet footers once so per-query times measure the
+    # query, not session startup
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        q = QUERIES[name]
+        t0 = time.time()
+        n = q.fn(spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,146 @@
+"""IVF (SPANN-style) approximate nearest neighbor — the 100-TB vector path.
+
+The reference's distributed ANN is SPANN (``rust/index/src/spann/types.rs``,
+orchestration ``spann_knn.rs``): an HNSW over centroid heads -> fetch
+posting lists -> brute-force within them. HNSW graph builds don't map to
+DataFrames (pointer-chasing, global mutable state) — which is exactly why
+Chroma itself moved to SPANN for its distributed tier. We re-express SPANN's
+structure natively:
+
+- **build**: MLlib k-means (fixed seed) -> ``centroids`` table
+  ``(centroid_id, centroid)`` + ``postings`` table = records tagged with
+  their nearest centroid, written PARTITIONED BY centroid_id. At 100 TB the
+  k-means runs on a sample and assignment is one broadcast-join pass.
+- **search**: per query, rank centroids by distance (the centroid table is
+  tiny — broadcast), keep ``nprobe``; join those (query, centroid) pairs to
+  the postings on centroid_id — Catalyst prunes the scan to the probed
+  partitions (SPANN's posting-list fetch as dynamic partition pruning) —
+  then exact distance + two-stage top-k within ~``nprobe/n_lists`` of the
+  data.
+- **recall**: tested ≥ 0.95 @ k vs exact brute force, the reference's own
+  invariant (``chromadb/test/property/invariants.py:281``).
+
+nprobe/n_lists map to the reference's SPANN search/build knobs
+(``collection_schema.rs:3049-3090``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.distance import distance
+from ..operators.topk import topk_per_group
+
+
+def build_ivf(
+    records: DataFrame,
+    n_lists: int,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+    max_iter: int = 20,
+    replicas: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns ``(centroids, postings)``.
+
+    centroids: ``(centroid_id INT, centroid ARRAY<FLOAT>)`` — small.
+    postings:  records + ``centroid_id`` — repartitioned by centroid_id so a
+    downstream ``.write.partitionBy("centroid_id")`` gives one prunable
+    partition per list.
+
+    ``replicas > 1`` is SPANN's closure/boundary multi-assignment
+    (``rust/index/src/spann/types.rs`` RNG-rule replication): each vector
+    joins its ``replicas`` nearest posting lists, recovering recall that
+    single-assignment IVF loses on cluster boundaries, at ``replicas``×
+    storage. Assignment is a broadcast join of the centroid table against
+    the records — one pass, no record-side shuffle before the final
+    repartition-by-list.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = records.select(F.col(vec_col).alias("__vec"))
+    if sample_fraction is not None and sample_fraction < 1.0:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    km = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="__feat")
+    model = km.fit(train.select(array_to_vector("__vec").alias("__feat")))
+    spark = records.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "centroid_id INT, centroid ARRAY<FLOAT>",
+    )
+    cdist = distance(F.col(vec_col), F.col("centroid"), "l2")
+    assigned = topk_per_group(
+        records.crossJoin(F.broadcast(centroids)).withColumn("__cdist", cdist),
+        [id_col],
+        [F.col("__cdist").asc(), F.col("centroid_id").asc()],
+        max(1, replicas),
+        two_stage=False,  # per-record group: n_lists rows, local window
+    ).drop("__cdist", "centroid")
+    postings = assigned.repartition("centroid_id")
+    return centroids, postings
+
+
+def ivf_search(
+    centroids: DataFrame,
+    postings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    space: str = "l2",
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """Top-``k`` per query over the ``nprobe`` nearest posting lists.
+
+    Output: ``(query_id, id, dist, rank)`` — same shape as exact_knn so the
+    two are drop-in interchangeable (and recall-comparable).
+
+    Centroid ranking always uses l2 (k-means trains in l2); within-list
+    scoring uses ``space``, matching SPANN (centroid heads are geometric).
+    """
+    q = queries.select(F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias("__qvec"))
+    cdist = distance(F.col("centroid"), F.col("__qvec"), "l2")
+    probes = topk_per_group(
+        q.crossJoin(F.broadcast(centroids)).select(
+            "__qid", "__qvec", "centroid_id", cdist.alias("__cdist")
+        ),
+        ["__qid"],
+        [F.col("__cdist").asc(), F.col("centroid_id").asc()],
+        nprobe,
+        two_stage=False,  # centroid set is tiny; one window pass
+    ).select("__qid", "__qvec", "centroid_id")
+    d = distance(F.col(vec_col), F.col("__qvec"), space)
+    if round_decimals is not None:
+        d = F.round(d, round_decimals) + F.lit(0.0)
+    candidates = (
+        postings.join(F.broadcast(probes), "centroid_id")
+        .select(F.col("__qid").alias(query_id_col), F.col(id_col), d.alias("dist"))
+        # replicated records can surface from several probed lists — collapse
+        .groupBy(query_id_col, id_col)
+        .agg(F.min("dist").alias("dist"))
+    )
+    return topk_per_group(
+        candidates,
+        [query_id_col],
+        [F.col("dist").asc(), F.col(id_col).asc()],
+        k,
+        rank_col="rank",
+    )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, query_id_col: str = "query_id", id_col: str = "id") -> float:
+    """Fraction of exact top-k ids recovered by the approximate search
+    (invariants.py:277-300 ``ann_accuracy``)."""
+    e = exact.select(F.col(query_id_col).alias("q"), F.col(id_col).alias("i"))
+    a = approx.select(F.col(query_id_col).alias("q"), F.col(id_col).alias("i"))
+    total = e.count()
+    if total == 0:
+        return 1.0
+    hit = e.join(a, ["q", "i"], "left_semi").count()
+    return hit / total

@@ -157,6 +157,10 @@ def minhash_signatures(
     deterministic and identical in the SQL twin (no engine-specific hash).
     """
     sh = shingles(docs, n, text_col, id_col)
+    # 16 inline md5s per (doc, shingle) row: stays in whole-stage codegen.
+    # (A distinct-shingle + join-back variant was measured SLOWER at sf0.1 —
+    # most shingles are unique, so dedup-then-join adds a shuffle for
+    # nothing.)
     aggs = [
         F.min(md5_long(F.concat(F.lit(f"{p}|"), F.col("sh")))).alias(f"m{p}")
         for p in range(num_perm)

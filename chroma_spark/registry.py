@@ -746,6 +746,21 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF/SPANN-style ANN (SURVEY §2.3; no SQL oracle — k-means is not
+# SQL-expressible; recall >= 0.95 vs exact is pytest-enforced per the
+# reference invariant) ---
+
+
+@register("ann_ivf_topk", None)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ann.ivf import build_ivf, ivf_search
+
+    records = _emb_records(spark, sf_dir).select("id", "embedding")
+    queries = records.filter(F.col("id") < 5).select(F.col("id").alias("query_id"), "embedding")
+    centroids, postings = build_ivf(records, n_lists=16)
+    return ivf_search(centroids, postings, queries, k=10, nprobe=8, space="l2")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------
