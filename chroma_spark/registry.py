@@ -746,6 +746,38 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Multimodal binary columns (decode / resize / frame-sample as
+# Arrow-batched mapInPandas; deterministic fake codecs — see
+# operators/multimodal.py). The Spark side genuinely crosses the pandas UDF
+# boundary; the oracle recomputes the closed-form fake decode in SQL, so a
+# value match proves the Arrow plumbing end-to-end. ---
+
+
+def _register_multimodal() -> None:
+    from .operators import multimodal as MM
+
+    assets_sql = MM.synthesize_assets_sql(_DOCS_SQL)
+
+    def _assets(spark, sf_dir):
+        return MM.synthesize_assets(_docs_df(spark, sf_dir))
+
+    QUERIES["multimodal_decode_meta"] = Query(
+        lambda spark, sf_dir: MM.decode_assets(_assets(spark, sf_dir)),
+        MM.decode_assets_sql(assets_sql),
+    )
+    QUERIES["multimodal_resize_plan"] = Query(
+        lambda spark, sf_dir: MM.resize_images(_assets(spark, sf_dir), max_dim=128),
+        MM.resize_images_sql(assets_sql, max_dim=128),
+    )
+    QUERIES["multimodal_frame_sample"] = Query(
+        lambda spark, sf_dir: MM.sample_frames(_assets(spark, sf_dir), every_n=5),
+        MM.sample_frames_sql(assets_sql, every_n=5),
+    )
+
+
+_register_multimodal()
+
+
 # --- IVF/SPANN-style ANN (SURVEY §2.3; no SQL oracle — k-means is not
 # SQL-expressible; recall >= 0.95 vs exact is pytest-enforced per the
 # reference invariant) ---
