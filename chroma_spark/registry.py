@@ -746,6 +746,39 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Attached functions (statistics / revision_history — reference
+# functions.py:18-46, statistics.rs, revision_history.rs). Batch shape here;
+# the streaming compactor runs the same callables per-batch (streaming/). ---
+
+
+def _register_attached_functions() -> None:
+    from .streaming import functions as AF
+
+    keys = ["lang", "m_src", "m_bool"]
+    QUERIES["statistics_value_freq"] = Query(
+        lambda spark, sf_dir: AF.statistics(collection_df(spark, sf_dir).select(*keys), keys),
+        AF.statistics_sql(f"{COLL_SQL} SELECT lang, m_src, m_bool FROM coll", keys),
+    )
+
+    def rev_fn(spark, sf_dir):
+        ev = _load_events(spark, sf_dir).select(
+            "user_id", "event_id", "event_type", (F.round(F.col("value"), 6) + F.lit(0.0)).alias("value")
+        )
+        return AF.revision_history(ev, id_col="user_id", seq_col="event_id")
+
+    QUERIES["revision_history_events"] = Query(
+        rev_fn,
+        AF.revision_history_sql(
+            "SELECT user_id, event_id, event_type, (round(value, 6) + 0.0) AS value FROM events",
+            id_col="user_id",
+            seq_col="event_id",
+        ),
+    )
+
+
+_register_attached_functions()
+
+
 # --- Multimodal binary columns (decode / resize / frame-sample as
 # Arrow-batched mapInPandas; deterministic fake codecs — see
 # operators/multimodal.py). The Spark side genuinely crosses the pandas UDF

@@ -1,0 +1,110 @@
+"""Structured Streaming WAL compactor.
+
+The reference's async compaction loop (scheduler -> CompactOrchestrator ->
+fetch/partition/materialize logs -> apply -> register new version,
+`rust/worker/src/execution/orchestration/compact.rs:54-70`) re-expressed as
+the idiomatic Spark shape: ``readStream`` over the append-only WAL
+directory, ``foreachBatch`` doing the net-effect merge (sources/log.py
+``materialize``), versioned base snapshots standing in for the sysdb
+``register`` step, and attached functions piggybacking on each batch
+(`execute_task.rs`, SURVEY §3.3).
+
+Scale notes:
+- the file stream source tracks processed files in the checkpoint — exactly
+  the reference's ``log_position`` cursor; restart-safe, each WAL fragment
+  processed once (`maxFilesPerTrigger` bounds batch size for steady-state
+  runs; ``availableNow`` drains the backlog then stops).
+- the merge itself repartitions by id (partition_log.rs analog) inside
+  ``materialize``; base + batch are the only inputs, so compaction cost is
+  O(base + new-log), not O(total-log-history).
+- versioned base dirs (``base_v{N}``) make snapshot writes atomic-ish
+  without a table format: readers of v(N-1) are never disturbed; a real
+  deployment swaps this for Delta/Iceberg MERGE with optimistic commit.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..sources.log import materialize
+
+
+@dataclass
+class AttachedFunction:
+    """A derived computation run on every compaction batch.
+
+    ``fn(state_df, log_batch_df) -> DataFrame`` — receives the NEW compacted
+    state and the raw log batch; the result is appended under
+    ``{state_dir}/fn_{name}/batch_{id}`` (the "output collection").
+    """
+
+    name: str
+    fn: Callable[[DataFrame, DataFrame], DataFrame]
+
+
+def _current_version(state_dir: str) -> int:
+    if not os.path.isdir(state_dir):
+        return 0
+    versions = [
+        int(d.split("_v")[1]) for d in os.listdir(state_dir) if d.startswith("base_v")
+    ]
+    return max(versions, default=0)
+
+
+def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Latest compacted snapshot, or None before the first compaction."""
+    v = _current_version(state_dir)
+    return spark.read.parquet(f"{state_dir}/base_v{v}") if v else None
+
+
+def stream_compact(
+    spark: SparkSession,
+    log_dir: str,
+    state_dir: str,
+    log_schema: T.StructType,
+    checkpoint_dir: str,
+    attached: list[AttachedFunction] | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Run the WAL->base compaction as a streaming query.
+
+    Returns the StreamingQuery; with ``available_now`` it drains the current
+    backlog and stops (call ``.awaitTermination()``), otherwise it runs
+    continuously as new WAL fragments land.
+    """
+    reader = spark.readStream.schema(log_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(log_dir)
+
+    def compact_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        s = batch.sparkSession
+        base = read_state(s, state_dir)
+        merged = materialize(base, batch)
+        new_v = _current_version(state_dir) + 1
+        merged.write.mode("overwrite").parquet(f"{state_dir}/base_v{new_v}")
+        state = s.read.parquet(f"{state_dir}/base_v{new_v}")
+        for af in attached or []:
+            af.fn(state, batch).write.mode("overwrite").parquet(
+                f"{state_dir}/fn_{af.name}/batch_{batch_id}"
+            )
+
+    writer = stream.writeStream.foreachBatch(compact_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_function_output(spark: SparkSession, state_dir: str, name: str) -> DataFrame:
+    """Union of an attached function's per-batch outputs (its collection)."""
+    return spark.read.parquet(f"{state_dir}/fn_{name}/batch_*")

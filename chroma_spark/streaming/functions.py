@@ -1,0 +1,80 @@
+"""Attached-function analogs (reference: trigger-like derived computations
+run at compaction time, writing into another collection).
+
+Reference surface:
+- ``statistics`` — metadata value frequencies
+  (`rust/worker/src/execution/functions/statistics.rs`,
+  `chromadb/api/functions.py:21-23`)
+- ``record_counter`` / count-to-file — running record counts
+  (`rust/worker/src/execution/operators/execute_task.rs:31-33`)
+- ``revision_history`` — archive every version of a record
+  (`rust/worker/src/execution/functions/revision_history.rs`,
+  `chromadb/api/functions.py:27-28`)
+
+Each is a plain DataFrame transformation so it runs identically in batch
+(registry oracle queries) and inside the streaming compactor's
+``foreachBatch`` (see compactor.py) — the reference runs them piggybacked
+on compaction the same way (SURVEY §3.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def statistics(records: DataFrame, keys: list[str]) -> DataFrame:
+    """Metadata value frequencies: ``(key, value, n)`` for each key in
+    ``keys``. Values are stringified (the reference's statistics output
+    collection stores them as strings). NULLs are counted under the literal
+    ``'__null__'`` bucket so missing-key rates are visible.
+
+    Scale: unpivot is per-row (no shuffle); one hash aggregation on
+    (key, value) — uniformly distributed unless one value dominates, which
+    AQE skew-split handles.
+    """
+    stack_expr = ", ".join(f"'{k}', CAST(`{k}` AS STRING)" for k in keys)
+    unpivoted = records.select(
+        F.expr(f"stack({len(keys)}, {stack_expr}) AS (key, value)")
+    ).select("key", F.coalesce(F.col("value"), F.lit("__null__")).alias("value"))
+    return unpivoted.groupBy("key", "value").agg(F.count("*").alias("n"))
+
+
+def statistics_sql(records_sql: str, keys: list[str]) -> str:
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{k}' AS key, coalesce(CAST(\"{k}\" AS VARCHAR), '__null__') AS value FROM __rec"
+        for k in keys
+    )
+    return f"""
+WITH __rec AS ({records_sql})
+SELECT key, value, CAST(count(*) AS BIGINT) AS n
+FROM ({arms}) GROUP BY key, value"""
+
+
+def record_counter(records: DataFrame, group_col: str | None = None) -> DataFrame:
+    """Live record counts, optionally per group: ``(group?, n_records)``.
+    The streaming compactor appends one output row set per batch (with the
+    batch id), giving the running count-to-file the reference emits."""
+    if group_col is None:
+        return records.agg(F.count("*").alias("n_records"))
+    return records.groupBy(group_col).agg(F.count("*").alias("n_records"))
+
+
+def revision_history(
+    log: DataFrame, id_col: str = "id", seq_col: str = "seq_id", op_col: str = "op"
+) -> DataFrame:
+    """Every version of every record, numbered: log rows + ``version`` =
+    1-based write ordinal per id. Append-only — the history collection keeps
+    pre-images forever (reference `revision_history.rs`).
+
+    Scale: one window per id partition; id cardinality is high so the
+    shuffle is well-spread.
+    """
+    w = Window.partitionBy(id_col).orderBy(F.col(seq_col).asc())
+    return log.withColumn("version", F.row_number().over(w).cast("long"))
+
+
+def revision_history_sql(log_sql: str, id_col: str = "id", seq_col: str = "seq_id") -> str:
+    return f"""
+SELECT *, CAST(row_number() OVER (PARTITION BY "{id_col}" ORDER BY "{seq_col}" ASC) AS BIGINT) AS version
+FROM ({log_sql})"""

@@ -1,0 +1,134 @@
+"""Structured Streaming compactor: checkpointed incremental WAL merge,
+attached-function outputs, parity with the batch materialize fold."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from chroma_spark.sources.log import materialize
+from chroma_spark.streaming import (
+    AttachedFunction,
+    read_function_output,
+    read_state,
+    record_counter,
+    revision_history,
+    statistics,
+    stream_compact,
+)
+
+LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("seq_id", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("id", T.StringType()),
+        T.StructField("document", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+BATCH1 = [
+    (0, "ADD", "a", "alpha", 1.0),
+    (1, "ADD", "b", "beta", 2.0),
+    (2, "ADD", "c", "gamma", 3.0),
+]
+BATCH2 = [
+    (3, "UPDATE", "a", None, 9.0),  # partial update: document survives
+    (4, "DELETE", "b", None, None),
+    (5, "UPSERT", "d", "delta", 4.0),
+    (6, "ADD", "a", "dup", 0.0),  # duplicate add: ignored
+]
+
+
+def _write_log(spark, rows, path):
+    spark.createDataFrame(rows, LOG_SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _run(spark, log_dir, state_dir, ckpt, attached=None):
+    q = stream_compact(spark, log_dir, state_dir, LOG_SCHEMA, ckpt, attached=attached)
+    q.awaitTermination(120)
+    return q
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return str(tmp_path / "log"), str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+
+def test_stream_compact_incremental_matches_batch_fold(spark, dirs):
+    log_dir, state_dir, ckpt = dirs
+    _write_log(spark, BATCH1, log_dir)
+    _run(spark, log_dir, state_dir, ckpt)
+    s1 = {r.id: r for r in read_state(spark, state_dir).collect()}
+    assert set(s1) == {"a", "b", "c"} and s1["a"].document == "alpha"
+
+    _write_log(spark, BATCH2, log_dir)
+    _run(spark, log_dir, state_dir, ckpt)
+    s2 = {r.id: r for r in read_state(spark, state_dir).collect()}
+    assert set(s2) == {"a", "c", "d"}
+    assert s2["a"].document == "alpha" and s2["a"].score == 9.0  # UPDATE merged, ADD-dup ignored
+    assert s2["d"].score == 4.0
+
+    # incremental result == one-shot batch fold over the whole log
+    full = materialize(None, spark.createDataFrame(BATCH1 + BATCH2, LOG_SCHEMA))
+    expect = {r.id: r for r in full.collect()}
+    assert {i: (r.document, r.score) for i, r in s2.items()} == {
+        i: (r.document, r.score) for i, r in expect.items()
+    }
+
+
+def test_checkpoint_prevents_reprocessing(spark, dirs):
+    log_dir, state_dir, ckpt = dirs
+    _write_log(spark, BATCH1, log_dir)
+    _run(spark, log_dir, state_dir, ckpt)
+    v1 = read_state(spark, state_dir)
+    assert v1.count() == 3
+    # no new files -> no new batch -> no new base version
+    import os
+
+    versions_before = sorted(d for d in os.listdir(state_dir) if d.startswith("base_v"))
+    _run(spark, log_dir, state_dir, ckpt)
+    versions_after = sorted(d for d in os.listdir(state_dir) if d.startswith("base_v"))
+    assert versions_before == versions_after == ["base_v1"]
+
+
+def test_attached_functions_run_per_batch(spark, dirs):
+    log_dir, state_dir, ckpt = dirs
+    attached = [
+        AttachedFunction("stats", lambda state, batch: statistics(state, ["document"])),
+        AttachedFunction("counter", lambda state, batch: record_counter(state)),
+        AttachedFunction("history", lambda state, batch: revision_history(batch)),
+    ]
+    _write_log(spark, BATCH1, log_dir)
+    _run(spark, log_dir, state_dir, ckpt, attached)
+    _write_log(spark, BATCH2, log_dir)
+    _run(spark, log_dir, state_dir, ckpt, attached)
+
+    counts = read_function_output(spark, state_dir, "counter").collect()
+    assert sorted(r.n_records for r in counts) == [3, 3]  # 3 live after each batch
+
+    hist = read_function_output(spark, state_dir, "history").collect()
+    assert len(hist) == len(BATCH1) + len(BATCH2)  # every write archived
+    a_versions = sorted((r.seq_id, r.version) for r in hist if r.id == "a")
+    assert [v for _, v in a_versions] == [1, 1, 2]  # per-batch ordinals
+
+    stats = {
+        (r.key, r.value): r.n
+        for r in read_function_output(spark, state_dir, "stats").collect()
+    }
+    assert stats[("document", "alpha")] == 1  # batch-2 run sees surviving docs
+
+
+def test_statistics_null_bucket(spark):
+    df = spark.createDataFrame(
+        [("x", None), ("x", "u"), (None, "u")], ["k1", "k2"]
+    )
+    out = {(r.key, r.value): r.n for r in statistics(df, ["k1", "k2"]).collect()}
+    assert out[("k1", "__null__")] == 1 and out[("k2", "u")] == 2
+
+
+def test_record_counter_grouped(spark):
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], ["g"])
+    out = {r.g: r.n_records for r in record_counter(df, "g").collect()}
+    assert out == {"a": 2, "b": 1}
