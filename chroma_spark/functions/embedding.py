@@ -1,0 +1,221 @@
+"""Embedding-function registry: text -> dense / sparse vectors.
+
+Mirrors the reference's pluggable embedding-function boundary
+(`chromadb/utils/embedding_functions/` — ~30 providers, each a callable
+``texts -> vectors`` attached to a collection; sparse variants produce
+``SparseVector``). In Spark the same boundary is an Arrow-batched pandas
+UDF applied at ingest (SURVEY §2.1).
+
+Two real, deterministic implementations (no model weights in this
+container) plus import-gated stubs for the external providers:
+
+- :class:`HashingEmbeddingFunction` — feature-hashing (the classic
+  "hashing trick"): token -> md5 bucket, tf weights, L2-normalized. Uses
+  the same md5-truncation as functions/text.py so a DuckDB SQL twin can
+  recompute identical vectors — the oracle gate covers the whole
+  pandas-UDF embed path by value.
+- :class:`Bm25SparseEmbeddingFunction` — BM25 tf-component weights over
+  hashed tokens, strictly-ascending indices (SparseVector contract,
+  `chromadb/base_types.py:13-117`); IDF is applied query-side by the
+  sparse operators, matching `operators/idf.rs:24-31`.
+
+Scale: embedding runs inside ``mapInPandas``/pandas UDF per partition — no
+shuffle, no driver involvement; provider backends that batch HTTP calls
+plug into the same shape (one call per Arrow batch).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _md5_bucket(token: str, dim: int) -> int:
+    """Same 60-bit md5 truncation as text.md5_long, mod dim — identical in
+    Spark (`conv(substring(md5(s),1,15),16,10)`) and DuckDB."""
+    return int(hashlib.md5(token.encode("utf-8")).hexdigest()[:15], 16) % dim
+
+
+def _tokenize(text: str | None) -> list[str]:
+    return [t for t in (text or "").lower().split() if t]
+
+
+class EmbeddingFunction:
+    """Base: subclasses implement ``__call__(texts) -> list[vector]``."""
+
+    name: str = "base"
+
+    def __call__(self, texts: list[str | None]) -> list[list[float]]:
+        raise NotImplementedError
+
+    def embed_column(self, text: Column) -> Column:  # dense default
+        fn = self
+
+        @F.pandas_udf(T.ArrayType(T.DoubleType()))
+        def embed(s: pd.Series) -> pd.Series:
+            return pd.Series(fn(s.tolist()))
+
+        return embed(text)
+
+
+class HashingEmbeddingFunction(EmbeddingFunction):
+    """Deterministic dense embedder: md5 feature-hashing + L2 norm."""
+
+    name = "hashing"
+
+    def __init__(self, dim: int = 32):
+        self.dim = dim
+
+    def __call__(self, texts: list[str | None]) -> list[list[float]]:
+        out = []
+        for text in texts:
+            vec = np.zeros(self.dim, dtype=np.float64)
+            for tok in _tokenize(text):
+                vec[_md5_bucket(tok, self.dim)] += 1.0
+            n = math.sqrt(float(np.dot(vec, vec)))
+            out.append((vec / n if n else vec).tolist())
+        return out
+
+
+class Bm25SparseEmbeddingFunction(EmbeddingFunction):
+    """BM25 document-side weights as a SparseVector struct.
+
+    ``w(t) = tf * (k1+1) / (tf + k1 * (1 - b + b * doc_len/avg_len))``
+    (reference `bm25_embedding_function.py:94-130`; hashed token space).
+    Indices strictly ascending per the SparseVector contract.
+    """
+
+    name = "bm25_sparse"
+
+    def __init__(self, k1: float = 1.2, b: float = 0.75, avg_len: float = 256.0, dim: int = 1 << 20):
+        self.k1, self.b, self.avg_len, self.dim = k1, b, avg_len, dim
+
+    def __call__(self, texts: list[str | None]) -> list[dict]:
+        out = []
+        for text in texts:
+            toks = _tokenize(text)
+            tf: dict[int, int] = {}
+            for t in toks:
+                i = _md5_bucket(t, self.dim)
+                tf[i] = tf.get(i, 0) + 1
+            denom_len = self.k1 * (1 - self.b + self.b * len(toks) / self.avg_len)
+            items = sorted(tf.items())
+            out.append(
+                {
+                    "indices": [i for i, _ in items],
+                    "values": [c * (self.k1 + 1) / (c + denom_len) for _, c in items],
+                }
+            )
+        return out
+
+    def embed_column(self, text: Column) -> Column:
+        fn = self
+        schema = T.StructType(
+            [
+                T.StructField("indices", T.ArrayType(T.LongType())),
+                T.StructField("values", T.ArrayType(T.DoubleType())),
+            ]
+        )
+
+        @F.pandas_udf(schema)
+        def embed(s: pd.Series) -> pd.DataFrame:
+            return pd.DataFrame(fn(s.tolist()))
+
+        return embed(text)
+
+
+class _UnavailableProvider(EmbeddingFunction):
+    """External-model providers (network / model weights required). The
+    class exists so collection configs naming them round-trip; calling one
+    here raises with the import that would activate it."""
+
+    requires: str = ""
+
+    def __init__(self, **kwargs):
+        self.kwargs = kwargs
+
+    def __call__(self, texts):
+        raise NotImplementedError(
+            f"embedding function {self.name!r} needs {self.requires} "
+            "(not installed in this environment); use 'hashing' or "
+            "'bm25_sparse' for deterministic local embedding"
+        )
+
+
+class OpenAIEmbeddingFunction(_UnavailableProvider):
+    name, requires = "openai", "the openai package and an API key"
+
+
+class CohereEmbeddingFunction(_UnavailableProvider):
+    name, requires = "cohere", "the cohere package and an API key"
+
+
+class ONNXMiniLM_L6_V2(_UnavailableProvider):
+    name, requires = "onnx_mini_lm_l6_v2", "onnxruntime + model download"
+
+
+class SentenceTransformerEmbeddingFunction(_UnavailableProvider):
+    name, requires = "sentence_transformer", "sentence-transformers"
+
+
+class HuggingFaceEmbeddingServerFunction(_UnavailableProvider):
+    name, requires = "huggingface_server", "a running TEI endpoint"
+
+
+known_embedding_functions: dict[str, Callable[..., EmbeddingFunction]] = {
+    c.name: c
+    for c in (
+        HashingEmbeddingFunction,
+        Bm25SparseEmbeddingFunction,
+        OpenAIEmbeddingFunction,
+        CohereEmbeddingFunction,
+        ONNXMiniLM_L6_V2,
+        SentenceTransformerEmbeddingFunction,
+        HuggingFaceEmbeddingServerFunction,
+    )
+}
+
+
+def register_embedding_function(cls: type[EmbeddingFunction]) -> type[EmbeddingFunction]:
+    known_embedding_functions[cls.name] = cls
+    return cls
+
+
+def get_embedding_function(name: str, **kwargs) -> EmbeddingFunction:
+    if name not in known_embedding_functions:
+        raise KeyError(f"unknown embedding function {name!r}; known: {sorted(known_embedding_functions)}")
+    return known_embedding_functions[name](**kwargs)
+
+
+def embed_records(
+    df: DataFrame, ef: EmbeddingFunction, text_col: str = "document", out_col: str = "embedding"
+) -> DataFrame:
+    """Attach ``out_col`` = ef(text_col) via the Arrow-batched UDF path."""
+    return df.withColumn(out_col, ef.embed_column(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twin of HashingEmbeddingFunction, in *sparse* form: (id, bucket, w)
+# plus the per-doc L2 norm — enough to compute any dot/cosine against
+# another hashed vector without materializing dense arrays in SQL.
+# ---------------------------------------------------------------------------
+
+
+def hashing_weights_sql(docs_sql: str, dim: int, text_col: str = "document", id_col: str = "id") -> str:
+    from .text import md5_long_sql, tokens_sql
+
+    toks = tokens_sql(f'"{text_col}"')
+    return f"""
+SELECT id, b, CAST(count(*) AS DOUBLE) AS w
+FROM (
+  SELECT "{id_col}" AS id, {md5_long_sql("tok")} % {dim} AS b
+  FROM (SELECT "{id_col}", unnest({toks}) AS tok FROM ({docs_sql}))
+)
+GROUP BY id, b"""

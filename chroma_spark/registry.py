@@ -746,6 +746,88 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Embedding functions (reference chromadb/utils/embedding_functions/ —
+# the pluggable text->vector boundary). The hashing embedder runs through
+# the REAL pandas-UDF path on the Spark side; the oracle recomputes the
+# same md5-feature-hashed vectors in sparse SQL form, so a value match
+# verifies the Arrow embed plumbing end-to-end. ---
+
+
+def _register_embedding() -> None:
+    from collections import Counter
+
+    from .functions.embedding import (
+        Bm25SparseEmbeddingFunction,
+        HashingEmbeddingFunction,
+        _md5_bucket,
+        embed_records,
+        hashing_weights_sql,
+    )
+
+    dim, k, qtext = 32, 15, "the data model and query engine"
+    ef = HashingEmbeddingFunction(dim)
+
+    def knn_fn(spark, sf_dir):
+        emb = embed_records(_docs_df(spark, sf_dir), ef)
+        qvec = F.array(*[F.lit(float(x)) for x in ef([qtext])[0]])
+        dist = F.lit(1.0) - F.aggregate(
+            F.zip_with(F.col("embedding"), qvec, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            emb.select("id", (F.round(dist, 6) + F.lit(0.0)).alias("dist"))
+            .orderBy(F.col("dist").asc(), F.col("id").asc())
+            .limit(k)
+        )
+
+    qcounts = Counter(_md5_bucket(t, dim) for t in qtext.lower().split())
+    qnorm = sum(c * c for c in qcounts.values()) ** 0.5
+    qvals = ", ".join(f"({b}, {float(c)!r})" for b, c in sorted(qcounts.items()))
+    knn_sql = f"""
+WITH __w AS ({hashing_weights_sql(_DOCS_SQL, dim)}),
+__norm AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM __w GROUP BY id),
+__q(b, qw) AS (VALUES {qvals}),
+__dot AS (SELECT w.id, sum(w.w * q.qw) AS d FROM __w w JOIN __q q ON w.b = q.b GROUP BY w.id)
+SELECT d0.id, (round(1 - coalesce(dt.d / (n.nrm * {qnorm!r}), 0), 6) + 0.0) AS dist
+FROM (SELECT id FROM ({_DOCS_SQL})) d0
+LEFT JOIN __norm n ON d0.id = n.id
+LEFT JOIN __dot dt ON d0.id = dt.id
+ORDER BY dist ASC, d0.id ASC LIMIT {k}"""
+    QUERIES["embed_hash_knn"] = Query(knn_fn, knn_sql)
+
+    k1, b_, avg_len, sdim = 1.2, 0.75, 256.0, 1 << 20
+    sef = Bm25SparseEmbeddingFunction(k1=k1, b=b_, avg_len=avg_len, dim=sdim)
+
+    def sparse_fn(spark, sf_dir):
+        emb = _docs_df(spark, sf_dir).withColumn("sv", sef.embed_column(F.col("document")))
+        return emb.select(
+            "id",
+            F.col("sv.indices").alias("indices"),
+            F.transform(F.col("sv.values"), lambda v: F.round(v, 6) + F.lit(0.0)).alias("vals"),
+        ).filter(F.size("indices") > 0)
+
+    from .functions.text import md5_long_sql, tokens_sql
+
+    toks = tokens_sql('"document"')
+    sparse_sql = f"""
+WITH __t AS (
+  SELECT id, unnest(toks) AS tok, len(toks) AS dl
+  FROM (SELECT id, {toks} AS toks FROM ({_DOCS_SQL}))
+),
+__tf AS (
+  SELECT id, {md5_long_sql("tok")} % {sdim} AS b, count(*) AS tf, any_value(dl) AS dl
+  FROM __t GROUP BY id, b
+)
+SELECT id, array_agg(b ORDER BY b) AS indices,
+       array_agg(round(tf * ({k1!r} + 1) / (tf + {k1!r} * (1 - {b_!r} + {b_!r} * dl / {avg_len!r})), 6) + 0.0 ORDER BY b) AS vals
+FROM __tf GROUP BY id"""
+    QUERIES["embed_bm25_doc_vectors"] = Query(sparse_fn, sparse_sql)
+
+
+_register_embedding()
+
+
 # --- Attached functions (statistics / revision_history — reference
 # functions.py:18-46, statistics.rs, revision_history.rs). Batch shape here;
 # the streaming compactor runs the same callables per-batch (streaming/). ---

@@ -1,0 +1,82 @@
+"""Embedding-function registry: determinism, normalization, SparseVector
+contract, provider stubs, and the Arrow embed path."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from chroma_spark.functions.embedding import (
+    Bm25SparseEmbeddingFunction,
+    EmbeddingFunction,
+    HashingEmbeddingFunction,
+    embed_records,
+    get_embedding_function,
+    known_embedding_functions,
+    register_embedding_function,
+)
+
+
+def test_hashing_deterministic_and_normalized():
+    ef = HashingEmbeddingFunction(dim=16)
+    v1, v2 = ef(["hello world hello"]), ef(["hello world hello"])
+    assert v1 == v2 and len(v1[0]) == 16
+    assert math.isclose(float(np.linalg.norm(v1[0])), 1.0, rel_tol=1e-12)
+    assert ef([""])[0] == [0.0] * 16 and ef([None])[0] == [0.0] * 16
+
+
+def test_hashing_tf_weighting():
+    ef = HashingEmbeddingFunction(dim=64)
+    (va,), (vb,) = ef(["aa bb"]), ef(["aa aa bb"])
+    # repeated token shifts weight toward its bucket
+    assert not np.allclose(va, vb)
+
+
+def test_bm25_sparse_contract():
+    ef = Bm25SparseEmbeddingFunction(dim=1 << 12)
+    (sv,) = ef(["one two two three three three"])
+    idx, vals = sv["indices"], sv["values"]
+    assert idx == sorted(idx) and len(idx) == len(set(idx)) == 3
+    assert all(v > 0 for v in vals)
+    # higher tf -> higher weight, saturating (BM25 k1 cap)
+    by_tf = dict(zip(idx, vals))
+    w1 = by_tf[[i for i in idx if math.isclose(min(vals), by_tf[i])][0]]
+    assert max(vals) < ef.k1 + 1  # asymptotic bound tf*(k1+1)/(tf+...) < k1+1
+    assert w1 == min(vals)
+
+
+def test_registry_and_stubs():
+    assert "hashing" in known_embedding_functions
+    with pytest.raises(KeyError):
+        get_embedding_function("nope")
+    for name in ("openai", "cohere", "onnx_mini_lm_l6_v2", "sentence_transformer"):
+        with pytest.raises(NotImplementedError, match="not installed|needs"):
+            get_embedding_function(name)(["x"])
+
+    @register_embedding_function
+    class Custom(EmbeddingFunction):
+        name = "custom_test"
+
+        def __call__(self, texts):
+            return [[1.0] for _ in texts]
+
+    assert get_embedding_function("custom_test")(["a"]) == [[1.0]]
+
+
+def test_embed_records_arrow_path_matches_local(spark):
+    ef = HashingEmbeddingFunction(dim=8)
+    df = spark.createDataFrame([("1", "alpha beta"), ("2", "beta gamma beta")], ["id", "document"])
+    out = {r.id: r.embedding for r in embed_records(df, ef).collect()}
+    local = dict(zip(["1", "2"], ef(["alpha beta", "beta gamma beta"])))
+    for i in local:
+        assert np.allclose(out[i], local[i])
+
+
+def test_sparse_embed_column(spark):
+    ef = Bm25SparseEmbeddingFunction(dim=1 << 12)
+    df = spark.createDataFrame([("1", "a b a")], ["id", "document"])
+    row = df.withColumn("sv", ef.embed_column(F.col("document"))).first()
+    assert row.sv.indices == sorted(row.sv.indices) and len(row.sv.indices) == 2
