@@ -297,3 +297,113 @@ class Collection:
         if snap is None:
             raise CollectionError("search on empty collection")
         return search_op(snap, default_space=self._store.meta.space, **payload)
+
+    # ------------------------------------------------------------------
+    # conditional transactions
+    # ------------------------------------------------------------------
+
+    def transaction(self) -> "CollectionTransaction":
+        """Begin a read-set-validated optimistic transaction
+        (`chromadb/api/__init__.py:320-450`)."""
+        return CollectionTransaction(self)
+
+
+class StaleReadError(CollectionError):
+    """A record read inside the transaction was modified before commit."""
+
+
+class ConditionalWriteConflictError(CollectionError):
+    """A record this transaction writes was concurrently written."""
+
+
+class CollectionTransaction:
+    """Optimistic conditional transaction: reads record a read-set, writes
+    are buffered; commit validates no concurrent write touched the read- or
+    write-set since begin (the Delta optimistic-concurrency analog of the
+    reference's conditional transaction,
+    `chromadb/api/__init__.py:320-450`, `ConditionalCommitResult`
+    `chromadb/api/types.py:791`). Conflict granularity is per record id via
+    the WAL seq cursor — exactly the log-position scouting the reference
+    frontend does (`service_based_frontend.rs:2833-2852`)."""
+
+    def __init__(self, collection: Collection) -> None:
+        self._coll = collection
+        meta = collection._store.meta
+        self._begin_pos = meta.log_position
+        self._begin_version = meta.version
+        self._read_ids: set[str] = set()
+        self._buffer: list[tuple[str, tuple]] = []
+        self._record_count = 0
+        self._done = False
+
+    def _check_open(self) -> None:
+        if self._done:
+            raise CollectionError("transaction already committed")
+
+    def get(self, **kwargs) -> list[dict]:
+        self._check_open()
+        rows = self._coll.get(**kwargs)
+        if kwargs.get("ids") is not None:
+            self._read_ids.update(str(i) for i in kwargs["ids"])
+        self._read_ids.update(r["id"] for r in rows)
+        return rows
+
+    def _buffered(self, op: str, ids, *payload) -> bool:
+        self._check_open()
+        self._buffer.append((op, (list(ids), *payload)))
+        self._record_count += len(ids)
+        return True
+
+    def add(self, ids, embeddings=None, documents=None, uris=None, metadatas=None) -> bool:
+        return self._buffered("add", ids, embeddings, documents, uris, metadatas)
+
+    def update(self, ids, embeddings=None, documents=None, uris=None, metadatas=None) -> bool:
+        return self._buffered("update", ids, embeddings, documents, uris, metadatas)
+
+    def upsert(self, ids, embeddings=None, documents=None, uris=None, metadatas=None) -> bool:
+        return self._buffered("upsert", ids, embeddings, documents, uris, metadatas)
+
+    def delete(self, ids) -> bool:
+        return self._buffered("delete", ids, None, None, None, None)
+
+    def commit(self) -> dict:
+        """Validate and apply; returns ``{first_inserted_record_offset,
+        record_count}`` (ConditionalCommitResult shape). Raises
+        :class:`StaleReadError` / :class:`ConditionalWriteConflictError` on
+        conflict — callers retry with backoff, as the reference client does."""
+        self._check_open()
+        store = self._coll._store
+        meta = store.meta
+        write_ids = {str(i) for op, (ids, *_) in self._buffer for i in ids}
+        if meta.version != self._begin_version:
+            # compaction consumed the log tail; per-id validation impossible
+            raise StaleReadError(
+                f"collection compacted during transaction (v{self._begin_version}"
+                f" -> v{meta.version})"
+            )
+        if meta.log_position != self._begin_pos:
+            log = store.read_log()
+            touched = {
+                r["id"]
+                for r in log.filter(F.col("seq_id") >= self._begin_pos)
+                .select("id")
+                .distinct()
+                .collect()
+            }
+            if touched & write_ids:
+                raise ConditionalWriteConflictError(
+                    f"concurrent write to {sorted(touched & write_ids)[:5]}"
+                )
+            if touched & self._read_ids:
+                raise StaleReadError(f"read set modified: {sorted(touched & self._read_ids)[:5]}")
+        first_offset = meta.log_position
+        for op, (ids, *payload) in self._buffer:
+            if op == "delete":
+                self._coll.delete(ids)
+            else:
+                getattr(self._coll, op)(ids, *payload)
+        self._done = True
+        return {
+            "first_inserted_record_offset": first_offset,
+            "record_count": self._record_count,
+        }

@@ -1,0 +1,98 @@
+"""Conditional transactions: buffered writes, read-set validation,
+write-write conflicts, compaction staleness, commit result shape
+(reference chromadb/api/__init__.py:320-450,
+chromadb/test/api/test_conditional_transaction.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from chroma_spark.api import (
+    Client,
+    CollectionError,
+    ConditionalWriteConflictError,
+    StaleReadError,
+)
+
+
+@pytest.fixture()
+def col(spark, tmp_path):
+    client = Client(spark, str(tmp_path / "store"))
+    c = client.create_collection("t", dimension=2)
+    c.add(
+        ids=["a", "b"],
+        embeddings=[[1.0, 0.0], [0.0, 1.0]],
+        documents=["alpha", "beta"],
+        metadatas=[{"k": 1}, {"k": 2}],
+    )
+    return c
+
+
+def test_commit_applies_buffered_writes(col):
+    txn = col.transaction()
+    rows = txn.get(ids=["a"])
+    assert rows[0]["document"] == "alpha"
+    assert txn.update(ids=["a"], documents=["alpha v2"])
+    assert txn.add(ids=["c"], embeddings=[[1.0, 1.0]], documents=["gamma"])
+    assert txn.delete(ids=["b"])
+    # nothing applied before commit
+    assert col.count() == 2 and col.get(ids=["a"])[0]["document"] == "alpha"
+    res = txn.commit()
+    assert res["record_count"] == 3 and res["first_inserted_record_offset"] == 2
+    assert col.get(ids=["a"])[0]["document"] == "alpha v2"
+    assert sorted(r["id"] for r in col.get()) == ["a", "c"]
+
+
+def test_read_set_conflict_raises_stale(col):
+    txn = col.transaction()
+    txn.get(ids=["a"])
+    col.update(ids=["a"], documents=["concurrent"])  # outside the txn
+    txn.upsert(ids=["z"], embeddings=[[0.5, 0.5]])
+    with pytest.raises(StaleReadError):
+        txn.commit()
+    assert not any(r["id"] == "z" for r in col.get())  # buffer not applied
+
+
+def test_write_write_conflict(col):
+    txn = col.transaction()
+    txn.update(ids=["b"], documents=["mine"])
+    col.update(ids=["b"], documents=["theirs"])
+    with pytest.raises(ConditionalWriteConflictError):
+        txn.commit()
+    assert col.get(ids=["b"])[0]["document"] == "theirs"
+
+
+def test_unrelated_concurrent_write_commits(col):
+    txn = col.transaction()
+    txn.get(ids=["a"])
+    txn.update(ids=["a"], metadatas=[{"k": 9}])
+    col.add(ids=["x"], embeddings=[[0.2, 0.2]])  # disjoint ids: no conflict
+    res = txn.commit()
+    assert res["record_count"] == 1
+    assert col.get(ids=["a"])[0]["k"] == 9
+
+
+def test_compaction_during_txn_is_stale(col):
+    txn = col.transaction()
+    txn.get(ids=["a"])
+    txn.update(ids=["a"], metadatas=[{"k": 5}])
+    col.compact()
+    with pytest.raises(StaleReadError, match="compacted"):
+        txn.commit()
+
+
+def test_commit_twice_rejected(col):
+    txn = col.transaction()
+    txn.upsert(ids=["q"], embeddings=[[0.1, 0.9]])
+    txn.commit()
+    with pytest.raises(CollectionError, match="already committed"):
+        txn.commit()
+    with pytest.raises(CollectionError, match="already committed"):
+        txn.get(ids=["a"])
+
+
+def test_duplicate_add_detected_at_apply(col):
+    txn = col.transaction()
+    txn.add(ids=["a"], embeddings=[[9.0, 9.0]])  # 'a' exists; not read first
+    with pytest.raises(CollectionError, match="duplicate"):
+        txn.commit()
