@@ -908,6 +908,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(centroids, postings, queries, k=10, nprobe=8, space="l2")
 
 
+@register("ann_quantized_topk", None)  # k-means + bit codes: not SQL-expressible;
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-SPANN pipeline (recall >= 0.95 pytest-enforced at
+    rerank_factor=24, tests/test_ann.py)."""
+    from .ann.ivf import build_ivf
+    from .ann.quantize import build_codes, ivf_quantized_search
+
+    records = _emb_records(spark, sf_dir).select("id", "embedding")
+    queries = records.filter(F.col("id") < 5).select(F.col("id").alias("query_id"), "embedding")
+    centroids, postings = build_ivf(records, n_lists=16)
+    coded, means = build_codes(postings)
+    return ivf_quantized_search(centroids, coded, queries, means, k=10, nprobe=8, rerank_factor=24)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------

@@ -44,3 +44,59 @@ def test_ivf_full_probe_equals_exact_cosine(spark):
     e = {(r["query_id"], r["id"]) for r in exact.collect()}
     a = {(r["query_id"], r["id"]) for r in approx.collect()}
     assert e == a
+
+
+# ---------------------------------------------------------------------------
+# Quantized (RaBitQ-style sign-bit codes + Hamming prefilter + re-rank)
+# ---------------------------------------------------------------------------
+
+
+def test_quantized_search_recall(spark):
+    from chroma_spark.ann.quantize import build_codes, quantized_search
+
+    records, queries = _records(spark), _queries(spark)
+    coded, means = build_codes(records)
+    exact = exact_knn(records, queries, k=10, space="l2")
+    approx = quantized_search(coded, queries, means, k=10, rerank_factor=24, space="l2")
+    r = recall_at_k(approx, exact)
+    assert r >= 0.95, f"quantized recall@10 = {r}"
+
+
+def test_code_packing_and_hamming(spark):
+    from chroma_spark.ann.quantize import build_codes, hamming
+
+    df = spark.createDataFrame(
+        [("a", [1.0] * 70), ("b", [-1.0] * 70), ("c", [1.0] * 69 + [-1.0])],
+        "id STRING, embedding ARRAY<FLOAT>",
+    )
+    coded, means = build_codes(df, means=[0.0] * 70)
+    rows = {r.id: r.code for r in coded.collect()}
+    assert len(rows["a"]) == 2  # 70 dims -> 2 packed words
+    assert rows["a"][0] == -1 and rows["a"][1] == 63  # 64 + 6 set bits
+    assert rows["b"] == [0, 0]
+    h = (
+        coded.alias("x")
+        .crossJoin(coded.alias("y"))
+        .select(
+            F.col("x.id").alias("ia"),
+            F.col("y.id").alias("ib"),
+            hamming(F.col("x.code"), F.col("y.code")).alias("h"),
+        )
+        .collect()
+    )
+    hm = {(r.ia, r.ib): r.h for r in h}
+    assert hm[("a", "b")] == 70 and hm[("a", "c")] == 1 and hm[("a", "a")] == 0
+
+
+def test_ivf_quantized_pipeline_recall(spark):
+    from chroma_spark.ann.quantize import build_codes, ivf_quantized_search
+
+    records, queries = _records(spark), _queries(spark)
+    centroids, postings = build_ivf(records, n_lists=16)
+    coded_postings, means = build_codes(postings)
+    exact = exact_knn(records, queries, k=10, space="l2")
+    approx = ivf_quantized_search(
+        centroids, coded_postings, queries, means, k=10, nprobe=8, rerank_factor=24
+    )
+    r = recall_at_k(approx, exact)
+    assert r >= 0.95, f"ivf+quantized recall@10 = {r}"
