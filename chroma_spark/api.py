@@ -29,6 +29,7 @@ from .sources.collection import (
     CollectionMeta,
     CollectionStore,
 )
+from .schema import Schema
 from .sources.log import materialize
 from .where import where_doc_to_column, where_to_column
 
@@ -50,6 +51,7 @@ class Client:
         space: str = "l2",
         metadata: dict[str, Any] | None = None,
         get_or_create: bool = False,
+        schema: "Schema | None" = None,
     ) -> "Collection":
         meta = CollectionMeta(
             name=name,
@@ -57,6 +59,7 @@ class Client:
             dimension=dimension,
             space=space,
             metadata=metadata or {},
+            schema=schema.to_dict() if schema is not None else None,
         )
         self.catalog.create(meta, get_or_create=get_or_create)
         return Collection(self, name)
@@ -91,6 +94,29 @@ class Collection:
     @property
     def version(self) -> int:
         return self._store.meta.version
+
+    @property
+    def schema(self) -> Schema | None:
+        return Schema.from_dict(self._store.meta.schema)
+
+    def update_schema(self, schema: Schema) -> None:
+        """Persist a modified index configuration (Schema.create_index /
+        delete_index mutate a copy; this registers it, the `register`
+        operator analog)."""
+        meta = self._store.meta
+        meta.schema = schema.to_dict()
+        self._store.catalog.update(meta)
+
+    def _validate_indexed(self, where, where_document, knn: bool = False, sparse: bool = False) -> None:
+        """Frontend index gate (service_based_frontend.rs:2813-2819): reject
+        queries touching keys whose index is disabled."""
+        s = self.schema
+        if s is None:
+            return
+        s.validate_where(where)
+        s.validate_where_document(where_document)
+        if knn:
+            s.validate_knn(sparse=sparse)
 
     def add(self, ids, embeddings=None, documents=None, uris=None, metadatas=None) -> None:
         """Insert records; duplicate ids (already present) are an error
@@ -242,6 +268,7 @@ class Collection:
         include: Sequence[str] = ("documents", "metadatas"),
         read_level: str = "index_and_wal",
     ) -> list[dict]:
+        self._validate_indexed(where, where_document)
         snap = self.snapshot(read_level)
         if snap is None:
             return []
@@ -271,6 +298,7 @@ class Collection:
     ) -> dict:
         """Batch KNN; returns column-major lists-of-lists (QueryResult shape,
         chromadb/api/types.py:619-651)."""
+        self._validate_indexed(where, where_document, knn=True)
         snap = self.snapshot(read_level)
         if snap is None:
             return {"ids": [], "distances": []}
@@ -293,6 +321,7 @@ class Collection:
 
     def search(self, read_level: str = "index_and_wal", **payload) -> DataFrame:
         """Hybrid search (Search payload of SURVEY §3.2) as a DataFrame."""
+        self._validate_indexed(payload.get("where"), payload.get("where_document"))
         snap = self.snapshot(read_level)
         if snap is None:
             raise CollectionError("search on empty collection")

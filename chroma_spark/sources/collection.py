@@ -56,6 +56,7 @@ class CollectionMeta:
     metadata: dict[str, Any] = field(default_factory=dict)
     base_paths: list[str] = field(default_factory=list)
     log_paths: list[str] = field(default_factory=list)
+    schema: dict | None = None  # serialized chroma_spark.schema.Schema
 
 
 class Catalog:
