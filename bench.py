@@ -34,6 +34,10 @@ BENCH_QUERIES = [
     "text_quality",
     "token_counts_by_source",
     "ann_ivf_topk",
+    "ann_quantized_topk",
+    "embed_hash_knn",
+    "multimodal_decode_meta",
+    "statistics_value_freq",
     "log_materialize_events",
     "events_hourly_window",
     "pricing_summary",
