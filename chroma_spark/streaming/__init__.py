@@ -5,3 +5,4 @@ from .compactor import (  # noqa: F401
     stream_compact,
 )
 from .functions import record_counter, revision_history, statistics  # noqa: F401
+from .windows import running_user_stats, windowed_counts  # noqa: F401
