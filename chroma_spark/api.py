@@ -36,13 +36,53 @@ from .where import where_doc_to_column, where_to_column
 _META_SPARK_TYPES = {bool: T.BooleanType(), int: T.LongType(), float: T.DoubleType(), str: T.StringType()}
 
 
+DEFAULT_TENANT = "default_tenant"
+DEFAULT_DATABASE = "default_database"
+
+
 class Client:
     """Entry point; ``root`` is the storage directory (local or any
-    Hadoop-compatible FS URI on a cluster)."""
+    Hadoop-compatible FS URI on a cluster).
 
-    def __init__(self, spark: SparkSession, root: str) -> None:
+    Collections are namespaced under (tenant, database) exactly as the
+    reference's REST surface (`chromadb/types.py:202-210`,
+    `rust/frontend/src/server.rs:306-325`); the default pair is
+    auto-created, any other must exist (``create_tenant`` /
+    ``create_database``)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        tenant: str = DEFAULT_TENANT,
+        database: str = DEFAULT_DATABASE,
+    ) -> None:
         self.spark = spark
         self.catalog = Catalog(root)
+        self.tenant, self.database = tenant, database
+        if tenant == DEFAULT_TENANT:
+            self.catalog.create_tenant(tenant, get_or_create=True)
+            if database == DEFAULT_DATABASE:
+                self.catalog.create_database(tenant, database, get_or_create=True)
+        if not self.catalog.has_database(tenant, database):
+            raise CollectionError(f"database {database!r} in tenant {tenant!r} does not exist")
+
+    # -- admin surface -------------------------------------------------
+
+    def create_tenant(self, name: str) -> None:
+        self.catalog.create_tenant(name)
+
+    def create_database(self, name: str, tenant: str | None = None) -> None:
+        self.catalog.create_database(tenant or self.tenant, name)
+
+    def list_tenants(self) -> list[str]:
+        return self.catalog.list_tenants()
+
+    def list_databases(self, tenant: str | None = None) -> list[str]:
+        return self.catalog.list_databases(tenant or self.tenant)
+
+    def _scoped(self, name: str) -> str:
+        return f"{self.tenant}/{self.database}/{name}"
 
     def create_collection(
         self,
@@ -54,7 +94,7 @@ class Client:
         schema: "Schema | None" = None,
     ) -> "Collection":
         meta = CollectionMeta(
-            name=name,
+            name=self._scoped(name),
             id=uuid.uuid4().hex,
             dimension=dimension,
             space=space,
@@ -62,20 +102,21 @@ class Client:
             schema=schema.to_dict() if schema is not None else None,
         )
         self.catalog.create(meta, get_or_create=get_or_create)
-        return Collection(self, name)
+        return Collection(self, self._scoped(name))
 
     def get_collection(self, name: str) -> "Collection":
-        self.catalog.get(name)
-        return Collection(self, name)
+        self.catalog.get(self._scoped(name))
+        return Collection(self, self._scoped(name))
 
     def get_or_create_collection(self, name: str, **kw) -> "Collection":
         return self.create_collection(name, get_or_create=True, **kw)
 
     def delete_collection(self, name: str) -> None:
-        self.catalog.drop(name)
+        self.catalog.drop(self._scoped(name))
 
     def list_collections(self) -> list[str]:
-        return self.catalog.list()
+        prefix = f"{self.tenant}/{self.database}/"
+        return [n[len(prefix):] for n in self.catalog.list() if n.startswith(prefix)]
 
 
 class Collection:
@@ -89,7 +130,7 @@ class Collection:
 
     @property
     def name(self) -> str:
-        return self._store.name
+        return self._store.name.rsplit("/", 1)[-1]  # bare (unscoped) name
 
     @property
     def version(self) -> int:
@@ -98,6 +139,18 @@ class Collection:
     @property
     def schema(self) -> Schema | None:
         return Schema.from_dict(self._store.meta.schema)
+
+    def modify(self, name: str | None = None, metadata: dict | None = None) -> None:
+        """Rename and/or replace collection metadata
+        (Collection.modify in the reference client)."""
+        meta = self._store.meta
+        if metadata is not None:
+            meta.metadata = dict(metadata)
+            self._store.catalog.update(meta)
+        if name is not None and name != self.name:
+            new_scoped = self._client._scoped(name)
+            self._store.catalog.rename(self._store.name, new_scoped)
+            self._store.name = new_scoped
 
     def update_schema(self, schema: Schema) -> None:
         """Persist a modified index configuration (Schema.create_index /
@@ -235,7 +288,7 @@ class Collection:
         the child references the parent's part files; new writes diverge."""
         parent = self._store.meta
         child = CollectionMeta(
-            name=name,
+            name=self._client._scoped(name),
             id=uuid.uuid4().hex,
             dimension=parent.dimension,
             space=parent.space,
@@ -245,7 +298,7 @@ class Collection:
             log_position=parent.log_position,
         )
         self._store.catalog.create(child)
-        return Collection(self._client, name)
+        return Collection(self._client, self._client._scoped(name))
 
     # ------------------------------------------------------------------
     # read surface

@@ -120,6 +120,66 @@ class Catalog:
         del data[name]
         self._write(data)
 
+    def rename(self, old: str, new: str) -> None:
+        """Collection.modify(name=...) — a catalog-only move: data paths are
+        recorded absolute in the meta, so no files move."""
+        data = self._read()
+        if old not in data:
+            raise CollectionError(f"collection {old!r} does not exist")
+        if new in data:
+            raise CollectionError(f"collection {new!r} already exists")
+        data[new] = data.pop(old)
+        data[new]["name"] = new
+        self._write(data)
+
+    # -- tenant / database namespaces (chromadb/types.py:202-210;
+    # routes rust/frontend/src/server.rs:306-325) ----------------------
+
+    @property
+    def _ns_path(self) -> str:
+        return os.path.join(self.root, "namespaces.json")
+
+    def _read_ns(self) -> dict[str, list[str]]:
+        if not os.path.exists(self._ns_path):
+            return {}
+        with open(self._ns_path) as f:
+            return json.load(f)
+
+    def _write_ns(self, ns: dict[str, list[str]]) -> None:
+        tmp = self._ns_path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(ns, f, indent=1)
+        os.replace(tmp, self._ns_path)
+
+    def create_tenant(self, tenant: str, get_or_create: bool = False) -> None:
+        ns = self._read_ns()
+        if tenant in ns:
+            if get_or_create:
+                return
+            raise CollectionError(f"tenant {tenant!r} already exists")
+        ns[tenant] = []
+        self._write_ns(ns)
+
+    def create_database(self, tenant: str, database: str, get_or_create: bool = False) -> None:
+        ns = self._read_ns()
+        if tenant not in ns:
+            raise CollectionError(f"tenant {tenant!r} does not exist")
+        if database in ns[tenant]:
+            if get_or_create:
+                return
+            raise CollectionError(f"database {database!r} already exists in tenant {tenant!r}")
+        ns[tenant].append(database)
+        self._write_ns(ns)
+
+    def has_database(self, tenant: str, database: str) -> bool:
+        return database in self._read_ns().get(tenant, [])
+
+    def list_tenants(self) -> list[str]:
+        return sorted(self._read_ns())
+
+    def list_databases(self, tenant: str) -> list[str]:
+        return sorted(self._read_ns().get(tenant, []))
+
 
 class CollectionStore:
     """Physical IO for one collection (paths, appends, reads)."""

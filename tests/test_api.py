@@ -130,3 +130,57 @@ def test_search_on_collection(client):
 def test_peek(client):
     col = _mk(client)
     assert len(col.peek(limit=2)) == 2
+
+
+# ---------------------------------------------------------------------------
+# Tenant / database namespaces + Collection.modify
+# ---------------------------------------------------------------------------
+
+
+def test_tenant_database_namespacing(spark, tmp_path):
+    from chroma_spark.api import Client
+
+    root = str(tmp_path / "store")
+    c_default = Client(spark, root)
+    c_default.create_collection("shared", dimension=2)
+
+    c_default.create_tenant("acme")
+    c_default.create_database("prod", tenant="acme")
+    c_acme = Client(spark, root, tenant="acme", database="prod")
+    c_acme.create_collection("shared", dimension=4)  # same name, no clash
+
+    assert c_default.list_collections() == ["shared"]
+    assert c_acme.list_collections() == ["shared"]
+    assert c_default.get_collection("shared")._store.meta.dimension == 2
+    assert c_acme.get_collection("shared")._store.meta.dimension == 4
+    assert c_acme.list_tenants() == ["acme", "default_tenant"]
+    assert c_acme.list_databases() == ["prod"]
+
+
+def test_unknown_database_rejected(spark, tmp_path):
+    from chroma_spark.api import Client
+
+    root = str(tmp_path / "store")
+    Client(spark, root)  # creates defaults
+    with pytest.raises(CollectionError, match="does not exist"):
+        Client(spark, root, tenant="ghost", database="db")
+
+
+def test_modify_rename_and_metadata(client):
+    col = _mk(client, name="orig")
+    col.modify(metadata={"purpose": "test"})
+    assert col._store.meta.metadata == {"purpose": "test"}
+    col.modify(name="renamed")
+    assert col.name == "renamed"
+    assert client.list_collections() == ["renamed"]
+    # data survives the rename (paths are absolute in the meta)
+    assert col.count() == 3
+    with pytest.raises(CollectionError):
+        client.get_collection("orig")
+
+
+def test_modify_rename_clash_rejected(client):
+    _mk(client, name="a1")
+    col = _mk(client, name="b1")
+    with pytest.raises(CollectionError, match="already exists"):
+        col.modify(name="a1")
