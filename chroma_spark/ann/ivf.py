@@ -83,6 +83,34 @@ def build_ivf(
     return centroids, postings
 
 
+def write_ivf(centroids: DataFrame, postings: DataFrame, path: str) -> None:
+    """Persist the index: postings PARTITIONED BY centroid_id (one prunable
+    directory per posting list — SPANN's posting-list files), centroids as a
+    single small parquet. At 100 TB this is the layout that lets a query
+    touch ``nprobe/n_lists`` of the data: the probed centroid ids reach the
+    scan as partition filters, so unprobed lists are never read."""
+    postings.write.mode("overwrite").partitionBy("centroid_id").parquet(f"{path}/postings")
+    centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def read_ivf(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    return (
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/postings"),
+    )
+
+
+def probed_postings(
+    postings: DataFrame, centroid_ids: list[int]
+) -> DataFrame:
+    """Static partition pruning: when the probe set is known driver-side
+    (it is — the centroid table is tiny and ranked on the driver or via a
+    collected broadcast), an ``isin`` literal filter reaches the parquet
+    scan as a PartitionFilter. ``ivf_search`` uses the join form (dynamic
+    pruning); this is the explicit form for pre-collected probes."""
+    return postings.filter(F.col("centroid_id").isin([int(c) for c in centroid_ids]))
+
+
 def ivf_search(
     centroids: DataFrame,
     postings: DataFrame,

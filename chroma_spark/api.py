@@ -269,14 +269,30 @@ class Collection:
                 log = log.withColumn(c, F.lit(None).cast(base_types[c]))
         return materialize(base, log)
 
-    def compact(self) -> int:
-        """Fold the WAL into a new base version; returns the new version."""
+    def compact(self, attached: list | None = None) -> int:
+        """Fold the WAL into a new base version; returns the new version.
+
+        ``attached`` — AttachedFunction list (streaming/compactor.py) run
+        piggybacked on the compaction exactly as the reference's
+        execute_task.rs: each gets (new state, raw log batch) and its
+        output lands under the collection dir as the derived "output
+        collection" (`fn_{name}/v{version}`)."""
         meta = self._store.meta
+        log_batch = self._store.read_log()
         snap = self.snapshot()
         if snap is None:
             return meta.version
         new_version = meta.version + 1
         path = self._store.write_base(snap, new_version)
+        if attached:
+            state = self._client.spark.read.parquet(path)
+            import os as _os
+
+            for af in attached:
+                out = af.fn(state, log_batch) if log_batch is not None else af.fn(state, state.limit(0))
+                out.write.mode("overwrite").parquet(
+                    _os.path.join(self._store.catalog.root, self._store.name, f"fn_{af.name}", f"v{new_version}")
+                )
         meta.version = new_version
         meta.base_paths = [path]
         meta.log_paths = []
@@ -345,6 +361,7 @@ class Collection:
         self,
         query_embeddings: Sequence[Sequence[float]],
         n_results: int = 10,
+        ids: Sequence[str] | None = None,
         where: dict | None = None,
         where_document: dict | None = None,
         read_level: str = "index_and_wal",
@@ -355,6 +372,8 @@ class Collection:
         snap = self.snapshot(read_level)
         if snap is None:
             return {"ids": [], "distances": []}
+        if ids is not None:
+            snap = snap.filter(F.col("id").isin([str(i) for i in ids]))
         if where is not None:
             snap = snap.filter(where_to_column(where))
         if where_document is not None:

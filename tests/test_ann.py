@@ -100,3 +100,31 @@ def test_ivf_quantized_pipeline_recall(spark):
     )
     r = recall_at_k(approx, exact)
     assert r >= 0.95, f"ivf+quantized recall@10 = {r}"
+
+
+# ---------------------------------------------------------------------------
+# Persisted index layout: partition pruning on probed lists
+# ---------------------------------------------------------------------------
+
+
+def test_persisted_ivf_partition_pruning(spark, tmp_path):
+    from chroma_spark.ann.ivf import probed_postings, read_ivf, write_ivf
+
+    records = _records(spark)
+    centroids, postings = build_ivf(records, n_lists=8)
+    path = str(tmp_path / "ivf")
+    write_ivf(centroids, postings, path)
+    c2, p2 = read_ivf(spark, path)
+    assert c2.count() == 8 and p2.count() == postings.count()
+
+    pruned = probed_postings(p2, [0, 3])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    # the probe filter reaches the scan: only the 2 probed lists are read
+    assert set(r.centroid_id for r in pruned.select("centroid_id").distinct().collect()) <= {0, 3}
+
+    # search over the persisted index is identical to the in-memory index
+    queries = _queries(spark, n=5)
+    mem = ivf_search(centroids, postings, queries, k=10, nprobe=4)
+    disk = ivf_search(c2, p2, queries, k=10, nprobe=4)
+    assert sorted(map(tuple, mem.collect())) == sorted(map(tuple, disk.collect()))

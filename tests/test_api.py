@@ -184,3 +184,21 @@ def test_modify_rename_clash_rejected(client):
     col = _mk(client, name="b1")
     with pytest.raises(CollectionError, match="already exists"):
         col.modify(name="a1")
+
+
+def test_query_ids_prefilter(client):
+    col = _mk(client)
+    res = col.query([[1.0, 0, 0, 0]], n_results=3, ids=["b", "c"])
+    assert set(res["ids"][0]) == {"b", "c"}  # 'a' excluded despite distance 0
+
+
+def test_compact_runs_attached_functions(client, spark):
+    from chroma_spark.streaming import AttachedFunction, statistics
+
+    col = _mk(client)
+    v = col.compact(attached=[AttachedFunction("stats", lambda state, log: statistics(state, ["tag"]))])
+    import os
+
+    out_dir = os.path.join(client.catalog.root, col._store.name, "fn_stats", f"v{v}")
+    stats = {(r.key, r.value): r.n for r in spark.read.parquet(out_dir).collect()}
+    assert stats[("tag", "x")] == 1 and stats[("tag", "__null__")] == 1
