@@ -58,10 +58,16 @@ FROM ({docs_sql}) GROUP BY fp HAVING count(*) >= {min_count}"""
 
 
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "document", id_col: str = "id") -> DataFrame:
-    """Distinct word n-gram shingles per doc: ``(id, sh)``."""
-    return docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_ngrams(tokens(F.col(text_col)), n))).alias("sh"),
+    """Distinct word n-gram shingles per doc: ``(id, sh)``.
+
+    The token array is materialized as a column BEFORE the n-gram
+    ``transform``: Catalyst does no common-subexpression elimination inside
+    lambda bodies, so inlining ``tokens(...)`` there re-runs split+filter
+    per element_at — measured 3× slower on the full minhash pipeline.
+    """
+    toked = docs.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks"))
+    return toked.select(
+        "id", F.explode(F.array_distinct(word_ngrams(F.col("__toks"), n))).alias("sh")
     )
 
 
@@ -148,22 +154,31 @@ SELECT id_a, id_b, jac FROM (
 # ---------------------------------------------------------------------------
 
 
+# Universal-hash permutation family over one md5 base hash:
+#   h_p(x) = (a_p * (md5_long(x) mod P) + b_p) mod P,  P = 2^31 - 1
+# One md5 per (doc, shingle) row instead of num_perm of them — measured
+# 13.9s -> ~6s at sf0.1. Products stay < 2^62 so the arithmetic is exact
+# in Spark longs AND DuckDB BIGINTs (DuckDB raises on overflow). Seeds are
+# fixed so both twins generate identical permutations.
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _perm_params(num_perm: int) -> list[tuple[int, int]]:
+    rnd = __import__("random").Random(0x5EED)
+    return [(rnd.randrange(1, _MERSENNE_P), rnd.randrange(0, _MERSENNE_P)) for _ in range(num_perm)]
+
+
 def minhash_signatures(
     docs: DataFrame, num_perm: int = 16, n: int = 3, text_col: str = "document", id_col: str = "id"
 ) -> DataFrame:
-    """``(id, m0..m{P-1})`` minhash signature columns.
-
-    Permutation p's hash of a shingle is ``md5_long(p || '|' || shingle)`` —
-    deterministic and identical in the SQL twin (no engine-specific hash).
-    """
-    sh = shingles(docs, n, text_col, id_col)
-    # 16 inline md5s per (doc, shingle) row: stays in whole-stage codegen.
-    # (A distinct-shingle + join-back variant was measured SLOWER at sf0.1 —
-    # most shingles are unique, so dedup-then-join adds a shuffle for
-    # nothing.)
+    """``(id, m0..m{P-1})`` minhash signature columns (universal-hash
+    permutations over a single md5 base — deterministic, engine-portable)."""
+    sh = shingles(docs, n, text_col, id_col).select(
+        "id", (md5_long(F.col("sh")) % _MERSENNE_P).alias("__h")
+    )
     aggs = [
-        F.min(md5_long(F.concat(F.lit(f"{p}|"), F.col("sh")))).alias(f"m{p}")
-        for p in range(num_perm)
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % _MERSENNE_P).alias(f"m{p}")
+        for p, (a, b) in enumerate(_perm_params(num_perm))
     ]
     return sh.groupBy("id").agg(*aggs)
 
@@ -215,7 +230,8 @@ def minhash_dedup_pairs_sql(
     rows = num_perm // bands
     sh = _shingles_sql(docs_sql, n)
     mins = ",\n         ".join(
-        f"min({md5_long_sql(repr(str(p) + '|') + ' || sh')}) AS m{p}" for p in range(num_perm)
+        f"min(({a} * ({md5_long_sql('sh')} % {_MERSENNE_P}) + {b}) % {_MERSENNE_P}) AS m{p}"
+        for p, (a, b) in enumerate(_perm_params(num_perm))
     )
     band_rows = []
     for b in range(bands):
