@@ -299,6 +299,41 @@ class Collection:
         self._store.catalog.update(meta)
         return new_version
 
+    def snapshot_at(self, version: int) -> DataFrame:
+        """Time travel: the compacted state as of ``version`` (old base
+        versions stay on disk until :meth:`gc`; cross_version_persist
+        analog of the reference's versioned collections)."""
+        return self._store.read_base_version(version)
+
+    def list_versions(self) -> list[int]:
+        return self._store.list_base_versions()
+
+    def gc(self, keep_last: int = 1) -> list[int]:
+        """Remove old base versions (`rust/garbage_collector/` analog);
+        returns the versions deleted.
+
+        Never removes: the current version, the ``keep_last`` most recent,
+        or any version referenced by another collection's meta (fork
+        lineage — a shallow-cloned child points at the parent's files).
+        Local-FS implementation; a production deployment delegates to the
+        table format's VACUUM with the same referenced-set rule.
+        """
+        import shutil
+
+        referenced: set[str] = set()
+        for cname in self._store.catalog.list():
+            m = self._store.catalog.get(cname)
+            referenced.update(m.base_paths)
+        keep = set(self.list_versions()[-max(1, keep_last):])
+        keep.add(self._store.meta.version)
+        deleted = []
+        for v in self.list_versions():
+            path = self._store._dir("base", v)
+            if v not in keep and path not in referenced:
+                shutil.rmtree(path)
+                deleted.append(v)
+        return deleted
+
     def fork(self, name: str) -> "Collection":
         """Zero-copy clone at the current version (Collection.py:329):
         the child references the parent's part files; new writes diverge."""

@@ -220,6 +220,24 @@ class CollectionStore:
         df.write.mode("overwrite").parquet(path)
         return path
 
+    def list_base_versions(self) -> list[int]:
+        """Versions still on disk (compaction keeps old bases until gc)."""
+        d = os.path.join(self.catalog.root, self.name)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(s.rsplit("_v", 1)[1]) for s in os.listdir(d) if s.startswith("base_v")
+        )
+
+    def read_base_version(self, version: int) -> DataFrame:
+        path = self._dir("base", version)
+        if not os.path.isdir(path):
+            raise CollectionError(
+                f"version {version} of {self.name!r} is not on disk "
+                f"(available: {self.list_base_versions()})"
+            )
+        return self.spark.read.parquet(path)
+
 
 def align_columns(dfs: list[DataFrame]) -> list[DataFrame]:
     """unionByName-compatible column alignment across evolving schemas."""

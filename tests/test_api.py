@@ -202,3 +202,32 @@ def test_compact_runs_attached_functions(client, spark):
     out_dir = os.path.join(client.catalog.root, col._store.name, "fn_stats", f"v{v}")
     stats = {(r.key, r.value): r.n for r in spark.read.parquet(out_dir).collect()}
     assert stats[("tag", "x")] == 1 and stats[("tag", "__null__")] == 1
+
+
+def test_version_time_travel_and_gc(client, spark):
+    col = _mk(client, name="tt")
+    col.compact()  # v1: a, b, c
+    col.delete(ids=["a"])
+    col.compact()  # v2: b, c
+    col.upsert(ids=["d"], embeddings=[[0.0, 0.0, 0.0, 1.0]])
+    col.compact()  # v3: b, c, d
+    assert col.list_versions() == [1, 2, 3]
+    assert sorted(r.id for r in col.snapshot_at(1).collect()) == ["a", "b", "c"]
+    assert sorted(r.id for r in col.snapshot_at(2).collect()) == ["b", "c"]
+
+    deleted = col.gc(keep_last=1)
+    assert deleted == [1, 2] and col.list_versions() == [3]
+    with pytest.raises(CollectionError, match="not on disk"):
+        col.snapshot_at(1)
+    assert col.count() == 3  # current state untouched
+
+
+def test_gc_preserves_fork_referenced_versions(client):
+    col = _mk(client, name="parent")
+    col.compact()  # v1 — about to be referenced by the fork
+    fork = col.fork("child")
+    col.update(ids=["a"], metadatas=[{"k": 99}])
+    col.compact()  # v2
+    deleted = col.gc(keep_last=1)
+    assert deleted == []  # v1 is the fork's base: must survive
+    assert fork.count() == 3
