@@ -261,3 +261,81 @@ def sparse_dot_topk(
             "query_id", "id", (F.round(F.col("score"), round_decimals) + F.lit(0.0)).alias("score")
         )
     return topk_per_group(scored, ["query_id"], [F.col("score").desc(), F.col("id").asc()], k)
+
+
+# ---------------------------------------------------------------------------
+# Persisted posting-list index with term-bucket partition pruning — the
+# sparse analog of the IVF layout (reference sparse index blockfiles,
+# rust/index/src/sparse/reader.rs: per-term posting-list reads). A query
+# touches only the partitions holding its terms' buckets.
+# ---------------------------------------------------------------------------
+
+
+def explode_postings(
+    records: DataFrame, id_col: str = "id", sparse_col: str = "sparse"
+) -> DataFrame:
+    """``(id, idx, doc_w)`` posting rows from SparseVector structs."""
+    return records.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.arrays_zip(
+                F.col(f"{sparse_col}.indices").alias("idx"),
+                F.col(f"{sparse_col}.values").alias("val"),
+            )
+        ).alias("p"),
+    ).select("id", F.col("p.idx").alias("idx"), F.col("p.val").cast("double").alias("doc_w"))
+
+
+def write_sparse_index(
+    postings: DataFrame, path: str, n_buckets: int = 64
+) -> None:
+    """Persist postings PARTITIONED BY ``bucket = idx % n_buckets``.
+
+    At 100 TB each bucket directory holds ~1/n_buckets of the postings;
+    a query's terms map to a handful of buckets, which reach the scan as
+    partition filters — the sparse-index read cost is proportional to the
+    query's vocabulary, not the corpus.
+    """
+    postings.withColumn("bucket", (F.col("idx") % n_buckets).cast("int")).repartition(
+        "bucket"
+    ).write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def read_sparse_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def sparse_index_topk(
+    indexed_postings: DataFrame,
+    query: DataFrame,
+    k: int,
+    n_buckets: int = 64,
+    sparse_col: str = "sparse",
+    query_id_col: str = "query_id",
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """Top-``k`` dot-product over the persisted index, reading only the
+    query terms' bucket partitions (static pruning via an ``isin`` literal
+    derived from the collected query terms — queries are small by contract,
+    exactly like the reference's query-side plan)."""
+    qpost = query.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.arrays_zip(
+                F.col(f"{sparse_col}.indices").alias("idx"),
+                F.col(f"{sparse_col}.values").alias("val"),
+            )
+        ).alias("p"),
+    ).select("query_id", F.col("p.idx").alias("idx"), F.col("p.val").cast("double").alias("q_w"))
+    buckets = sorted({int(r["idx"]) % n_buckets for r in qpost.select("idx").distinct().collect()})
+    pruned = indexed_postings.filter(F.col("bucket").isin(buckets))
+    scored = (
+        pruned.join(F.broadcast(qpost), "idx")
+        .groupBy("query_id", "id")
+        .agg(F.sum(F.col("doc_w") * F.col("q_w")).alias("score"))
+    )
+    if round_decimals is not None:
+        scored = scored.select(
+            "query_id", "id", (F.round(F.col("score"), round_decimals) + F.lit(0.0)).alias("score")
+        )
+    return topk_per_group(scored, ["query_id"], [F.col("score").desc(), F.col("id").asc()], k)

@@ -70,3 +70,43 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+# ---------------------------------------------------------------------------
+# Persisted sparse posting index: term-bucket partition pruning
+# ---------------------------------------------------------------------------
+
+
+def test_sparse_index_pruned_search_matches_full_scan(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from chroma_spark.operators.sparse import (
+        build_sparse,
+        explode_postings,
+        read_sparse_index,
+        sparse_dot_topk,
+        sparse_index_topk,
+        write_sparse_index,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select(F.col("doc_id").alias("id"), F.col("text").alias("document"))
+    )
+    records = build_sparse(docs, dim=4096)
+    queries = records.filter(F.col("id") < 3).select(F.col("id").alias("query_id"), "sparse")
+
+    path = str(tmp_path / "sparse_idx")
+    write_sparse_index(explode_postings(records), path, n_buckets=64)
+    idx = read_sparse_index(spark, path)
+
+    pruned = sparse_index_topk(idx, queries, k=10, n_buckets=64)
+    full = sparse_dot_topk(records, queries, k=10)
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, full.collect()))
+
+    # the bucket filter reaches the scan as a partition filter
+    qb = sorted(
+        {int(r["sparse"]["indices"][i]) % 64 for r in queries.collect() for i in range(len(r["sparse"]["indices"]))}
+    )
+    plan = idx.filter(F.col("bucket").isin(qb))._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
