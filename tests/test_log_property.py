@@ -1,0 +1,68 @@
+"""Property-based WAL materialization testing: random operation sequences
+folded by the Spark applyInPandas merge must match a pure-Python state
+machine implementing operation.rs:16-35 semantics (the reference's stateful
+test_embeddings machine, SURVEY §5)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from chroma_spark.sources.log import materialize
+
+IDS = ["a", "b", "c"]
+
+
+def _op():
+    return st.tuples(
+        st.sampled_from(["ADD", "UPDATE", "UPSERT", "DELETE"]),
+        st.sampled_from(IDS),
+        st.one_of(st.none(), st.sampled_from(["d1", "d2", "d3"])),
+        st.one_of(st.none(), st.sampled_from([1.0, 2.0, 3.0])),
+    )
+
+
+def py_fold(ops, base=None):
+    """operation.rs:16-35: ADD ignores existing, UPDATE merges non-null into
+    existing only, UPSERT both, DELETE removes (later ADD recreates)."""
+    state = dict(base or {})
+    for op, rid, doc, score in ops:
+        exists = rid in state
+        fields = {"document": doc, "score": score}
+        if op == "ADD" and not exists:
+            state[rid] = dict(fields)
+        elif op == "UPDATE" and exists:
+            state[rid].update({k: v for k, v in fields.items() if v is not None})
+        elif op == "UPSERT":
+            if exists:
+                state[rid].update({k: v for k, v in fields.items() if v is not None})
+            else:
+                state[rid] = dict(fields)
+        elif op == "DELETE" and exists:
+            del state[rid]
+    return state
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=st.lists(_op(), min_size=1, max_size=12))
+def test_materialize_matches_state_machine(spark, ops):
+    log = spark.createDataFrame(
+        [(i, op, rid, doc, score) for i, (op, rid, doc, score) in enumerate(ops)],
+        "seq_id LONG, op STRING, id STRING, document STRING, score DOUBLE",
+    )
+    got = {r.id: {"document": r.document, "score": r.score} for r in materialize(None, log).collect()}
+    assert got == py_fold(ops)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=st.lists(_op(), min_size=1, max_size=8))
+def test_materialize_with_base_matches_state_machine(spark, ops):
+    base_rows = [("a", "base-doc", 0.5), ("b", None, 9.9)]
+    base = spark.createDataFrame(base_rows, "id STRING, document STRING, score DOUBLE")
+    log = spark.createDataFrame(
+        [(i, op, rid, doc, score) for i, (op, rid, doc, score) in enumerate(ops)],
+        "seq_id LONG, op STRING, id STRING, document STRING, score DOUBLE",
+    )
+    expect = py_fold(ops, base={r[0]: {"document": r[1], "score": r[2]} for r in base_rows})
+    got = {r.id: {"document": r.document, "score": r.score} for r in materialize(base, log).collect()}
+    assert got == expect
