@@ -92,13 +92,29 @@ class Client:
         metadata: dict[str, Any] | None = None,
         get_or_create: bool = False,
         schema: "Schema | None" = None,
+        embedding_function: str | None = None,
+        embedding_function_kwargs: dict | None = None,
     ) -> "Collection":
+        """``embedding_function`` is a registry name from
+        functions/embedding.py (persisted in the collection config, as the
+        reference stores the EF name in configuration_json) — when set,
+        ``add``/``upsert`` auto-embed documents and ``query`` accepts
+        ``query_texts``."""
+        md = dict(metadata or {})
+        if embedding_function is not None:
+            from .functions.embedding import get_embedding_function
+
+            get_embedding_function(embedding_function, **(embedding_function_kwargs or {}))  # validate
+            md["__embedding_function__"] = {
+                "name": embedding_function,
+                "kwargs": embedding_function_kwargs or {},
+            }
         meta = CollectionMeta(
             name=self._scoped(name),
             id=uuid.uuid4().hex,
             dimension=dimension,
             space=space,
-            metadata=metadata or {},
+            metadata=md,
             schema=schema.to_dict() if schema is not None else None,
         )
         self.catalog.create(meta, get_or_create=get_or_create)
@@ -171,6 +187,23 @@ class Collection:
         if knn:
             s.validate_knn(sparse=sparse)
 
+    def _embedding_function(self):
+        cfg = self._store.meta.metadata.get("__embedding_function__")
+        if cfg is None:
+            return None
+        from .functions.embedding import get_embedding_function
+
+        return get_embedding_function(cfg["name"], **cfg.get("kwargs", {}))
+
+    def _auto_embed(self, embeddings, documents):
+        """Client-side embedding of documents when the collection has an
+        attached EF and no embeddings were passed (CollectionCommon
+        _validate_and_prepare semantics)."""
+        if embeddings is not None or documents is None:
+            return embeddings
+        ef = self._embedding_function()
+        return ef(list(documents)) if ef is not None else None
+
     def add(self, ids, embeddings=None, documents=None, uris=None, metadatas=None) -> None:
         """Insert records; duplicate ids (already present) are an error
         (Collection.py:96 contract)."""
@@ -178,13 +211,13 @@ class Collection:
         dup = [r["id"] for r in existing]
         if dup:
             raise CollectionError(f"duplicate ids in add: {sorted(dup)[:5]}")
-        self._append("ADD", ids, embeddings, documents, uris, metadatas)
+        self._append("ADD", ids, self._auto_embed(embeddings, documents), documents, uris, metadatas)
 
     def update(self, ids, embeddings=None, documents=None, uris=None, metadatas=None) -> None:
-        self._append("UPDATE", ids, embeddings, documents, uris, metadatas)
+        self._append("UPDATE", ids, self._auto_embed(embeddings, documents), documents, uris, metadatas)
 
     def upsert(self, ids, embeddings=None, documents=None, uris=None, metadatas=None) -> None:
-        self._append("UPSERT", ids, embeddings, documents, uris, metadatas)
+        self._append("UPSERT", ids, self._auto_embed(embeddings, documents), documents, uris, metadatas)
 
     def delete(self, ids=None, where=None, where_document=None) -> None:
         if ids is None:
@@ -394,15 +427,27 @@ class Collection:
 
     def query(
         self,
-        query_embeddings: Sequence[Sequence[float]],
+        query_embeddings: Sequence[Sequence[float]] | None = None,
         n_results: int = 10,
         ids: Sequence[str] | None = None,
         where: dict | None = None,
         where_document: dict | None = None,
         read_level: str = "index_and_wal",
+        query_texts: Sequence[str] | None = None,
     ) -> dict:
         """Batch KNN; returns column-major lists-of-lists (QueryResult shape,
-        chromadb/api/types.py:619-651)."""
+        chromadb/api/types.py:619-651). ``query_texts`` are embedded
+        client-side with the collection's attached embedding function
+        (Collection.py:212 + query-text embedding in CollectionCommon)."""
+        if query_embeddings is None:
+            if query_texts is None:
+                raise CollectionError("one of query_embeddings / query_texts is required")
+            ef = self._embedding_function()
+            if ef is None:
+                raise CollectionError("query_texts requires an attached embedding function")
+            query_embeddings = ef(list(query_texts))
+        elif query_texts is not None:
+            raise CollectionError("pass query_embeddings or query_texts, not both")
         self._validate_indexed(where, where_document, knn=True)
         snap = self.snapshot(read_level)
         if snap is None:

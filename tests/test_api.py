@@ -231,3 +231,31 @@ def test_gc_preserves_fork_referenced_versions(client):
     deleted = col.gc(keep_last=1)
     assert deleted == []  # v1 is the fork's base: must survive
     assert fork.count() == 3
+
+
+def test_attached_embedding_function_auto_embed_and_query_texts(client):
+    col = client.create_collection(
+        "ef", embedding_function="hashing", embedding_function_kwargs={"dim": 16}
+    )
+    col.add(ids=["a", "b"], documents=["alpha beta", "gamma delta"])
+    rows = col.get(include=["embeddings", "documents"])
+    assert all(len(r["embedding"]) == 16 for r in rows)
+
+    res = col.query(query_texts=["alpha beta"], n_results=1)
+    assert res["ids"][0] == ["a"] and res["distances"][0][0] < 1e-6
+
+    with pytest.raises(CollectionError, match="not both"):
+        col.query(query_embeddings=[[0.0] * 16], query_texts=["x"])
+    with pytest.raises(CollectionError, match="required"):
+        col.query()
+
+
+def test_query_texts_without_ef_rejected(client):
+    col = _mk(client)
+    with pytest.raises(CollectionError, match="embedding function"):
+        col.query(query_texts=["hello"])
+
+
+def test_unknown_embedding_function_rejected_at_create(client):
+    with pytest.raises(KeyError, match="unknown embedding function"):
+        client.create_collection("bad", embedding_function="nope")
