@@ -33,6 +33,74 @@ from ..functions.distance import distance
 from ..operators.topk import topk_per_group
 
 
+def _train_centroids_numpy(
+    records: DataFrame,
+    n_lists: int,
+    vec_col: str,
+    seed: int,
+    max_iter: int,
+    max_sample: int,
+) -> "list[list[float]]":
+    """Driver-side seeded k-means over a bounded sample.
+
+    SPANN itself trains its centroid heads on a sample of the corpus
+    (``rust/index/src/spann/types.rs`` builds heads incrementally, not over
+    every vector), so the training set here is a sample BY DESIGN: at 100 TB
+    we pull ``max_sample`` vectors (a few hundred MB driver-side ceiling)
+    via a seeded distributed sample, and only the *assignment* pass touches
+    all records (one broadcast join in :func:`build_ivf`). Training
+    driver-side with numpy avoids MLlib's one-Spark-job-per-iteration
+    scheduling, which dominates build time whenever the sample is modest —
+    the math is identical (Lloyd's, k-means++-style seeding).
+    """
+    import numpy as np
+
+    n_rows = records.count()
+    frac = min(1.0, max_sample / max(1, n_rows))
+    sample = records.select(vec_col)
+    if frac < 1.0:
+        sample = sample.sample(fraction=min(1.0, frac * 1.2), seed=seed).limit(max_sample)
+    x = np.array(sample.rdd.map(lambda r: r[0]).collect(), dtype=np.float64)
+    k = min(n_lists, len(x))
+
+    def _one_run(run_seed: int):
+        rng = np.random.default_rng(run_seed)
+        # k-means++ style seeding: first centroid uniform, rest D^2-weighted
+        idx = [int(rng.integers(len(x)))]
+        d2 = np.sum((x - x[idx[0]]) ** 2, axis=1)
+        for _ in range(1, k):
+            p = d2 / d2.sum() if d2.sum() > 0 else None
+            idx.append(int(rng.choice(len(x), p=p)))
+            d2 = np.minimum(d2, np.sum((x - x[idx[-1]]) ** 2, axis=1))
+        centers = x[idx].copy()
+        for _ in range(max_iter):
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c drops ||x||^2
+            assign = np.argmin(x @ centers.T * -2.0 + np.sum(centers**2, axis=1), axis=1)
+            new = np.array(
+                [
+                    x[assign == j].mean(axis=0) if np.any(assign == j) else centers[j]
+                    for j in range(k)
+                ]
+            )
+            if np.allclose(new, centers, atol=1e-7):
+                centers = new
+                break
+            centers = new
+        assign = np.argmin(x @ centers.T * -2.0 + np.sum(centers**2, axis=1), axis=1)
+        inertia = float(np.sum((x - centers[assign]) ** 2))
+        return centers, inertia
+
+    # several seeded restarts, keep the lowest-inertia run (sklearn's n_init
+    # discipline) — driver-side cost only, and what recovers the quality of
+    # MLlib's kmeans|| initialization
+    best, best_inertia = None, float("inf")
+    for i in range(4):
+        centers, inertia = _one_run(seed + i)
+        if inertia < best_inertia:
+            best, best_inertia = centers, inertia
+    return [[float(v) for v in c] for c in best]
+
+
 def build_ivf(
     records: DataFrame,
     n_lists: int,
@@ -43,6 +111,8 @@ def build_ivf(
     max_iter: int = 20,
     replicas: int = 2,
     train_partitions: int | None = 8,
+    trainer: str = "numpy",
+    max_train_sample: int = 262_144,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(centroids, postings)``.
 
@@ -59,23 +129,28 @@ def build_ivf(
     the records — one pass, no record-side shuffle before the final
     repartition-by-list.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    if trainer == "numpy":
+        centers = _train_centroids_numpy(
+            records, n_lists, vec_col, seed, max_iter, max_train_sample
+        )
+    else:  # MLlib path for samples too large to collect driver-side
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    train = records.select(F.col(vec_col).alias("__vec"))
-    if sample_fraction is not None and sample_fraction < 1.0:
-        train = train.sample(fraction=sample_fraction, seed=seed)
-    if train_partitions is not None:
-        # the train set is a SAMPLE by design (SPANN trains heads on a
-        # sample too) — a handful of partitions avoids paying per-iteration
-        # scheduler overhead on k-means' many tiny jobs; measured 2x on the
-        # build. Pass None to keep the input partitioning for huge samples.
-        train = train.coalesce(train_partitions)
-    km = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="__feat")
-    model = km.fit(train.select(array_to_vector("__vec").alias("__feat")))
+        train = records.select(F.col(vec_col).alias("__vec"))
+        if sample_fraction is not None and sample_fraction < 1.0:
+            train = train.sample(fraction=sample_fraction, seed=seed)
+        if train_partitions is not None:
+            # a handful of partitions avoids paying per-iteration scheduler
+            # overhead on k-means' many tiny jobs; measured 2x on the build.
+            # Pass None to keep the input partitioning for huge samples.
+            train = train.coalesce(train_partitions)
+        km = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="__feat")
+        model = km.fit(train.select(array_to_vector("__vec").alias("__feat")))
+        centers = [[float(x) for x in c] for c in model.clusterCenters()]
     spark = records.sparkSession
     centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, c) for i, c in enumerate(centers)],
         "centroid_id INT, centroid ARRAY<FLOAT>",
     )
     cdist = distance(F.col(vec_col), F.col("centroid"), "l2")

@@ -139,8 +139,88 @@ class RankEvaluator:
         self.vec_col = vec_col
         self.default_space = default_space
         self.knn_fn = knn_fn or exact_knn
+        # (qvec, limit, space, return_rank) -> support DataFrame, filled by
+        # _precompute_knns before tree evaluation
+        self._knn_cache: dict[tuple, DataFrame] = {}
+
+    def _collect_knn_terms(self, expr: Any, out: list[dict]) -> None:
+        """Gather every $knn leaf — the reference collects them the same way
+        before orchestration (``rust/types/src/execution/operator.rs:
+        1204-1230`` ``RankExpr::knn_queries``)."""
+        if not isinstance(expr, dict):
+            return
+        for op, arg in expr.items():
+            if op == "$knn":
+                out.append(arg)
+            elif op in ("$sub", "$div"):
+                self._collect_knn_terms(arg.get("left"), out)
+                self._collect_knn_terms(arg.get("right"), out)
+            elif isinstance(arg, list):
+                for e in arg:
+                    self._collect_knn_terms(e, out)
+            else:
+                self._collect_knn_terms(arg, out)
+
+    @staticmethod
+    def _knn_key(arg: dict[str, Any]) -> tuple:
+        return (
+            tuple(float(x) for x in arg.get("query", ())),
+            int(arg.get("limit", 16)),
+            arg.get("space"),
+            bool(arg.get("return_rank", False)),
+        )
+
+    def _precompute_knns(self, expr: dict[str, Any]) -> None:
+        """One batched top-k per distance space instead of one Spark plan per
+        $knn term: all terms of a space share a single
+        records-side scan/shuffle (queries become rows of the broadcast
+        side), then each term slices its ``rank <= limit`` from the result.
+        """
+        terms: list[dict] = []
+        self._collect_knn_terms(expr, terms)
+        by_space: dict[str, list[tuple[tuple, dict]]] = {}
+        for t in terms:
+            q = t.get("query")
+            if not isinstance(q, (list, tuple)) or not q:
+                continue  # malformed term: _knn raises the proper RankError
+            key = self._knn_key(t)
+            if key in self._knn_cache:
+                continue
+            self._knn_cache[key] = None  # claimed
+            by_space.setdefault(t.get("space", self.default_space), []).append((key, t))
+        spark = self.records.sparkSession
+        for space, keyed in by_space.items():
+            qrows = [(i, [float(x) for x in t.get("query")]) for i, (_, t) in enumerate(keyed)]
+            qdf = spark.createDataFrame(qrows, "query_id INT, embedding ARRAY<FLOAT>")
+            kmax = max(int(t.get("limit", 16)) for _, t in keyed)
+            top = self.knn_fn(
+                self.records,
+                qdf,
+                k=kmax,
+                space=space,
+                id_col=self.id_col,
+                vec_col=self.vec_col,
+                round_decimals=None,
+            )
+            if len(keyed) > 1:
+                # each term slices rank<=limit from this plan; without a
+                # persist the records-side scan would re-run once per term
+                # (kmax * n_terms rows — trivially cacheable)
+                top = top.persist()
+            for i, (key, t) in enumerate(keyed):
+                limit = int(t.get("limit", 16))
+                rr = bool(t.get("return_rank", False))
+                score = (F.col("rank") - 1).cast("double") if rr else F.col("dist")
+                self._knn_cache[key] = (
+                    top.filter((F.col("query_id") == i) & (F.col("rank") <= limit))
+                    .select(F.col(self.id_col).alias("id"), score.alias("score"))
+                )
 
     def evaluate(self, expr: dict[str, Any]) -> RankDomain:
+        self._precompute_knns(expr)
+        return self._evaluate(expr)
+
+    def _evaluate(self, expr: dict[str, Any]) -> RankDomain:
         if not isinstance(expr, dict) or len(expr) != 1:
             raise RankError("rank expression must be a single-op dict")
         [(op, arg)] = expr.items()
@@ -149,27 +229,27 @@ class RankEvaluator:
         if op == "$knn":
             return self._knn(arg)
         if op == "$sum":
-            return _fold([self.evaluate(e) for e in arg], 0.0, lambda a, b: a + b)
+            return _fold([self._evaluate(e) for e in arg], 0.0, lambda a, b: a + b)
         if op == "$mul":
-            return _fold([self.evaluate(e) for e in arg], 1.0, lambda a, b: a * b)
+            return _fold([self._evaluate(e) for e in arg], 1.0, lambda a, b: a * b)
         if op == "$max":
             return _fold(
-                [self.evaluate(e) for e in arg],
+                [self._evaluate(e) for e in arg],
                 F32_MIN,
                 lambda a, b: F.greatest(a, b) if _iscol(a, b) else max(a, b),
             )
         if op == "$min":
             return _fold(
-                [self.evaluate(e) for e in arg],
+                [self._evaluate(e) for e in arg],
                 F32_MAX,
                 lambda a, b: F.least(a, b) if _iscol(a, b) else min(a, b),
             )
         if op == "$sub":
-            return _merge(self.evaluate(arg["left"]), self.evaluate(arg["right"]), lambda a, b: a - b)
+            return _merge(self._evaluate(arg["left"]), self._evaluate(arg["right"]), lambda a, b: a - b)
         if op == "$div":
-            return _merge(self.evaluate(arg["left"]), self.evaluate(arg["right"]), lambda a, b: a / b)
+            return _merge(self._evaluate(arg["left"]), self._evaluate(arg["right"]), lambda a, b: a / b)
         if op in ("$abs", "$exp", "$log"):
-            d = self.evaluate(arg)
+            d = self._evaluate(arg)
             col_fn, py_fn = {
                 "$abs": (F.abs, abs),
                 "$exp": (F.exp, math.exp),
@@ -185,29 +265,12 @@ class RankEvaluator:
         qvec = arg.get("query")
         if not isinstance(qvec, (list, tuple)) or not qvec:
             raise RankError("$knn requires a dense query vector")
-        limit = int(arg.get("limit", 16))
-        space = arg.get("space", self.default_space)
-        return_rank = bool(arg.get("return_rank", False))
         default = arg.get("default")
-        spark = self.records.sparkSession
-        qdf = spark.createDataFrame(
-            [(0, [float(x) for x in qvec])], "query_id INT, embedding ARRAY<FLOAT>"
-        )
-        # round_decimals=None: rank arithmetic must run on RAW distances —
-        # doing arithmetic on already-rounded values then rounding again
-        # creates exact decimal halves where engines' round() disagree.
-        # Rounding happens exactly once, in finalize_scores.
-        top = self.knn_fn(
-            self.records,
-            qdf,
-            k=limit,
-            space=space,
-            id_col=self.id_col,
-            vec_col=self.vec_col,
-            round_decimals=None,
-        )
-        score = (F.col("rank") - 1).cast("double") if return_rank else F.col("dist")
-        sup = top.select(F.col(self.id_col).alias("id"), score.alias("score"))
+        sup = self._knn_cache.get(self._knn_key(arg))
+        if sup is None:  # evaluated outside evaluate() — fall back to batch-of-one
+            self._knn_cache.pop(self._knn_key(arg), None)
+            self._precompute_knns({"$knn": arg})
+            sup = self._knn_cache[self._knn_key(arg)]
         return RankDomain(sup, float(default) if default is not None else None)
 
 
