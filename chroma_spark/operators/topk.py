@@ -47,6 +47,15 @@ def topk_per_group(
         )
     else:
         survivors = df
+    if not group_cols:
+        # ungrouped top-k: sort+limit compiles to TakeOrderedAndProject
+        # (per-partition heap + driver merge) — no single-partition window
+        # shuffle; the rank, if wanted, is a window over only k rows.
+        out = survivors.orderBy(*order_cols).limit(k)
+        if rank_col is None:
+            return out
+        w = Window.orderBy(*order_cols)
+        return out.withColumn(rank_col, F.row_number().over(w).cast("long"))
     w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
     out = (
         survivors.withColumn("__rank", F.row_number().over(w2))
