@@ -30,6 +30,11 @@ Grammar accepted here (dict form, as the client serializes it)::
 
     {"$knn": {"query": [f32...], "key": "#embedding", "limit": n,
               "default": f|None, "return_rank": bool, "space": "l2|cosine|ip"}}
+    {"$knn": {"query": {"indices": [i32...], "values": [f32...]},
+              "key": "<sparse column>", "limit": n, ...}}   # sparse KNN:
+              # measure = 1 - dot (ascending-better), the reference's
+              # sparse_index_knn.rs:85-88 convention; only records sharing
+              # >= 1 term with the query are in the term's support
     {"$val": c}
     {"$sum": [e...]} {"$sub": {"left": e, "right": e}}
     {"$mul": [e...]} {"$div": {"left": e, "right": e}}
@@ -163,12 +168,28 @@ class RankEvaluator:
 
     @staticmethod
     def _knn_key(arg: dict[str, Any]) -> tuple:
+        q = arg.get("query")
+        if isinstance(q, dict):
+            qk = (
+                "sparse",
+                tuple(int(i) for i in q.get("indices", ())),
+                tuple(float(v) for v in q.get("values", ())),
+            )
+        else:
+            qk = tuple(float(x) for x in (q or ()))
         return (
-            tuple(float(x) for x in arg.get("query", ())),
+            qk,
             int(arg.get("limit", 16)),
             arg.get("space"),
             bool(arg.get("return_rank", False)),
+            arg.get("key"),
         )
+
+    @staticmethod
+    def _valid_query(q: Any) -> bool:
+        if isinstance(q, dict):
+            return bool(q.get("indices")) and bool(q.get("values"))
+        return isinstance(q, (list, tuple)) and bool(q)
 
     def _precompute_knns(self, expr: dict[str, Any]) -> None:
         """One batched top-k per distance space instead of one Spark plan per
@@ -179,16 +200,23 @@ class RankEvaluator:
         terms: list[dict] = []
         self._collect_knn_terms(expr, terms)
         by_space: dict[str, list[tuple[tuple, dict]]] = {}
+        by_sparse_col: dict[str, list[tuple[tuple, dict]]] = {}
         for t in terms:
             q = t.get("query")
-            if not isinstance(q, (list, tuple)) or not q:
+            if not self._valid_query(q):
                 continue  # malformed term: _knn raises the proper RankError
             key = self._knn_key(t)
             if key in self._knn_cache:
                 continue
             self._knn_cache[key] = None  # claimed
-            by_space.setdefault(t.get("space", self.default_space), []).append((key, t))
+            if isinstance(q, dict):
+                col = str(t.get("key", "sparse")).lstrip("#")
+                by_sparse_col.setdefault(col, []).append((key, t))
+            else:
+                by_space.setdefault(t.get("space", self.default_space), []).append((key, t))
         spark = self.records.sparkSession
+        for col, keyed in by_sparse_col.items():
+            self._precompute_sparse(spark, col, keyed)
         for space, keyed in by_space.items():
             qrows = [(i, [float(x) for x in t.get("query")]) for i, (_, t) in enumerate(keyed)]
             qdf = spark.createDataFrame(qrows, "query_id INT, embedding ARRAY<FLOAT>")
@@ -261,10 +289,56 @@ class RankEvaluator:
             return RankDomain(sup, _map_default(d.default, py_fn))
         raise RankError(f"unknown rank operator {op}")
 
+    def _precompute_sparse(self, spark, sparse_col: str, keyed: list) -> None:
+        """Batched sparse top-k for every sparse $knn term over one record
+        column: one postings explode + broadcast-join of ALL query terms
+        (sparse_index_knn.rs semantics; measure = 1 - dot, ascending)."""
+        from pyspark.sql import Window
+
+        from .sparse import sparse_dot_topk
+
+        qrows = [
+            (
+                i,
+                (
+                    [int(x) for x in t["query"]["indices"]],
+                    [float(v) for v in t["query"]["values"]],
+                ),
+            )
+            for i, (_, t) in enumerate(keyed)
+        ]
+        qdf = spark.createDataFrame(
+            qrows,
+            f"query_id INT, {sparse_col} STRUCT<indices: ARRAY<INT>, values: ARRAY<FLOAT>>",
+        )
+        kmax = max(int(t.get("limit", 16)) for _, t in keyed)
+        top = sparse_dot_topk(
+            self.records,
+            qdf,
+            k=kmax,
+            id_col=self.id_col,
+            sparse_col=sparse_col,
+            round_decimals=None,
+        ).withColumn("__measure", F.lit(1.0) - F.col("score"))
+        w = Window.partitionBy("query_id").orderBy(F.col("__measure").asc(), F.col(self.id_col).asc())
+        top = top.withColumn("rank", F.row_number().over(w).cast("long"))
+        if len(keyed) > 1:
+            top = top.persist()
+        for i, (key, t) in enumerate(keyed):
+            limit = int(t.get("limit", 16))
+            rr = bool(t.get("return_rank", False))
+            score = (F.col("rank") - 1).cast("double") if rr else F.col("__measure")
+            self._knn_cache[key] = (
+                top.filter((F.col("query_id") == i) & (F.col("rank") <= limit))
+                .select(F.col(self.id_col).alias("id"), score.alias("score"))
+            )
+
     def _knn(self, arg: dict[str, Any]) -> RankDomain:
         qvec = arg.get("query")
-        if not isinstance(qvec, (list, tuple)) or not qvec:
-            raise RankError("$knn requires a dense query vector")
+        if not self._valid_query(qvec):
+            raise RankError(
+                "$knn requires a dense query vector or a sparse {indices, values} dict"
+            )
         default = arg.get("default")
         sup = self._knn_cache.get(self._knn_key(arg))
         if sup is None:  # evaluated outside evaluate() — fall back to batch-of-one

@@ -536,6 +536,82 @@ def sparse_dot_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparse_dot_topk(sv, queries, k=10)
 
 
+@register(
+    "rank_hybrid_sparse",
+    "WITH "
+    + f"""__toks AS (
+  SELECT doc_id AS id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')) AS term
+  FROM documents
+),
+__post AS (
+  SELECT id, CAST({_MD5_IDX_SQL} AS INT) AS idx, CAST(count(*) AS DOUBLE) AS w
+  FROM __toks GROUP BY id, idx
+),
+__q AS (SELECT idx, w AS q_w FROM __post WHERE id = 0),
+__rec AS (SELECT DISTINCT p.id FROM __post p JOIN embeddings e ON p.id = e.vec_id),
+__sc AS (
+  SELECT p.id, 1.0 - sum(p.w * q.q_w) AS measure
+  FROM __post p JOIN __q q ON p.idx = q.idx
+  WHERE p.id IN (SELECT id FROM __rec)
+  GROUP BY p.id
+),
+kb AS (
+  SELECT id, measure, rn FROM (
+    SELECT id, measure, row_number() OVER (ORDER BY measure ASC, id ASC) AS rn FROM __sc
+  ) WHERE rn <= 20
+),
+"""
+    + _knn_cte(
+        "ka",
+        "cosine",
+        0,
+        20,
+        "SELECT vec_id AS id, embedding FROM embeddings WHERE vec_id IN (SELECT id FROM __rec)",
+    )
+    + """
+SELECT coalesce(ka.id, kb.id) AS id,
+       (round(coalesce(0.5 * ka.dist, 1.0) + coalesce(0.5 * kb.measure, 1.0), 6) + 0.0) AS score
+FROM ka FULL OUTER JOIN kb ON ka.id = kb.id""",
+)
+def rank_hybrid_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid dense+sparse rank fusion — the reference's headline search
+    shape (RankExpr::Knn over QueryVector::Sparse, operator.rs:848-866;
+    sparse measure = 1 - dot, sparse_index_knn.rs:85-88): weighted sum of a
+    cosine dense KNN and a sparse dot-product KNN over one record set."""
+    from .operators.rank import RankEvaluator, finalize_scores
+    from .operators.sparse import build_sparse
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.col("text").alias("document")
+    )
+    sv = build_sparse(docs, _SPARSE_DIM)
+    emb = load(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("id"), "embedding")
+    records = emb.join(sv, "id")
+    q0 = sv.filter(F.col("id") == 0).select("sparse.indices", "sparse.values").head()
+    sparse_query = {
+        "indices": [int(i) for i in q0["indices"]],
+        "values": [float(v) for v in q0["values"]],
+    }
+    expr = {
+        "$sum": [
+            {
+                "$mul": [
+                    {"$val": 0.5},
+                    {"$knn": {"query": _qvec(spark, sf_dir, 0), "limit": 20, "space": "cosine", "default": 2.0}},
+                ]
+            },
+            {
+                "$mul": [
+                    {"$val": 0.5},
+                    {"$knn": {"query": sparse_query, "key": "sparse", "limit": 20, "default": 2.0}},
+                ]
+            },
+        ]
+    }
+    ev = RankEvaluator(records)
+    return finalize_scores(ev.evaluate(expr))
+
+
 # --- Dedup suite (training-data pipeline ops; BASELINE.json north star) ---
 
 

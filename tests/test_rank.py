@@ -74,3 +74,64 @@ def test_rrf_validation():
         rrf([{"query": [0.1]}], weights=[-1.0])
     with pytest.raises(RankError):
         rrf([{"query": [0.1]}], weights=[0.0], normalize=True)
+
+
+def test_sparse_knn_term(spark):
+    """Sparse $knn: measure = 1 - dot (sparse_index_knn.rs:85-88), support
+    limited to records sharing >= 1 term with the query, limit respected."""
+    from chroma_spark.operators.rank import RankEvaluator, finalize_scores
+
+    records = spark.createDataFrame(
+        [
+            (1, ([0, 2], [1.0, 2.0])),
+            (2, ([2, 5], [3.0, 1.0])),
+            (3, ([7], [4.0])),          # shares no term with the query
+            (4, ([0], [0.5])),
+        ],
+        "id BIGINT, sparse STRUCT<indices: ARRAY<INT>, values: ARRAY<FLOAT>>",
+    )
+    expr = {"$knn": {"query": {"indices": [0, 2], "values": [1.0, 1.0]}, "key": "sparse", "limit": 3}}
+    out = {
+        r["id"]: r["score"]
+        for r in finalize_scores(RankEvaluator(records).evaluate(expr)).collect()
+    }
+    # dots: id1 = 1+2 = 3, id2 = 3, id4 = 0.5; id3 excluded (no shared term)
+    assert out == {1: 1.0 - 3.0, 2: 1.0 - 3.0, 4: 1.0 - 0.5}
+
+
+def test_sparse_dense_mixed_batch(spark):
+    """Dense and sparse $knn terms coexist in one expression; sparse
+    return_rank yields 0-based positions ordered by measure asc, id asc."""
+    from chroma_spark.operators.rank import RankEvaluator, finalize_scores
+
+    records = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0], ([0], [5.0])),
+            (2, [3.0, 4.0], ([0], [1.0])),
+            (3, [1.0, 0.0], ([9], [1.0])),
+        ],
+        "id BIGINT, embedding ARRAY<FLOAT>, sparse STRUCT<indices: ARRAY<INT>, values: ARRAY<FLOAT>>",
+    )
+    expr = {
+        "$sum": [
+            {"$knn": {"query": [0.0, 0.0], "limit": 3, "space": "l2", "default": 100.0}},
+            {
+                "$knn": {
+                    "query": {"indices": [0], "values": [1.0]},
+                    "key": "sparse",
+                    "limit": 2,
+                    "return_rank": True,
+                    "default": 10.0,
+                }
+            },
+        ]
+    }
+    out = {
+        r["id"]: r["score"]
+        for r in finalize_scores(RankEvaluator(records).evaluate(expr)).collect()
+    }
+    # dense l2^2? distance(l2) is squared-l2 per reference: id1=0, id2=25, id3=1
+    # sparse ranks: id1 dot=5 -> measure -4 -> rank 0; id2 dot=1 -> rank 1; id3 default 10
+    assert out[1] == pytest.approx(0.0 + 0.0)
+    assert out[2] == pytest.approx(25.0 + 1.0)
+    assert out[3] == pytest.approx(1.0 + 10.0)
