@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "get_page",
     "knn_cosine_exact",
     "rank_rrf",
+    "rank_hybrid_sparse",
     "search_full",
     "bm25_topk",
     "sparse_dot_topk",

@@ -96,6 +96,10 @@ def bm25_topk(
     1-row broadcast join.
     """
     spark = docs.sparkSession
+    # avgdl, tf and df are separate aggregates over the SAME tokenization;
+    # Catalyst re-runs the tokenizer per subtree (no cross-aggregate scan
+    # sharing). That is fine for one-shot scoring; for repeated querying at
+    # scale the persisted sparse index below amortizes tokenization once.
     toks = docs.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
     lengths = toks.select("id", F.size("toks").alias("dl"))
     n_and_avg = lengths.agg(
@@ -107,7 +111,11 @@ def bm25_topk(
         .agg(F.count("*").alias("tf"))
     )
     qterms = spark.createDataFrame([(t,) for t in query_terms], "term STRING")
-    dfreq = doc_frequency(docs, text_col, id_col)
+    dfreq = (
+        toks.select(F.explode(F.array_distinct("toks")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
     qstats = F.broadcast(
         qterms.join(dfreq, "term", "left")
         .crossJoin(F.broadcast(n_and_avg))
