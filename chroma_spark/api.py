@@ -286,10 +286,23 @@ class Collection:
     # state assembly (ReadLevels) + compaction
     # ------------------------------------------------------------------
 
-    def snapshot(self, read_level: str = "index_and_wal") -> DataFrame | None:
-        """Materialized record state as a DataFrame (None when empty)."""
+    def snapshot(
+        self, read_level: str = "index_and_wal", log_bound: int | None = None
+    ) -> DataFrame | None:
+        """Materialized record state as a DataFrame (None when empty).
+
+        ``read_level`` mirrors the reference's ReadLevel
+        (``rust/types/src/execution/plan.rs:553``): ``index_only`` (base
+        only), ``index_and_wal`` (base ∪ full log tail), or
+        ``index_and_bounded_wal`` (base ∪ log where ``seq_id <= log_bound``
+        — bounded-staleness reads; the frontend's log scouting picks the
+        bound, ``service_based_frontend.rs:2833-2852``)."""
+        if read_level == "index_and_bounded_wal" and log_bound is None:
+            raise ValueError("index_and_bounded_wal requires log_bound")
         base = self._store.read_base()
         log = self._store.read_log() if read_level != "index_only" else None
+        if log is not None and read_level == "index_and_bounded_wal":
+            log = log.filter(F.col("seq_id") <= int(log_bound))
         if log is None:
             return base
         if base is None:

@@ -89,6 +89,19 @@ def test_query_knn_and_read_levels(client):
     col.add(ids=["e"], embeddings=[[0.9, 0, 0, 0]])
     assert col.count() == 4
     assert col.count(read_level="index_only") == 3
+    # bounded-staleness read: WAL tail cut at a scouted seq_id
+    col.add(ids=["f"], embeddings=[[0.8, 0, 0, 0]])
+    full = col.snapshot("index_and_wal")
+    tail_seqs = sorted(
+        r["seq_id"] for r in col._store.read_log().select("seq_id").collect()
+    )
+    bounded = col.snapshot("index_and_bounded_wal", log_bound=tail_seqs[0])
+    assert bounded.count() == 4  # "e" visible, "f" (later seq) not
+    assert full.count() == 5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        col.snapshot("index_and_bounded_wal")
 
 
 def test_compact_then_same_results(client):

@@ -78,3 +78,22 @@ def test_get_page_offset_limit_no_full_sort_shuffle(spark):
     # rangepartitioned single-pass plan, not repeated shuffles
     plan = _plan(QUERIES["get_page"].fn(spark, SF_SMALL))
     assert plan.count("Exchange") <= 2, f"pagination shuffles too much:\n{plan[:500]}"
+
+
+def test_ungrouped_topk_is_take_ordered(spark):
+    # ungrouped top-k must compile to TakeOrderedAndProject (per-partition
+    # heap + driver merge), not an all-rows-to-one-partition window
+    from chroma_spark.operators.topk import topk_per_group
+
+    df = load(spark, SF_SMALL, "documents").select(
+        "doc_id", F.col("n_chars").cast("double").alias("score")
+    )
+    out = topk_per_group(df, [], [F.col("score").desc(), F.col("doc_id").asc()], 5)
+    assert "TakeOrderedAndProject" in _plan(out)
+
+
+def test_sparse_rank_broadcasts_query_terms(spark):
+    # the sparse $knn postings join must broadcast the (tiny) query-term
+    # side; the record/postings side must never shuffle for the join
+    plan = _plan(QUERIES["rank_hybrid_sparse"].fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
