@@ -60,7 +60,8 @@ def _train_centroids_numpy(
     sample = records.select(vec_col)
     if frac < 1.0:
         sample = sample.sample(fraction=min(1.0, frac * 1.2), seed=seed).limit(max_sample)
-    x = np.array(sample.rdd.map(lambda r: r[0]).collect(), dtype=np.float64)
+    # Arrow-batched transfer (columnar), not the pickled RDD collect path
+    x = np.stack(sample.toPandas().iloc[:, 0].to_numpy()).astype(np.float64)
     k = min(n_lists, len(x))
 
     def _one_run(run_seed: int):
