@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "statistics_value_freq",
     "log_materialize_events",
     "events_hourly_window",
+    "events_sessionize",
     "pricing_summary",
     "top_customers",
 ]

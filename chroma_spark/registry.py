@@ -774,6 +774,41 @@ def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_sessionize",
+    """
+WITH e AS (
+  SELECT user_id, CAST(epoch_ns(ts) // 1000 AS BIGINT) AS tsu, event_id, value FROM events
+), o AS (
+  SELECT user_id, tsu, event_id, value,
+         CASE WHEN lag(tsu) OVER w IS NULL
+              OR tsu - lag(tsu) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+), s AS (
+  SELECT user_id, tsu, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM o
+)
+SELECT user_id, CAST(min(tsu) AS BIGINT) AS session_start_us,
+       CAST(max(tsu) + 1800000000 AS BIGINT) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       (round(sum(value), 6) + 0.0) AS total_value
+FROM s GROUP BY user_id, sid""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) with Spark's native
+    session_window; oracle is the classic gaps-and-islands SQL. A training
+    -data event pipeline's sessionizer — beyond the reference surface
+    (SURVEY §2.8: no event-time windows exist there)."""
+    from .streaming.windows import sessionize
+
+    ev = _load_events(spark, sf_dir).select(
+        "user_id", F.expr("ts div 1000").cast("bigint").alias("tsu"), "value"
+    )
+    return sessionize(ev, gap="30 minutes")
+
+
 # --- General analytics anchors for bench (free from Spark; SURVEY §2.5
 # notes these are out of the reference surface — they anchor BENCH numbers) ---
 

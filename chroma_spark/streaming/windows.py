@@ -95,3 +95,43 @@ def running_user_stats(events: DataFrame, key_col: str = "user_id", value_col: s
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    ts_micros_col: str = "tsu",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-based sessionization via Spark's native ``session_window``.
+
+    The streaming-capable form of gaps-and-islands. Spark merges sessions
+    whose windows touch INCLUSIVELY (an event exactly ``gap`` after the
+    previous one still extends the session); a new session starts only when
+    the gap is strictly greater than ``gap``. One shuffle on the session key; in
+    streaming the same expression composes with ``withWatermark`` and the
+    state store holds only open sessions.
+
+    Input needs ``ts_micros_col`` as epoch MICROS (BIGINT) — timezone-free
+    and exactly comparable across engines. Output:
+    ``(key, session_start_us, session_end_us, n_events, total_value)``
+    with ``session_end_us = last event + gap`` (Spark's window end).
+    """
+    tsm = F.timestamp_micros(F.col(ts_micros_col))
+    return (
+        events.groupBy(
+            F.col(key_col), F.session_window(tsm, gap).alias("w")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.round(F.sum(value_col), 6) + F.lit(0.0)).alias("total_value"),
+        )
+        .select(
+            key_col,
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )

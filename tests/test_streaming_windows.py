@@ -107,3 +107,31 @@ def test_running_user_stats_state_persists_across_triggers(spark, tmp_path):
     # state carried: user 1 = 2 (batch1) + 1 (batch2), user 2 = 1 + 1
     assert latest[1] == (3, 7.0)
     assert latest[2] == (2, 8.0)
+
+
+def test_sessionize_gap_boundary(spark):
+    """Spark merges at the exact-gap boundary (inclusive windows); a new
+    session starts only when the gap is STRICTLY greater than the session
+    gap — the oracle's gaps-and-islands break uses > accordingly."""
+    from chroma_spark.streaming.windows import sessionize
+
+    gap_us = 30 * 60 * 1_000_000
+    rows = [
+        (1, 0, 1.0),
+        (1, gap_us, 2.0),                # exactly gap after -> SAME session
+        (1, 2 * gap_us + 1, 4.0),        # gap+1 after prev -> new session
+        (2, 0, 8.0),
+    ]
+    out = sessionize(
+        spark.createDataFrame(rows, "user_id INT, tsu BIGINT, value DOUBLE"),
+        gap="30 minutes",
+    ).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    s1 = sorted(by_user[1], key=lambda r: r["session_start_us"])
+    assert len(s1) == 2
+    assert s1[0]["n_events"] == 2 and s1[0]["total_value"] == 3.0
+    assert s1[0]["session_end_us"] == 2 * gap_us  # last event + gap
+    assert s1[1]["n_events"] == 1 and s1[1]["total_value"] == 4.0
+    assert len(by_user[2]) == 1 and by_user[2][0]["n_events"] == 1
