@@ -197,6 +197,20 @@ def get_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page(coll, [F.col("id").asc()], offset=17, limit=23).select("id", "n_chars")
 
 
+@register(
+    "peek_first_n",
+    COLL_SQL + "SELECT id, lang, n_chars FROM coll ORDER BY id LIMIT 12",
+)
+def peek_first_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """peek = first N records by insertion order (Collection.py:194; the
+    internal offset id orders get-pagination, limit.rs:23-36 — id doubles
+    as the insertion offset in this collection view)."""
+    from .operators.limit import page
+
+    coll = collection_df(spark, sf_dir)
+    return page(coll, [F.col("id").asc()], limit=12).select("id", "lang", "n_chars")
+
+
 # --- count (SURVEY §2.5 count_records) ---
 
 
