@@ -425,7 +425,7 @@ class Collection:
         if ids is not None:
             snap = snap.filter(F.col("id").isin([str(i) for i in ids]))
         if where is not None:
-            snap = snap.filter(where_to_column(where))
+            snap = snap.filter(where_to_column(where, known_keys=frozenset(snap.columns)))
         if where_document is not None:
             snap = snap.filter(where_doc_to_column(where_document))
         snap = snap.orderBy("id")
@@ -468,7 +468,7 @@ class Collection:
         if ids is not None:
             snap = snap.filter(F.col("id").isin([str(i) for i in ids]))
         if where is not None:
-            snap = snap.filter(where_to_column(where))
+            snap = snap.filter(where_to_column(where, known_keys=frozenset(snap.columns)))
         if where_document is not None:
             snap = snap.filter(where_doc_to_column(where_document))
         spark = self._client.spark

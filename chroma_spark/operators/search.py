@@ -44,7 +44,9 @@ def search(
     """Run a Search payload; returns records (+ ``score`` when ranked)."""
     candidates = records
     if where is not None:
-        candidates = candidates.filter(where_to_column(where, array_keys))
+        candidates = candidates.filter(
+            where_to_column(where, array_keys, known_keys=frozenset(records.columns))
+        )
     if where_document is not None:
         candidates = candidates.filter(where_doc_to_column(where_document, doc_col))
 

@@ -109,6 +109,13 @@ def register(name: str, oracle: str | None = None):
 
 
 ARRAY_KEYS = frozenset({"m_tags"})
+# the collection view's column set — threading it through the compilers
+# exercises the absent-key semantics (a key never written to the collection
+# fails positive ops and matches $ne/$nin, test_filtering.py:59-66)
+COLL_KEYS = frozenset(
+    {"id", "document", "lang", "source", "n_chars", "label", "embedding",
+     "m_src", "m_score", "m_bool", "m_tags"}
+)
 
 
 def _where_query(name: str, where: dict, out_cols: list[str]) -> None:
@@ -117,10 +124,14 @@ def _where_query(name: str, where: dict, out_cols: list[str]) -> None:
     from .where import where_to_column, where_to_sql
 
     def fn(spark: SparkSession, sf_dir: str, _w=where, _cols=tuple(out_cols)) -> DataFrame:
-        return collection_df(spark, sf_dir).filter(where_to_column(_w, ARRAY_KEYS)).select(*_cols)
+        return (
+            collection_df(spark, sf_dir)
+            .filter(where_to_column(_w, ARRAY_KEYS, known_keys=COLL_KEYS))
+            .select(*_cols)
+        )
 
     cols = ", ".join(f'"{c}"' for c in out_cols)
-    sql = f"{COLL_SQL} SELECT {cols} FROM coll WHERE {where_to_sql(where, ARRAY_KEYS)}"
+    sql = f"{COLL_SQL} SELECT {cols} FROM coll WHERE {where_to_sql(where, ARRAY_KEYS, known_keys=COLL_KEYS)}"
     QUERIES[name] = Query(fn, sql)
 
 
@@ -163,6 +174,22 @@ _where_query(
 )
 _where_query("where_array_contains", {"m_tags": {"$contains": "spark"}}, ["id"])
 _where_query("where_array_not_contains", {"m_tags": {"$not_contains": "table"}}, ["id"])
+# keys never written to the collection: $ne/$nin MATCH, positive ops fail —
+# the compilers constant-fold them instead of raising AnalysisException
+# (reference oracle test_filtering.py:59-66; VERDICT r1 "What's wrong" #2)
+_where_query(
+    "where_ne_absent_key",
+    {
+        "$and": [
+            {"never_written": {"$ne": "x"}},          # absent -> matches
+            {"also_absent": {"$nin": ["a", "b"]}},    # absent -> matches
+            {"lang": {"$eq": "en"}},
+            {"$or": [{"ghost_key": {"$gt": 5}},       # absent -> fails
+                     {"m_bool": {"$eq": True}}]},
+        ]
+    },
+    ["id", "lang", "m_bool"],
+)
 
 # --- WhereDocument suite ---
 
@@ -214,15 +241,29 @@ def peek_first_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- count (SURVEY §2.5 count_records) ---
 
 
-@register(
-    "count_records",
-    COLL_SQL + "SELECT CAST(count(*) AS BIGINT) AS n FROM coll WHERE (\"lang\" IS NOT NULL AND \"lang\" != 'en')",
-)
+def _count_records_oracle() -> str:
+    from .where import where_to_sql
+
+    # oracle built by the twin compiler, not hand-written SQL — the two
+    # sides can never drift on the missing-key-matches-$ne semantics
+    return (
+        COLL_SQL
+        + "SELECT CAST(count(*) AS BIGINT) AS n FROM coll WHERE "
+        + where_to_sql({"lang": {"$ne": "en"}}, ARRAY_KEYS, known_keys=COLL_KEYS)
+    )
+
+
+@register("count_records", None)
 def count_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .where import where_to_column
 
-    coll = collection_df(spark, sf_dir).filter(where_to_column({"lang": {"$ne": "en"}}))
+    coll = collection_df(spark, sf_dir).filter(
+        where_to_column({"lang": {"$ne": "en"}}, ARRAY_KEYS, known_keys=COLL_KEYS)
+    )
     return coll.agg(F.count("*").alias("n"))
+
+
+QUERIES["count_records"].oracle = _count_records_oracle()
 
 
 # --- Dense exact KNN (SURVEY §2.3; oracle invariants.py:207-226) ---
@@ -932,12 +973,19 @@ ORDER BY dist ASC, d0.id ASC LIMIT {k}"""
     sef = Bm25SparseEmbeddingFunction(k1=k1, b=b_, avg_len=avg_len, dim=sdim)
 
     def sparse_fn(spark, sf_dir):
+        # Exploded to scalar (id, idx, val) rows: the driver's canonicalizer
+        # sorts columns before hashing, and list-valued cells are unhashable.
         emb = _docs_df(spark, sf_dir).withColumn("sv", sef.embed_column(F.col("document")))
         return emb.select(
             "id",
-            F.col("sv.indices").alias("indices"),
-            F.transform(F.col("sv.values"), lambda v: F.round(v, 6) + F.lit(0.0)).alias("vals"),
-        ).filter(F.size("indices") > 0)
+            F.explode(
+                F.arrays_zip(F.col("sv.indices").alias("idx"), F.col("sv.values").alias("val"))
+            ).alias("p"),
+        ).select(
+            "id",
+            F.col("p.idx").alias("idx"),
+            (F.round(F.col("p.val"), 6) + F.lit(0.0)).alias("val"),
+        )
 
     from .functions.text import md5_long_sql, tokens_sql
 
@@ -951,9 +999,9 @@ __tf AS (
   SELECT id, {md5_long_sql("tok")} % {sdim} AS b, count(*) AS tf, any_value(dl) AS dl
   FROM __t GROUP BY id, b
 )
-SELECT id, array_agg(b ORDER BY b) AS indices,
-       array_agg(round(tf * ({k1!r} + 1) / (tf + {k1!r} * (1 - {b_!r} + {b_!r} * dl / {avg_len!r})), 6) + 0.0 ORDER BY b) AS vals
-FROM __tf GROUP BY id"""
+SELECT id, b AS idx,
+       (round(tf * ({k1!r} + 1) / (tf + {k1!r} * (1 - {b_!r} + {b_!r} * dl / {avg_len!r})), 6) + 0.0) AS val
+FROM __tf"""
     QUERIES["embed_bm25_doc_vectors"] = Query(sparse_fn, sparse_sql)
 
 

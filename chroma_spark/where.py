@@ -96,18 +96,33 @@ def _validate_op(op: str, val: Any, key: str, array_keys: AbstractSet[str]) -> N
 # ---------------------------------------------------------------------------
 
 
-def where_to_column(where: dict[str, Any], array_keys: AbstractSet[str] = frozenset()) -> Column:
-    """Compile a Where dict into a Spark ``Column`` predicate."""
+_NEGATIVE_OPS = frozenset({"$ne", "$nin", "$not_contains"})
+
+
+def where_to_column(
+    where: dict[str, Any],
+    array_keys: AbstractSet[str] = frozenset(),
+    known_keys: AbstractSet[str] | None = None,
+) -> Column:
+    """Compile a Where dict into a Spark ``Column`` predicate.
+
+    ``known_keys`` is the collection's column set; a key never written to the
+    collection has no column at all, and the oracle semantics
+    (``chromadb/test/property/test_filtering.py:59-66``) say it fails every
+    positive op and MATCHES ``$ne``/``$nin``/``$not_contains`` — so unknown
+    keys compile to constant FALSE/TRUE instead of an AnalysisException.
+    Pass ``None`` (default) to skip the check (caller guarantees columns).
+    """
     if not isinstance(where, dict) or len(where) == 0:
         raise WhereError("where must be a non-empty dict")
     if len(where) > 1:
         # implicit $and over multiple keys (chroma accepts a multi-key dict)
-        return _and_all([where_to_column({k: v}, array_keys) for k, v in where.items()])
+        return _and_all([where_to_column({k: v}, array_keys, known_keys) for k, v in where.items()])
     [(key, operand)] = where.items()
     if key in ("$and", "$or"):
         if not isinstance(operand, list) or not operand:
             raise WhereError(f"{key} expects a non-empty list")
-        parts = [where_to_column(w, array_keys) for w in operand]
+        parts = [where_to_column(w, array_keys, known_keys) for w in operand]
         return _and_all(parts) if key == "$and" else _or_all(parts)
     if not isinstance(operand, dict):
         _validate_scalar(operand)
@@ -116,6 +131,8 @@ def where_to_column(where: dict[str, Any], array_keys: AbstractSet[str] = frozen
         raise WhereError("operator object must have exactly one op")
     [(op, val)] = operand.items()
     _validate_op(op, val, key, array_keys)
+    if known_keys is not None and key not in known_keys:
+        return F.lit(op in _NEGATIVE_OPS)
     c = F.col(key)
     if key in array_keys or op in _ARRAY_OPS:
         if op == "$contains":
@@ -184,22 +201,28 @@ def _or_all(parts: list[Column]) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def where_to_sql(where: dict[str, Any], array_keys: AbstractSet[str] = frozenset()) -> str:
+def where_to_sql(
+    where: dict[str, Any],
+    array_keys: AbstractSet[str] = frozenset(),
+    known_keys: AbstractSet[str] | None = None,
+) -> str:
     """Compile the same Where dict to a DuckDB boolean SQL expression."""
     if not isinstance(where, dict) or len(where) == 0:
         raise WhereError("where must be a non-empty dict")
     if len(where) > 1:
-        return "(" + " AND ".join(where_to_sql({k: v}, array_keys) for k, v in where.items()) + ")"
+        return "(" + " AND ".join(where_to_sql({k: v}, array_keys, known_keys) for k, v in where.items()) + ")"
     [(key, operand)] = where.items()
     if key in ("$and", "$or"):
         if not isinstance(operand, list) or not operand:
             raise WhereError(f"{key} expects a non-empty list")
         joiner = " AND " if key == "$and" else " OR "
-        return "(" + joiner.join(where_to_sql(w, array_keys) for w in operand) + ")"
+        return "(" + joiner.join(where_to_sql(w, array_keys, known_keys) for w in operand) + ")"
     if not isinstance(operand, dict):
         operand = {"$eq": operand}
     [(op, val)] = operand.items()
     _validate_op(op, val, key, array_keys)
+    if known_keys is not None and key not in known_keys:
+        return "TRUE" if op in _NEGATIVE_OPS else "FALSE"
     q = f'"{key}"'
     if key in array_keys or op in _ARRAY_OPS:
         if op == "$contains":
@@ -237,6 +260,86 @@ def where_doc_to_sql(wd: dict[str, Any], doc_col: str = "document") -> str:
     if op == "$not_regex":
         validate_regex(val)
         return f"NOT regexp_matches({doc}, {_sql_lit(val)})"
+    raise WhereError(f"unknown document operator {op}")
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python evaluator (the third twin): evaluates a Where dict against one
+# record's metadata dict with the exact oracle semantics of
+# ``chromadb/test/property/test_filtering.py:32-85``. Used by the
+# materializer to fold DELETE-WHERE log records (the reference stores the
+# predicate, not the matched-id expansion) and by the hypothesis suites as a
+# model to check the two compilers against.
+# ---------------------------------------------------------------------------
+
+
+def _num_eq(a: Any, b: Any) -> bool:
+    """Cross-type int/float equality, but bool is its own type (the
+    reference's MetadataValue keeps Bool distinct, ``metadata.rs:659-682``)."""
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    return type(a) is type(b) or (isinstance(a, (int, float)) and isinstance(b, (int, float)))
+
+
+def where_matches(record: dict[str, Any], where: dict[str, Any],
+                  array_keys: AbstractSet[str] = frozenset()) -> bool:
+    """Does ``record`` (metadata dict; absent/None values = missing key)
+    satisfy ``where``?"""
+    if not isinstance(where, dict) or len(where) == 0:
+        raise WhereError("where must be a non-empty dict")
+    if len(where) > 1:
+        return all(where_matches(record, {k: v}, array_keys) for k, v in where.items())
+    [(key, operand)] = where.items()
+    if key == "$and":
+        return all(where_matches(record, w, array_keys) for w in operand)
+    if key == "$or":
+        return any(where_matches(record, w, array_keys) for w in operand)
+    if not isinstance(operand, dict):
+        _validate_scalar(operand)
+        operand = {"$eq": operand}
+    [(op, val)] = operand.items()
+    _validate_op(op, val, key, array_keys)
+    v = record.get(key)
+    missing = v is None
+    if key in array_keys or op in _ARRAY_OPS:
+        if op == "$contains":
+            return not missing and val in v
+        return missing or val not in v
+    if op == "$eq":
+        return not missing and _num_eq(v, val) and v == val
+    if op == "$ne":
+        return missing or not (_num_eq(v, val) and v == val)
+    if op == "$in":
+        return not missing and any(_num_eq(v, x) and v == x for x in val)
+    if op == "$nin":
+        return missing or not any(_num_eq(v, x) and v == x for x in val)
+    # range ops: key must exist and be type-comparable
+    if missing or not _num_eq(v, val):
+        return False
+    return {"$gt": v > val, "$gte": v >= val, "$lt": v < val, "$lte": v <= val}[op]
+
+
+def where_doc_matches(document: str | None, wd: dict[str, Any]) -> bool:
+    """WhereDocument twin of :func:`where_matches` (empty/missing doc:
+    ``$contains`` -> False, ``$not_contains`` -> True)."""
+    import re
+
+    [(op, val)] = wd.items()
+    if op == "$and":
+        return all(where_doc_matches(document, w) for w in val)
+    if op == "$or":
+        return any(where_doc_matches(document, w) for w in val)
+    doc = document or ""
+    if op == "$contains":
+        return val in doc
+    if op == "$not_contains":
+        return val not in doc
+    if op == "$regex":
+        validate_regex(val)
+        return re.search(val, doc) is not None
+    if op == "$not_regex":
+        validate_regex(val)
+        return re.search(val, doc) is None
     raise WhereError(f"unknown document operator {op}")
 
 

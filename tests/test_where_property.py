@@ -141,31 +141,38 @@ _KEY_POOLS = {
 }
 
 
-def _leaf():
+def _leaf(pools=_KEY_POOLS):
     def build(key, draw_op, val):
         return {key: val} if draw_op == "short" else {key: {draw_op: val}}
 
     def typed(key):
-        pool = _KEY_POOLS[key]
+        pool = pools[key]
         scalar = st.sampled_from(pool)
         ops = ["short", "$eq", "$ne", "$in", "$nin"]
-        if key in ("i", "f", "s"):
+        if key != "b":
             ops += ["$gt", "$gte", "$lt", "$lte"]
         return st.tuples(st.sampled_from(ops), scalar, st.lists(scalar, min_size=1, max_size=3)).map(
             lambda t: build(key, t[0], t[2] if t[0] in ("$in", "$nin") else t[1])
         )
 
-    return st.sampled_from(list(_KEY_POOLS)).flatmap(typed)
+    return st.sampled_from(list(pools)).flatmap(typed)
 
 
-def _where():
+def _where(pools=_KEY_POOLS):
     return st.recursive(
-        _leaf(),
+        _leaf(pools),
         lambda children: st.tuples(
             st.sampled_from(["$and", "$or"]), st.lists(children, min_size=1, max_size=3)
         ).map(lambda t: {t[0]: t[1]}),
         max_leaves=5,
     )
+
+
+# pools including a key NEVER present in the record schema: positive ops on
+# it must fail, $ne/$nin must match (test_filtering.py:59-66); the compilers
+# constant-fold it via known_keys instead of raising AnalysisException
+_ABSENT_POOLS = {**_KEY_POOLS, "zz_absent": ["red", "blue"]}
+_KNOWN = frozenset({"id", "i", "f", "s", "b", "document"})
 
 
 def _where_doc():
@@ -224,6 +231,47 @@ def test_spark_doc_compiler_matches_python_oracle(sdf, wd):
     expect = {r["id"] for r in RECORDS if py_doc_matches(r, wd)}
     got = {row["id"] for row in sdf.filter(where_doc_to_column(wd)).select("id").collect()}
     assert got == expect, f"clause {wd}"
+
+
+@settings(max_examples=200, deadline=None)
+@given(w=_where(_ABSENT_POOLS))
+def test_absent_key_duckdb_twin(duck_con, w):
+    """known_keys compilation: clauses over a key absent from the schema
+    agree with the pure-Python missing-key semantics."""
+    expect = {r["id"] for r in RECORDS if py_matches(r, w)}
+    sql = where_to_sql(w, known_keys=_KNOWN)
+    got = {row[0] for row in duck_con.execute(f"SELECT id FROM r WHERE {sql}").fetchall()}
+    assert got == expect, f"clause {w}"
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(w=_where(_ABSENT_POOLS))
+def test_absent_key_spark_compiler(sdf, w):
+    expect = {r["id"] for r in RECORDS if py_matches(r, w)}
+    col = where_to_column(w, known_keys=_KNOWN)
+    got = {row["id"] for row in sdf.filter(col).select("id").collect()}
+    assert got == expect, f"clause {w}"
+
+
+@settings(max_examples=200, deadline=None)
+@given(w=_where(_ABSENT_POOLS))
+def test_where_matches_evaluator(w):
+    """The engine's own pure-Python evaluator (where.where_matches, used to
+    fold DELETE-WHERE log records) agrees with this test's independent
+    oracle implementation."""
+    from chroma_spark.where import where_matches
+
+    for r in RECORDS:
+        assert where_matches(r, w) == py_matches(r, w), f"clause {w} record {r}"
+
+
+@settings(max_examples=100, deadline=None)
+@given(wd=_where_doc())
+def test_where_doc_matches_evaluator(wd):
+    from chroma_spark.where import where_doc_matches
+
+    for r in RECORDS:
+        assert where_doc_matches(r.get("document"), wd) == py_doc_matches(r, wd), f"clause {wd}"
 
 
 @settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
