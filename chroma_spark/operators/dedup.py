@@ -149,6 +149,49 @@ SELECT id_a, id_b, jac FROM (
 ) WHERE jac >= {threshold!r}"""
 
 
+def jaccard_prefix_candidates(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    text_col: str = "document",
+    id_col: str = "id",
+) -> DataFrame:
+    """EXACT candidate pairs for Jaccard >= threshold via prefix filtering
+    (the AllPairs/PPJoin principle): order every set by a global total order
+    (document frequency ascending, shingle ascending) and join only each
+    set's first ``|S| - ceil(t*|S|) + 1`` shingles — two sets with
+    Jaccard >= t MUST share a prefix element, so recall is 1.0 while the
+    join touches only rare shingles. This replaces the quadratic
+    shared-shingle self-join (quadratic in per-shingle doc frequency) with
+    a bounded one at any corpus size; no global rank is materialized — the
+    total order is just the per-doc window comparator.
+    """
+    from pyspark.sql import Window
+
+    sh = shingles(docs, n, text_col, id_col)
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("__df"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("__sz"))
+    w = Window.partitionBy("id").orderBy(F.col("__df").asc(), F.col("sh").asc())
+    prefix = (
+        sh.join(dfreq, "sh")
+        .join(sizes, "id")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(
+            F.col("__rn")
+            <= F.col("__sz") - F.ceil(F.lit(float(threshold)) * F.col("__sz")) + 1
+        )
+        .select("id", "sh")
+    )
+    a = prefix.select(F.col("id").alias("id_a"), "sh")
+    b = prefix.select(F.col("id").alias("id_b"), "sh")
+    return (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -300,8 +343,8 @@ def simhash_pairs(
 ) -> DataFrame:
     """``(id_a, id_b, hamming)`` pairs within ``max_hamming``.
 
-    All-pairs comparison (verification scale); the 100-TB path buckets by
-    signature bit-bands first, same as minhash LSH.
+    All-pairs comparison — the pytest cross-check oracle for
+    :func:`simhash_pairs_banded`, which is the registered/scale path.
     """
     sig = simhash_signatures(docs, bits, text_col, id_col)
     a = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sa"))
@@ -315,6 +358,60 @@ def simhash_pairs(
             F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("bigint").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs_banded(
+    docs: DataFrame,
+    max_hamming: int,
+    bits: int = SIMHASH_BITS,
+    text_col: str = "document",
+    id_col: str = "id",
+    bands: int | None = None,
+) -> DataFrame:
+    """Scale-safe simhash pairs — EXACT, no CartesianProduct.
+
+    The signature is cut into ``bands`` (default ``max_hamming + 1``)
+    bit-bands; two signatures within ``max_hamming`` differing bits must
+    share at least one band unchanged (pigeonhole), so an equi-join on
+    ``(band, band_bits)`` generates a candidate superset with perfect
+    recall, and the exact hamming filter then reproduces the all-pairs
+    result verbatim. The shuffle key is the band value — uniformly
+    distributed by construction — so this is one bucketed self-join at any
+    corpus size.
+    """
+    bands = bands or (max_hamming + 1)
+    if bands <= max_hamming:
+        raise ValueError("bands must exceed max_hamming for exact recall (pigeonhole)")
+    sig = simhash_signatures(docs, bits, text_col, id_col)
+    width, rem = divmod(bits, bands)
+    spans, start = [], 0
+    for b in range(bands):
+        w = width + (1 if b < rem else 0)
+        spans.append((start, w))
+        start += w
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1)).alias("bv"),
+        )
+        for b, (off, w) in enumerate(spans)
+    ]
+    banded = sig.select(
+        "id", "simhash", F.explode(F.array(*band_structs)).alias("x")
+    ).select("id", "simhash", F.col("x.band").alias("band"), F.col("x.bv").alias("bv"))
+    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sa"), "band", "bv")
+    b2 = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sb"), "band", "bv")
+    return (
+        a.join(b2, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair may collide in several bands
     )
 
 
@@ -376,3 +473,155 @@ SELECT id_a, id_b, dist FROM (
   SELECT a.id AS id_a, b.id AS id_b, (round({d}, 6) + 0.0) AS dist
   FROM ({records_sql}) a JOIN ({records_sql}) b ON a.id < b.id
 ) ORDER BY dist ASC, id_a ASC, id_b ASC LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Banded (sign-LSH) embedding near-dup — the scale path. Deterministic
+# random-hyperplane signs are generated once in Python and shared VERBATIM
+# by the Spark expression and the SQL twin, so the two sides band
+# identically and the oracle gate is exact even though the algorithm is
+# approximate vs all-pairs (recall is pytest-measured on planted dups).
+# ---------------------------------------------------------------------------
+
+
+def _lsh_signs(n_bits: int, dim: int, seed: int = 0x51E9) -> list[list[float]]:
+    rnd = __import__("random").Random(seed)
+    return [[1.0 if rnd.random() < 0.5 else -1.0 for _ in range(dim)] for _ in range(n_bits)]
+
+
+def _band_spans(n_bits: int, bands: int) -> list[list[int]]:
+    width, rem = divmod(n_bits, bands)
+    out, start = [], 0
+    for b in range(bands):
+        w = width + (1 if b < rem else 0)
+        out.append(list(range(start, start + w)))
+        start += w
+    return out
+
+
+def embedding_neardup_banded(
+    records: DataFrame,
+    threshold: float,
+    dim: int,
+    n_bits: int = 16,
+    bands: int = 4,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs ``(id_a, id_b, dist)`` with cosine distance <=
+    ``threshold`` among sign-LSH candidates — no CartesianProduct.
+
+    bit_j = sign of <v, r_j> for seeded ±1 hyperplanes r_j (rounded to 6
+    decimals before the sign so both engines agree bit-for-bit); bits are
+    grouped into ``bands`` band values; candidates are pairs sharing any
+    band (one equi-join on (band, value)); candidates are verified with the
+    exact cosine distance. For true near-dups (small angle) per-bit
+    agreement is ~1 - theta/pi, so recall approaches 1 with a few bands;
+    random pairs rarely share a band, which is what removes the quadratic
+    blow-up at 100 TB.
+    """
+    from ..functions.distance import cosine
+
+    signs = _lsh_signs(n_bits, dim)
+    bits = []
+    for j in range(n_bits):
+        sj = F.array(*[F.lit(s) for s in signs[j]])
+        dotj = F.aggregate(
+            F.zip_with(F.col(vec_col), sj, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append((F.round(dotj, 6) > 0).cast("long"))
+    band_structs = []
+    for b, span in enumerate(_band_spans(n_bits, bands)):
+        bv = F.lit(0).cast("long")
+        for r, j in enumerate(span):
+            bv = bv + bits[j] * F.lit(1 << r).cast("long")
+        band_structs.append(F.struct(F.lit(b).alias("band"), bv.alias("bv")))
+    banded = records.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.explode(F.array(*band_structs)).alias("x"),
+    ).select("id", "v", F.col("x.band").alias("band"), F.col("x.bv").alias("bv"))
+    a = banded.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "band", "bv")
+    b2 = banded.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "band", "bv")
+    cand = (
+        a.join(b2, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            (F.round(cosine(F.col("va"), F.col("vb")), 6) + F.lit(0.0)).alias("dist"),
+        )
+        .filter(F.col("dist") <= threshold)
+    )
+
+
+def embedding_neardup_banded_sql(
+    records_sql: str, threshold: float, dim: int, n_bits: int = 16, bands: int = 4
+) -> str:
+    from ..functions.distance import cosine_sql, dot_sql
+
+    signs = _lsh_signs(n_bits, dim)
+    bit_cols = []
+    for j in range(n_bits):
+        arr = "[" + ", ".join(repr(s) for s in signs[j]) + "]"
+        bit_cols.append(
+            f"CASE WHEN round({dot_sql('embedding', arr)}, 6) > 0 THEN 1 ELSE 0 END AS b{j}"
+        )
+    band_rows = []
+    for b, span in enumerate(_band_spans(n_bits, bands)):
+        bv = " + ".join(f"(b{j} * {1 << r})" for r, j in enumerate(span))
+        band_rows.append(f"SELECT id, {b} AS band, ({bv}) AS bv FROM __bits")
+    bands_sql = "\nUNION ALL\n".join(band_rows)
+    d = cosine_sql("ra.embedding", "rb.embedding")
+    return f"""
+WITH __r AS ({records_sql}),
+__bits AS (SELECT id, embedding, {", ".join(bit_cols)} FROM __r),
+__bands AS ({bands_sql}),
+__cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM __bands a JOIN __bands b ON a.band = b.band AND a.bv = b.bv AND a.id < b.id
+)
+SELECT id_a, id_b, dist FROM (
+  SELECT c.id_a, c.id_b, (round({d}, 6) + 0.0) AS dist
+  FROM __cand c JOIN __r ra ON c.id_a = ra.id JOIN __r rb ON c.id_b = rb.id
+) WHERE dist <= {threshold!r}"""
+
+
+def embedding_neardup_ivf(
+    postings: DataFrame,
+    threshold: float,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-bucketed near-dup: candidate pairs share an IVF posting list
+    (``ann.ivf.build_ivf`` postings; ``replicas > 1`` multi-assignment
+    recovers boundary pairs). K-means is not SQL-expressible, so this is
+    the pytest-verified variant (recall vs all-pairs); the sign-LSH banded
+    form above is the oracle-gated one.
+    """
+    from ..functions.distance import cosine
+
+    a = postings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "centroid_id"
+    )
+    b = postings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "centroid_id"
+    )
+    cand = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            (F.round(cosine(F.col("va"), F.col("vb")), 6) + F.lit(0.0)).alias("dist"),
+        )
+        .filter(F.col("dist") <= threshold)
+    )

