@@ -544,6 +544,9 @@ class Collection:
         cols = [c for c in snap.columns if c not in hidden]
         return [r.asDict(recursive=True) for r in snap.select(*cols).collect()]
 
+    _QUERY_INCLUDE_DEFAULT = ("metadatas", "documents", "distances")
+    _INTERNAL_COLS = frozenset({"id", "embedding", "document", "uri", "offset_id"})
+
     def query(
         self,
         query_embeddings: Sequence[Sequence[float]] | None = None,
@@ -553,11 +556,17 @@ class Collection:
         where_document: dict | None = None,
         read_level: str = "index_and_wal",
         query_texts: Sequence[str] | None = None,
+        include: Sequence[str] = _QUERY_INCLUDE_DEFAULT,
     ) -> dict:
-        """Batch KNN; returns column-major lists-of-lists (QueryResult shape,
-        chromadb/api/types.py:619-651). ``query_texts`` are embedded
-        client-side with the collection's attached embedding function
-        (Collection.py:212 + query-text embedding in CollectionCommon)."""
+        """Batch KNN; returns the column-major QueryResult shape
+        (chromadb/api/types.py:619-651): lists-of-lists per query for
+        ``ids`` plus every field named in ``include`` (``distances``,
+        ``documents``, ``metadatas``, ``embeddings``, ``uris``). Winners-only
+        hydration: payload fields are joined for the top-k ids only (the
+        KnnProjection contract, knn_projection.rs:61). An empty collection
+        yields one empty list PER QUERY in every field. ``query_texts`` are
+        embedded client-side with the collection's attached embedding
+        function (Collection.py:212)."""
         if query_embeddings is None:
             if query_texts is None:
                 raise CollectionError("one of query_embeddings / query_texts is required")
@@ -567,10 +576,18 @@ class Collection:
             query_embeddings = ef(list(query_texts))
         elif query_texts is not None:
             raise CollectionError("pass query_embeddings or query_texts, not both")
+        include = tuple(include)
+        bad = set(include) - {"distances", "documents", "metadatas", "embeddings", "uris"}
+        if bad:
+            raise CollectionError(f"unknown include fields: {sorted(bad)}")
+        nq = len(query_embeddings)
+        empty: dict[str, list] = {"ids": [[] for _ in range(nq)]}
+        for f in include:
+            empty[f] = [[] for _ in range(nq)]
         self._validate_indexed(where, where_document, knn=True)
         snap = self.snapshot(read_level)
         if snap is None:
-            return {"ids": [], "distances": []}
+            return empty
         if ids is not None:
             snap = snap.filter(F.col("id").isin([str(i) for i in ids]))
         if where is not None:
@@ -582,13 +599,33 @@ class Collection:
             [(i, [float(x) for x in q]) for i, q in enumerate(query_embeddings)],
             "query_id INT, embedding ARRAY<FLOAT>",
         )
-        top = exact_knn(snap, qdf, k=n_results, space=self._store.meta.space).collect()
-        ids: list[list[str]] = [[] for _ in query_embeddings]
-        dists: list[list[float]] = [[] for _ in query_embeddings]
-        for r in sorted(top, key=lambda r: (r["query_id"], r["rank"])):
-            ids[r["query_id"]].append(r["id"])
-            dists[r["query_id"]].append(r["dist"])
-        return {"ids": ids, "distances": dists}
+        top = exact_knn(snap, qdf, k=n_results, space=self._store.meta.space)
+        need_payload = bool(set(include) - {"distances"})
+        if need_payload:
+            # winners-only hydration: the top-k side is tiny — broadcast it
+            # into the snapshot join rather than shuffling the records
+            winners = F.broadcast(top).join(snap, "id", "left")
+        else:
+            winners = top
+        rows = winners.collect()
+        meta_cols = [c for c in snap.columns if c not in self._INTERNAL_COLS]
+        out = empty
+        for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+            q = r["query_id"]
+            out["ids"][q].append(r["id"])
+            if "distances" in include:
+                out["distances"][q].append(r["dist"])
+            if "documents" in include:
+                out["documents"][q].append(r["document"])
+            if "uris" in include:
+                out["uris"][q].append(r["uri"])
+            if "embeddings" in include:
+                emb = r["embedding"]
+                out["embeddings"][q].append(list(emb) if emb is not None else None)
+            if "metadatas" in include:
+                md = {k: r[k] for k in meta_cols if r[k] is not None}
+                out["metadatas"][q].append(md or None)
+        return out
 
     def search(self, read_level: str = "index_and_wal", **payload) -> DataFrame:
         """Hybrid search (Search payload of SURVEY §3.2) as a DataFrame."""

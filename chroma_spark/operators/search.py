@@ -85,10 +85,43 @@ def search(
 
     out = page(out, order, offset=offset, limit=limit)
     if select is not None:
-        cols = [c for c in select]
+        cols = _resolve_select(
+            select, out.columns, id_col, doc_col, vec_col, offset_col
+        )
         if rank is not None and "score" not in cols:
             cols.append("score")
         out = out.select(*cols)
     elif offset_col is not None and offset_col in out.columns:
         out = out.drop(offset_col)  # internal column, not payload
     return out
+
+
+def _resolve_select(
+    select: list[str],
+    available: list[str],
+    id_col: str,
+    doc_col: str,
+    vec_col: str,
+    offset_col: str | None,
+) -> list[str]:
+    """Expand the Select key set (``chromadb/execution/expression/
+    operator.py:1239-1326``; rust ``operators/select.rs:68``): the special
+    ``#``-keys name record fields — ``#id #document #embedding #score`` map
+    to their columns and ``#metadata`` expands to every metadata column —
+    while plain keys select individual metadata columns."""
+    special = {"#id": id_col, "#document": doc_col, "#embedding": vec_col, "#score": "score"}
+    non_metadata = {id_col, doc_col, vec_col, "uri", "score"} | (
+        {offset_col} if offset_col else set()
+    )
+    cols: list[str] = []
+    for key in select:
+        if key == "#metadata":
+            cols.extend(c for c in available if c not in non_metadata)
+        elif key in special:
+            cols.append(special[key])
+        elif key.startswith("#"):
+            raise ValueError(f"unknown special select key {key!r}")
+        else:
+            cols.append(key)
+    seen: set[str] = set()
+    return [c for c in cols if not (c in seen or seen.add(c))]

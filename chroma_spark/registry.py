@@ -536,6 +536,37 @@ def search_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SELECT_DOC_RECORDS_SQL = (
+    "SELECT e.vec_id AS id, e.embedding FROM embeddings e"
+    " JOIN documents d ON e.vec_id = d.doc_id"
+)
+
+
+@register(
+    "search_select_doc",
+    "WITH "
+    + _knn_cte("ka", "cosine", 2, 12, _SELECT_DOC_RECORDS_SQL)
+    + """
+SELECT ka.id AS id, d.text AS document, (round(ka.dist, 6) + 0.0) AS score
+FROM ka JOIN documents d ON ka.id = d.doc_id""",
+)
+def search_select_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select special keys: ``#id``/``#document`` hydrate record fields for
+    the ranked winners (operator.py:1239-1326; select.rs:68)."""
+    from .operators.search import search
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.col("text").alias("document")
+    )
+    emb = load(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("id"), "embedding")
+    records = emb.join(docs, "id")
+    return search(
+        records,
+        rank={"$knn": {"query": _qvec(spark, sf_dir, 2), "limit": 12, "space": "cosine"}},
+        select=["#id", "#document"],
+    )
+
+
 # --- Sparse / BM25 / full-text statistics (SURVEY §2.1, §2.3; idf.rs:24-31) ---
 
 from .operators.sparse import doc_frequency_sql as _doc_frequency_sql  # noqa: E402

@@ -140,6 +140,19 @@ def test_search_on_collection(client):
     assert [r["id"] for r in rows] == ["a", "d"] or rows[0]["id"] == "a"
 
 
+def test_search_select_special_keys(client):
+    """#-key selection (operator.py:1239-1326): #document/#embedding map to
+    record fields, #metadata expands to every metadata column."""
+    col = _mk(client)
+    rank = {"$knn": {"query": [1.0, 0, 0, 0], "limit": 3}}
+    df = col.search(rank=rank, select=["#id", "#document", "#metadata"])
+    assert set(df.columns) == {"id", "document", "k", "tag", "score"}
+    df2 = col.search(rank=rank, select=["#embedding", "#score"])
+    assert set(df2.columns) == {"embedding", "score"}
+    with pytest.raises(ValueError, match="unknown special"):
+        col.search(rank=rank, select=["#nope"])
+
+
 def test_peek(client):
     col = _mk(client)
     assert len(col.peek(limit=2)) == 2
@@ -197,6 +210,40 @@ def test_modify_rename_clash_rejected(client):
     col = _mk(client, name="b1")
     with pytest.raises(CollectionError, match="already exists"):
         col.modify(name="a1")
+
+
+def test_query_include_hydration(client):
+    """QueryResult carries documents/metadatas/embeddings/uris per include
+    (chromadb/api/types.py:619-651), hydrated winners-only."""
+    col = _mk(client)
+    res = col.query(
+        [[1.0, 0, 0, 0]],
+        n_results=2,
+        include=["documents", "metadatas", "embeddings", "uris", "distances"],
+    )
+    assert res["ids"][0][0] == "a"
+    assert res["documents"][0][0] == "alpha doc"
+    assert res["metadatas"][0][0] == {"k": 1, "tag": "x"}
+    assert res["embeddings"][0][0] == [1.0, 0.0, 0.0, 0.0]
+    assert res["uris"][0] == [None, None]
+    assert res["distances"][0][0] == 0.0
+    # record 'c' has a null document and partial metadata
+    resc = col.query([[0, 0, 1.0, 0]], n_results=1)
+    assert resc["documents"][0] == [None]
+    assert resc["metadatas"][0][0] == {"k": 3}
+    # default include has no embeddings
+    assert "embeddings" not in resc
+    with pytest.raises(CollectionError, match="unknown include"):
+        col.query([[1.0, 0, 0, 0]], include=["nope"])
+
+
+def test_query_empty_collection_per_query_lists(client):
+    col = client.create_collection("empty", dimension=2)
+    res = col.query([[1.0, 0], [0, 1.0]], n_results=3)
+    assert res["ids"] == [[], []]
+    assert res["distances"] == [[], []]
+    assert res["documents"] == [[], []]
+    assert res["metadatas"] == [[], []]
 
 
 def test_query_ids_prefilter(client):
