@@ -245,36 +245,39 @@ def _dot_topk(
     via a semi-join applied after the query-term join has pruned postings
     to query-vocabulary rows.
     """
+    joined = postings.join(F.broadcast(qpost), "idx")
+    contrib = F.col("doc_w") * F.col("q_w")
     if idf_from is not None:
-        dfreq = (
-            idf_from.join(F.broadcast(qpost.select("idx").distinct()), "idx")
-            .groupBy("idx")
-            .agg(F.count_distinct("id").cast("double").alias("df"))
-        )
+        if idf_from is postings:
+            # fast path: df(term) falls out of the scoring join itself —
+            # each (query_id, idx) window group holds one row per document
+            # containing the term, so count(*) over it IS the document
+            # frequency; no separate aggregation pass over the postings
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("query_id", "idx")
+            joined = joined.withColumn("__df", F.count("*").over(w).cast("double"))
+        else:
+            dfreq = (
+                idf_from.join(F.broadcast(qpost.select("idx").distinct()), "idx")
+                .groupBy("idx")
+                .agg(F.count_distinct("id").cast("double").alias("df"))
+            )
+            joined = joined.join(F.broadcast(dfreq), "idx", "left").withColumn(
+                "__df", F.coalesce(F.col("df"), F.lit(0.0))
+            )
         if n_docs is not None:
-            n_df = qpost.sparkSession.createDataFrame([(float(n_docs),)], "n_docs DOUBLE")
+            n_col = F.lit(float(n_docs))
         else:
             n_df = idf_from.select("id").distinct().agg(
                 F.count("*").cast("double").alias("n_docs")
             )
-        qpost = (
-            qpost.join(F.broadcast(dfreq), "idx", "left")
-            .crossJoin(F.broadcast(n_df))
-            .select(
-                "query_id",
-                "idx",
-                (
-                    F.col("q_w")
-                    * idf_expr(F.coalesce(F.col("df"), F.lit(0.0)), F.col("n_docs"))
-                ).alias("q_w"),
-            )
-        )
-    joined = postings.join(F.broadcast(qpost), "idx")
+            joined = joined.crossJoin(F.broadcast(n_df))
+            n_col = F.col("n_docs")
+        contrib = F.col("doc_w") * F.col("q_w") * idf_expr(F.col("__df"), n_col)
     if candidates is not None:
         joined = joined.join(candidates.select("id"), "id", "semi")
-    scored = joined.groupBy("query_id", "id").agg(
-        F.sum(F.col("doc_w") * F.col("q_w")).alias("score")
-    )
+    scored = joined.groupBy("query_id", "id").agg(F.sum(contrib).alias("score"))
     if round_decimals is not None:
         scored = scored.select(
             "query_id", "id", (F.round(F.col("score"), round_decimals) + F.lit(0.0)).alias("score")

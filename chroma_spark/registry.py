@@ -623,6 +623,7 @@ _SPARSE_IDX_CACHE: dict[str, tuple[DataFrame, int, float]] = {}
 
 def _sparse_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int, float]:
     if sf_dir not in _SPARSE_IDX_CACHE:
+        import json
         import os
 
         from .operators.sparse import (
@@ -632,21 +633,66 @@ def _sparse_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int, flo
             write_sparse_index,
         )
 
-        docs = _docs_df(spark, sf_dir)
-        postings = explode_postings(build_sparse(docs, _SPARSE_DIM))
         path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             ".index_cache",
             f"sparse_{os.path.basename(os.path.normpath(sf_dir))}_{_SPARSE_DIM}",
         )
-        write_sparse_index(postings, path, n_buckets=_SPARSE_BUCKETS)
-        n_docs = float(postings.select("id").distinct().count())
+        meta_file = os.path.join(path, "_index_meta.json")
+        src = f"{sf_dir}/documents.parquet"
+        src_sig = [os.path.getmtime(src), os.path.getsize(src)] if os.path.isfile(src) else None
+        meta = None
+        if os.path.exists(meta_file):
+            with open(meta_file) as f:
+                meta = json.load(f)
+            if meta.get("src_sig") != src_sig or meta.get("n_buckets") != _SPARSE_BUCKETS:
+                meta = None  # source data changed: rebuild
+        if meta is None:
+            docs = _docs_df(spark, sf_dir)
+            postings = explode_postings(build_sparse(docs, _SPARSE_DIM))
+            write_sparse_index(postings, path, n_buckets=_SPARSE_BUCKETS)
+            # n_docs = index metadata (the reference's Idf reads it from the
+            # index, idf.rs:92); the distinct runs over the columnar id
+            # column of the freshly written index, not a re-tokenize
+            n_docs = float(
+                read_sparse_index(spark, path).select("id").distinct().count()
+            )
+            meta = {"src_sig": src_sig, "n_buckets": _SPARSE_BUCKETS, "n_docs": n_docs}
+            with open(meta_file, "w") as f:
+                json.dump(meta, f)
+        # NOT persisted: caching would materialize the full index in memory
+        # and bypass the per-query bucket partition pruning — the property
+        # that bounds a sparse query's read cost at 100 TB
         _SPARSE_IDX_CACHE[sf_dir] = (
             read_sparse_index(spark, path),
             _SPARSE_BUCKETS,
-            n_docs,
+            float(meta["n_docs"]),
         )
     return _SPARSE_IDX_CACHE[sf_dir]
+
+
+def _sparse_qvec(spark: SparkSession, sf_dir: str, doc_id: int) -> dict:
+    """One document's sparse query vector, computed DRIVER-SIDE: a query
+    vector is one row — tokenizing it in Python (same tokenizer + md5
+    bucketing as build_sparse, functions/text.py) replaces a two-shuffle
+    Spark job with a single-row head(). The reference embeds query texts
+    client-side the same way."""
+    import re
+    from collections import Counter
+
+    from .functions.embedding import _md5_bucket
+
+    row = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == doc_id)
+        .select("text")
+        .head()
+    )
+    text = (row["text"] if row is not None else "") or ""
+    toks = [t for t in re.split(r"\s+", text.lower()) if t]
+    tf = Counter(_md5_bucket(t, _SPARSE_DIM) for t in toks)
+    idxs = sorted(tf)
+    return {"indices": [int(i) for i in idxs], "values": [float(tf[i]) for i in idxs]}
 
 
 @register(
@@ -675,16 +721,19 @@ def sparse_dot_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posting-list dot-product top-k over the PERSISTED term-bucket index
     (sparse_index_knn.rs over per-term posting reads, reader.rs): the scan
     touches only the query terms' bucket partitions; query vectors are
-    built from just the two query docs (filter pushed to the doc scan)."""
-    from .operators.sparse import build_sparse, sparse_index_topk
+    computed driver-side from the two query docs."""
+    from .operators.sparse import sparse_index_topk
 
-    docs = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"), F.col("text").alias("document"))
-    queries = (
-        build_sparse(docs.filter(F.col("id") < 2), _SPARSE_DIM)
-        .select(F.col("id").alias("query_id"), "sparse")
+    qv = [_sparse_qvec(spark, sf_dir, 0), _sparse_qvec(spark, sf_dir, 1)]
+    qdf = spark.createDataFrame(
+        [(i, (q["indices"], q["values"])) for i, q in enumerate(qv)],
+        "query_id INT, sparse STRUCT<indices: ARRAY<INT>, values: ARRAY<FLOAT>>",
     )
     postings, n_buckets, _ = _sparse_index(spark, sf_dir)
-    return sparse_index_topk(postings, queries, k=10, n_buckets=n_buckets)
+    return sparse_index_topk(
+        postings, qdf, k=10, n_buckets=n_buckets,
+        query_indices=[i for q in qv for i in q["indices"]],
+    )
 
 
 def _hybrid_sparse_oracle() -> str:
@@ -741,24 +790,10 @@ def rank_hybrid_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     term-bucket index, restricted to the dense record set (the allowed-ids
     bitmap analog)."""
     from .operators.rank import RankEvaluator, finalize_scores
-    from .operators.sparse import build_sparse
 
-    docs = load(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("id"), F.col("text").alias("document")
-    )
     emb = load(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("id"), "embedding")
-    # the query vector needs only doc 0: tf weights are per-document, so
-    # building sparse for the one filtered doc is identical to slicing the
-    # corpus-wide build — and the filter reaches the parquet scan
-    q0 = (
-        build_sparse(docs.filter(F.col("id") == 0), _SPARSE_DIM)
-        .select("sparse.indices", "sparse.values")
-        .head()
-    )
-    sparse_query = {
-        "indices": [int(i) for i in q0["indices"]],
-        "values": [float(v) for v in q0["values"]],
-    }
+    # query vector = doc 0's sparse vector, computed driver-side (one row)
+    sparse_query = _sparse_qvec(spark, sf_dir, 0)
     expr = {
         "$sum": [
             {
@@ -1201,32 +1236,89 @@ _register_multimodal()
 
 
 # Index build is an OFFLINE job in any real deployment (the reference
-# compacts into SPANN indexes asynchronously; queries never retrain). Memoize
-# the built index per (process, sf_dir) so consecutive ANN queries search the
-# same index — postings stay cached with their centroid partitioning. The
-# quantization codes are a separate lazy layer: plain IVF queries never pay
-# for code building.
+# compacts into SPANN indexes asynchronously; queries never retrain). The
+# built index is persisted to the partitioned write_ivf layout — the actual
+# 100-TB deployment format, where probed centroid ids reach the scan as
+# partition filters — and reused across processes with a source-signature
+# freshness check. The quantization codes are a separate lazy layer: plain
+# IVF queries never pay for code building.
 _IVF_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
 _CODES_CACHE: dict[str, tuple[DataFrame, list[float]]] = {}
+_IVF_LISTS = 16
+
+
+def _index_dir(name: str, sf_dir: str) -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".index_cache",
+        f"{name}_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+
+
+def _src_sig(path: str) -> list | None:
+    import os
+
+    return [os.path.getmtime(path), os.path.getsize(path)] if os.path.isfile(path) else None
+
+
+def _load_index_meta(meta_file: str, src_sig: list | None) -> dict | None:
+    import json
+    import os
+
+    if not os.path.exists(meta_file):
+        return None
+    with open(meta_file) as f:
+        meta = json.load(f)
+    return meta if meta.get("src_sig") == src_sig else None
+
+
+def _save_index_meta(meta_file: str, meta: dict) -> None:
+    import json
+
+    with open(meta_file, "w") as f:
+        json.dump(meta, f)
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str):
     if sf_dir not in _IVF_CACHE:
-        from .ann.ivf import build_ivf
+        import os
 
-        records = _emb_records(spark, sf_dir).select("id", "embedding")
-        centroids, postings = build_ivf(records, n_lists=16)
-        _IVF_CACHE[sf_dir] = (centroids, postings.persist())
+        from .ann.ivf import build_ivf, read_ivf, write_ivf
+
+        path = _index_dir(f"ivf{_IVF_LISTS}", sf_dir)
+        meta_file = os.path.join(path, "_index_meta.json")
+        sig = _src_sig(f"{sf_dir}/embeddings.parquet")
+        if _load_index_meta(meta_file, sig) is None:
+            records = _emb_records(spark, sf_dir).select("id", "embedding")
+            centroids, postings = build_ivf(records, n_lists=_IVF_LISTS)
+            write_ivf(centroids, postings, path)
+            _save_index_meta(meta_file, {"src_sig": sig})
+        _IVF_CACHE[sf_dir] = read_ivf(spark, path)
     return _IVF_CACHE[sf_dir]
 
 
 def _ivf_codes(spark: SparkSession, sf_dir: str):
     if sf_dir not in _CODES_CACHE:
+        import os
+
         from .ann.quantize import build_codes
 
-        _, postings = _ivf_index(spark, sf_dir)
-        coded, means = build_codes(postings)
-        _CODES_CACHE[sf_dir] = (coded.persist(), means)
+        path = _index_dir("ivf_codes", sf_dir)
+        meta_file = os.path.join(path, "_index_meta.json")
+        sig = _src_sig(f"{sf_dir}/embeddings.parquet")
+        meta = _load_index_meta(meta_file, sig)
+        if meta is None:
+            _, postings = _ivf_index(spark, sf_dir)
+            coded, means = build_codes(postings)
+            coded.write.mode("overwrite").partitionBy("centroid_id").parquet(
+                os.path.join(path, "coded")
+            )
+            meta = {"src_sig": sig, "means": means}
+            _save_index_meta(meta_file, meta)
+        coded = spark.read.parquet(os.path.join(path, "coded"))
+        _CODES_CACHE[sf_dir] = (coded, [float(m) for m in meta["means"]])
     return _CODES_CACHE[sf_dir]
 
 
