@@ -317,6 +317,95 @@ def sparse_dot_topk(
 
 
 # ---------------------------------------------------------------------------
+# Persisted TERM-LEVEL BM25 index: (term, id, tf, dl) partitioned by
+# term-hash bucket + corpus stats (n_docs, avgdl) as index metadata — the
+# full-text analog of the hashed sparse index below. One bucket-pruned scan
+# answers a BM25 query; the three corpus-wide tokenize aggregates of the
+# inline path happen once, at build time (the reference builds its sparse/
+# FTS blockfiles at compaction the same way).
+# ---------------------------------------------------------------------------
+
+
+def _py_term_bucket(term: str, n_buckets: int) -> int:
+    """Driver-side twin of md5_long(term) % n_buckets (query terms are
+    literals, so buckets are known without a Spark job)."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:15], 16) % n_buckets
+
+
+def write_bm25_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    text_col: str = "document",
+    id_col: str = "id",
+) -> dict:
+    """Build + persist the term-level index; returns the stats dict
+    ``{n_docs, avgdl, n_buckets}`` the caller should store as index
+    metadata (the reference's Idf reads these from the index, idf.rs:92).
+    """
+    from ..functions.text import md5_long
+
+    toks = docs.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+    tf = (
+        toks.select("id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+        .groupBy("id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("bucket", (md5_long(F.col("term")) % n_buckets).cast("int"))
+    )
+    tf.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(path)
+    stats = toks.select(F.size("toks").alias("dl")).agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).first()
+    return {
+        "n_docs": float(stats["n"]),
+        "avgdl": float(stats["avgdl"]),
+        "n_buckets": int(n_buckets),
+    }
+
+
+def bm25_index_topk(
+    indexed_tf: DataFrame,
+    query_terms: list[str],
+    k: int,
+    n_docs: float,
+    avgdl: float,
+    n_buckets: int = 64,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """BM25 top-k over the persisted term index: the scan reads only the
+    query terms' bucket partitions; per-term df falls out of the scoring
+    join's (term) window (rows are unique per (id, term)); corpus stats are
+    the index metadata scalars. Same scores as :func:`bm25_topk`.
+    """
+    from pyspark.sql import Window
+
+    spark = indexed_tf.sparkSession
+    buckets = sorted({_py_term_bucket(t, n_buckets) for t in query_terms})
+    pruned = indexed_tf.filter(F.col("bucket").isin(buckets)).drop("bucket")
+    qdf = F.broadcast(spark.createDataFrame([(t,) for t in set(query_terms)], "term STRING"))
+    joined = pruned.join(qdf, "term")
+    w = Window.partitionBy("term")
+    joined = joined.withColumn("__df", F.count("*").over(w).cast("double"))
+    contrib = idf_expr(F.col("__df"), F.lit(float(n_docs))) * (
+        F.col("tf")
+        / (
+            F.col("tf")
+            + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl)))
+        )
+    )
+    scored = joined.groupBy("id").agg(F.sum(contrib).alias("score"))
+    if round_decimals is not None:
+        scored = scored.select(
+            "id", (F.round(F.col("score"), round_decimals) + F.lit(0.0)).alias("score")
+        )
+    return topk_per_group(scored, [], [F.col("score").desc(), F.col("id").asc()], k)
+
+
+# ---------------------------------------------------------------------------
 # Persisted posting-list index with term-bucket partition pruning — the
 # sparse analog of the IVF layout (reference sparse index blockfiles,
 # rust/index/src/sparse/reader.rs: per-term posting-list reads). A query

@@ -589,13 +589,48 @@ def doc_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_frequency(docs).orderBy(F.col("df").desc(), F.col("term").asc()).limit(30)
 
 
+_BM25_IDX_CACHE: dict[str, tuple[DataFrame, dict]] = {}
+
+
+def _bm25_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict]:
+    """Term-level BM25 index (term-bucket partitioned tf table + corpus
+    stats metadata), built offline once per corpus like the sparse/IVF
+    indexes."""
+    if sf_dir not in _BM25_IDX_CACHE:
+        import os
+
+        from .operators.sparse import write_bm25_index
+
+        path = _index_dir("bm25", sf_dir)
+        meta_file = os.path.join(path, "_index_meta.json")
+        sig = _src_sig(f"{sf_dir}/documents.parquet")
+        meta = _load_index_meta(meta_file, sig)
+        if meta is None:
+            docs = _docs_df(spark, sf_dir)
+            data = os.path.join(path, "tf")
+            stats = write_bm25_index(docs, data, n_buckets=64)
+            meta = {"src_sig": sig, **stats}
+            _save_index_meta(meta_file, meta)
+        _BM25_IDX_CACHE[sf_dir] = (spark.read.parquet(os.path.join(path, "tf")), meta)
+    return _BM25_IDX_CACHE[sf_dir]
+
+
 @register("bm25_topk", None)  # oracle attached below
 def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-15 for a fixed query (fastembed doc weights + chroma IDF)."""
-    from .operators.sparse import bm25_topk
+    """BM25 top-15 for a fixed query (fastembed doc weights + chroma IDF)
+    over the PERSISTED term-level index: one bucket-pruned scan instead of
+    three corpus-wide tokenize aggregates."""
+    from .operators.sparse import bm25_index_topk
 
-    docs = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"), F.col("text").alias("document"))
-    return bm25_topk(docs, ["spark", "table", "merge"], k=15)
+    tf, meta = _bm25_index(spark, sf_dir)
+    return bm25_index_topk(
+        tf,
+        ["spark", "table", "merge"],
+        k=15,
+        n_docs=meta["n_docs"],
+        avgdl=meta["avgdl"],
+        n_buckets=meta["n_buckets"],
+    )
 
 
 def _bm25_oracle() -> str:
@@ -1192,6 +1227,13 @@ def _register_attached_functions() -> None:
             id_col="user_id",
             seq_col="event_id",
         ),
+    )
+
+    QUERIES["record_counter_by_source"] = Query(
+        lambda spark, sf_dir: AF.record_counter(
+            load(spark, sf_dir, "documents").select("source"), "source"
+        ),
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_records FROM documents GROUP BY source",
     )
 
 

@@ -99,11 +99,37 @@ def test_sparse_rank_broadcasts_query_terms(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_bm25_index_matches_inline(spark):
+    # the persisted term-level index must score identically to the inline
+    # three-aggregate form
+    from pyspark.sql import functions as FF
+
+    from chroma_spark.operators.sparse import bm25_index_topk, bm25_topk, write_bm25_index
+
+    docs = load(spark, SF_SMALL, "documents").select(
+        FF.col("doc_id").alias("id"), FF.col("text").alias("document")
+    )
+    inline = {(r.id, r.score) for r in bm25_topk(docs, ["spark", "table", "merge"], k=15).collect()}
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        stats = write_bm25_index(docs, d + "/tf", n_buckets=16)
+        idx = spark.read.parquet(d + "/tf")
+        indexed = {
+            (r.id, r.score)
+            for r in bm25_index_topk(
+                idx, ["spark", "table", "merge"], k=15,
+                n_docs=stats["n_docs"], avgdl=stats["avgdl"], n_buckets=16,
+            ).collect()
+        }
+    assert indexed == inline and len(inline) == 15
+
+
 def test_registered_sparse_queries_prune_index_buckets(spark):
     # the registered sparse queries must read the PERSISTED term-bucket
     # index with the query's buckets as partition filters — the scan cost
     # is proportional to the query vocabulary, not the corpus
-    for name in ("sparse_dot_topk", "rank_hybrid_sparse"):
+    for name in ("sparse_dot_topk", "rank_hybrid_sparse", "bm25_topk"):
         plan = _formatted(QUERIES[name].fn(spark, SF_SMALL))
         assert "PartitionFilters" in plan and "bucket" in plan, name
         pf = [line for line in plan.splitlines() if "PartitionFilters" in line and "bucket" in line]
