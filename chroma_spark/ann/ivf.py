@@ -206,6 +206,8 @@ def ivf_search(
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
     round_decimals: int | None = 6,
+    allowed_ids: DataFrame | None = None,
+    excluded_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` per query over the ``nprobe`` nearest posting lists.
 
@@ -214,6 +216,12 @@ def ivf_search(
 
     Centroid ranking always uses l2 (k-means trains in l2); within-list
     scoring uses ``space``, matching SPANN (centroid heads are geometric).
+
+    ``allowed_ids`` is the reference's filter-before-ANN allowed-ids set
+    (``knn_filter.rs`` bitmaps consumed by the index search) — a semi-join
+    applied within the probed lists. ``excluded_ids`` removes records whose
+    index entry is stale (touched by the un-compacted WAL tail); the live
+    versions re-enter through the log-side brute force + knn_merge.
     """
     q = queries.select(F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias("__qvec"))
     cdist = distance(F.col("centroid"), F.col("__qvec"), "l2")
@@ -226,12 +234,16 @@ def ivf_search(
         nprobe,
         two_stage=False,  # centroid set is tiny; one window pass
     ).select("__qid", "__qvec", "centroid_id")
+    probed = postings.join(F.broadcast(probes), "centroid_id")
+    if allowed_ids is not None:
+        probed = probed.join(allowed_ids.select(F.col(id_col)), id_col, "semi")
+    if excluded_ids is not None:
+        probed = probed.join(excluded_ids.select(F.col(id_col)), id_col, "anti")
     d = distance(F.col(vec_col), F.col("__qvec"), space)
     if round_decimals is not None:
         d = F.round(d, round_decimals) + F.lit(0.0)
     candidates = (
-        postings.join(F.broadcast(probes), "centroid_id")
-        .select(F.col("__qid").alias(query_id_col), F.col(id_col), d.alias("dist"))
+        probed.select(F.col("__qid").alias(query_id_col), F.col(id_col), d.alias("dist"))
         # replicated records can surface from several probed lists — collapse
         .groupBy(query_id_col, id_col)
         .agg(F.min("dist").alias("dist"))

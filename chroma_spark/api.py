@@ -305,11 +305,17 @@ class Collection:
         def _col(vals, i):
             return None if vals is None else vals[i]
 
+        from .sparse_vector import SPARSE_VECTOR_TYPE, validate_sparse_vector
+
         rows = []
         meta_keys: dict[str, type] = {}
         for m in metadatas or []:
             for k, v in (m or {}).items():
                 t = type(v)
+                if t is dict:
+                    # SparseVector metadata value (base_types.py:13-117) —
+                    # the record field sparse KNN / hybrid search runs over
+                    validate_sparse_vector(v)
                 prev = meta_keys.get(k)
                 if prev is None:
                     meta_keys[k] = t
@@ -325,8 +331,16 @@ class Collection:
                         )
 
         def _coerce(v, t):
-            if v is not None and t is float and isinstance(v, int) and not isinstance(v, bool):
+            if v is None:
+                return None
+            if t is float and isinstance(v, int) and not isinstance(v, bool):
                 return float(v)
+            if t is dict:
+                return {
+                    "indices": [int(i) for i in v["indices"]],
+                    "values": [float(x) for x in v["values"]],
+                    "labels": list(v["labels"]) if v.get("labels") is not None else None,
+                }
             return v
 
         for i in range(n):
@@ -352,9 +366,12 @@ class Collection:
             T.StructField("uri", T.StringType()),
         ]
         for k, t in meta_keys.items():
-            if t not in _META_SPARK_TYPES:
+            if t is dict:
+                fields.append(T.StructField(k, SPARSE_VECTOR_TYPE))
+            elif t in _META_SPARK_TYPES:
+                fields.append(T.StructField(k, _META_SPARK_TYPES[t]))
+            else:
                 raise CollectionError(f"unsupported metadata type {t.__name__} for key {k!r}")
-            fields.append(T.StructField(k, _META_SPARK_TYPES[t]))
         df = self._client.spark.createDataFrame(rows, T.StructType(fields))
         path = self._store.append_log(df)
         meta.log_paths = [*meta.log_paths, path]
@@ -382,12 +399,19 @@ class Collection:
         log = self._store.read_log() if read_level != "index_only" else None
         if log is not None and read_level == "index_and_bounded_wal":
             log = log.filter(F.col("seq_id") <= int(log_bound))
+        log, where_ops = self._split_where_ops(log)
+        return self._fold(base, log, where_ops)
+
+    @staticmethod
+    def _split_where_ops(log: DataFrame | None) -> tuple[DataFrame | None, list[tuple]]:
+        """Separate DELETE_WHERE predicate records from the id-keyed log.
+
+        The collect is bounded by the number of predicate-delete statements
+        issued (predicates, not data)."""
         where_ops: list[tuple] = []
         if log is not None and "where_json" in log.columns:
             import json as _json
 
-            # DELETE_WHERE rows carry predicates, not data — this collect is
-            # bounded by the number of predicate-delete statements issued
             wrows = (
                 log.filter(F.col("op") == "DELETE_WHERE")
                 .select("seq_id", "where_json")
@@ -404,6 +428,10 @@ class Collection:
                     )
                 )
             log = log.filter(F.col("op") != "DELETE_WHERE").drop("where_json")
+        return log, where_ops
+
+    @staticmethod
+    def _fold(base: DataFrame | None, log: DataFrame | None, where_ops: list[tuple]) -> DataFrame | None:
         if log is None:
             return base
         if base is None:
@@ -445,6 +473,45 @@ class Collection:
         meta.log_paths = []
         self._store.catalog.update(meta)
         return new_version
+
+    def build_vector_index(
+        self, n_lists: int | None = None, replicas: int = 2
+    ) -> dict:
+        """Build + register the SPANN/IVF-style vector index for the
+        current version (the vector-segment write of the reference's
+        compaction: ``apply/commit/flush`` then ``register``). Pending WAL
+        entries are compacted first so the index corresponds to exactly one
+        collection version; ``query()`` then serves from the index and
+        brute-forces only the WAL tail written after the build
+        (merged via knn_merge, ``operators/knn_merge.rs:43``)."""
+        import os as _os
+
+        from .ann.ivf import build_ivf, write_ivf
+
+        if self._store.meta.log_paths:
+            self.compact()
+        meta = self._store.meta
+        base = self._store.read_base()
+        if base is None:
+            raise CollectionError("cannot index an empty collection")
+        records = base.filter(F.col("embedding").isNotNull()).select("id", "embedding")
+        cfg = {}
+        if self.schema is not None:
+            cfg = self.schema.index_config("vector_index", "#embedding") or {}
+        n_lists = int(n_lists or cfg.get("n_lists", 16))
+        centroids, postings = build_ivf(records, n_lists=n_lists, replicas=replicas)
+        path = _os.path.join(
+            self._store.catalog.root, self._store.name, "index_vector", f"v{meta.version}"
+        )
+        write_ivf(centroids, postings, path)
+        meta.vector_index = {
+            "version": meta.version,
+            "path": path,
+            "n_lists": n_lists,
+            "space": meta.space,
+        }
+        self._store.catalog.update(meta)
+        return meta.vector_index
 
     def snapshot_at(self, version: int) -> DataFrame:
         """Time travel: the compacted state as of ``version`` (old base
@@ -557,6 +624,7 @@ class Collection:
         read_level: str = "index_and_wal",
         query_texts: Sequence[str] | None = None,
         include: Sequence[str] = _QUERY_INCLUDE_DEFAULT,
+        nprobe: int | None = None,
     ) -> dict:
         """Batch KNN; returns the column-major QueryResult shape
         (chromadb/api/types.py:619-651): lists-of-lists per query for
@@ -566,7 +634,15 @@ class Collection:
         KnnProjection contract, knn_projection.rs:61). An empty collection
         yields one empty list PER QUERY in every field. ``query_texts`` are
         embedded client-side with the collection's attached embedding
-        function (Collection.py:212)."""
+        function (Collection.py:212).
+
+        When a fresh vector index exists (build_vector_index), the search
+        probes ``nprobe`` posting lists (default: all — exact within the
+        index; tune down for speed) and brute-forces only WAL-tail records,
+        merging the two top-k streams (the reference's parallel
+        knn_log + knn_hnsw -> knn_merge pipeline, SURVEY §3.2). Falls back
+        to the exact scan when no fresh index exists or predicate deletes
+        are pending in the tail."""
         if query_embeddings is None:
             if query_texts is None:
                 raise CollectionError("one of query_embeddings / query_texts is required")
@@ -588,18 +664,28 @@ class Collection:
         snap = self.snapshot(read_level)
         if snap is None:
             return empty
+        filtered = snap
         if ids is not None:
-            snap = snap.filter(F.col("id").isin([str(i) for i in ids]))
+            filtered = filtered.filter(F.col("id").isin([str(i) for i in ids]))
         if where is not None:
-            snap = snap.filter(where_to_column(where, known_keys=frozenset(snap.columns)))
+            filtered = filtered.filter(
+                where_to_column(where, known_keys=frozenset(filtered.columns))
+            )
         if where_document is not None:
-            snap = snap.filter(where_doc_to_column(where_document))
+            filtered = filtered.filter(where_doc_to_column(where_document))
         spark = self._client.spark
         qdf = spark.createDataFrame(
             [(i, [float(x) for x in q]) for i, q in enumerate(query_embeddings)],
             "query_id INT, embedding ARRAY<FLOAT>",
         )
-        top = exact_knn(snap, qdf, k=n_results, space=self._store.meta.space)
+        has_filters = ids is not None or where is not None or where_document is not None
+        top = self._query_via_index(
+            qdf, n_results, nprobe, read_level,
+            allowed=filtered.select("id") if has_filters else None,
+        )
+        if top is None:
+            top = exact_knn(filtered, qdf, k=n_results, space=self._store.meta.space)
+        snap = filtered
         need_payload = bool(set(include) - {"distances"})
         if need_payload:
             # winners-only hydration: the top-k side is tiny — broadcast it
@@ -626,6 +712,57 @@ class Collection:
                 md = {k: r[k] for k in meta_cols if r[k] is not None}
                 out["metadatas"][q].append(md or None)
         return out
+
+    def _query_via_index(
+        self,
+        qdf: DataFrame,
+        k: int,
+        nprobe: int | None,
+        read_level: str,
+        allowed: DataFrame | None,
+    ) -> DataFrame | None:
+        """Index-side KNN + WAL-tail brute force + knn_merge; None when the
+        exact path must run instead (no fresh index, bounded read level, or
+        pending predicate deletes whose touched-id set is unknowable
+        without a full fold)."""
+        meta = self._store.meta
+        vi = meta.vector_index
+        if vi is None or vi.get("version") != meta.version:
+            return None
+        if read_level not in ("index_only", "index_and_wal"):
+            return None
+        from .ann.ivf import ivf_search, read_ivf
+        from .operators.knn import knn_merge
+
+        log = self._store.read_log() if read_level != "index_only" else None
+        if log is not None and "where_json" in log.columns:
+            if log.filter(F.col("op") == "DELETE_WHERE").head() is not None:
+                return None
+        centroids, postings = read_ivf(self._client.spark, vi["path"])
+        probes = int(nprobe or vi["n_lists"])
+        touched = log.select("id").distinct() if log is not None else None
+        index_top = ivf_search(
+            centroids,
+            postings,
+            qdf,
+            k=k,
+            nprobe=probes,
+            space=vi.get("space", meta.space),
+            allowed_ids=allowed,
+            excluded_ids=touched,
+        )
+        if touched is None:
+            return index_top
+        # WAL tail: materialize ONLY the touched id-groups (base semi-join),
+        # brute-force them, then merge the two top-k streams
+        base = self._store.read_base()
+        base_t = base.join(touched, "id", "semi") if base is not None else None
+        tail = self._fold(base_t, log, [])
+        tail = tail.filter(F.col("embedding").isNotNull())
+        if allowed is not None:
+            tail = tail.join(allowed, "id", "semi")
+        tail_top = exact_knn(tail, qdf, k=k, space=meta.space)
+        return knn_merge([index_top, tail_top], k)
 
     def search(self, read_level: str = "index_and_wal", **payload) -> DataFrame:
         """Hybrid search (Search payload of SURVEY §3.2) as a DataFrame."""

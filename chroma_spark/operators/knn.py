@@ -67,6 +67,30 @@ def exact_knn(
     )
 
 
+def knn_merge(
+    parts: list[DataFrame],
+    k: int,
+    id_col: str = "id",
+    query_id_col: str = "query_id",
+    dist_col: str = "dist",
+) -> DataFrame:
+    """Merge per-source top-k streams into one top-k per query — the
+    reference's ``knn_merge`` operator (``operators/knn_merge.rs:43``),
+    which fuses the index-side and log-side KNN results. Inputs carry
+    ``(query_id, id, dist)``; output adds ``rank``. Each part is at most
+    ``nq * k`` rows, so the union + re-rank is trivially small."""
+    out = parts[0].select(query_id_col, id_col, dist_col)
+    for p in parts[1:]:
+        out = out.unionByName(p.select(query_id_col, id_col, dist_col))
+    return topk_per_group(
+        out,
+        [query_id_col],
+        [F.col(dist_col).asc(), F.col(id_col).asc()],
+        k,
+        rank_col="rank",
+    )
+
+
 def exact_knn_sql(
     records_sql: str,
     queries_sql: str,

@@ -57,6 +57,10 @@ class CollectionMeta:
     base_paths: list[str] = field(default_factory=list)
     log_paths: list[str] = field(default_factory=list)
     schema: dict | None = None  # serialized chroma_spark.schema.Schema
+    # persisted ANN index descriptor {version, path, n_lists, space} — the
+    # vector-segment registration (a compaction writes the index for one
+    # collection version; queries check freshness against it)
+    vector_index: dict | None = None
 
 
 class Catalog:

@@ -322,6 +322,72 @@ def test_unknown_embedding_function_rejected_at_create(client):
 
 
 # ---------------------------------------------------------------------------
+# Vector-index lifecycle: build -> index-served query -> WAL-tail knn_merge
+# -> staleness fallback (reference: compaction writes the vector segment,
+# knn_log + knn_hnsw -> knn_merge, operators/knn_merge.rs:43)
+# ---------------------------------------------------------------------------
+
+
+def test_vector_index_lifecycle_and_knn_merge(client, spark):
+    import random
+
+    col = client.create_collection("vidx", dimension=4, space="l2")
+    rnd = random.Random(3)
+    ids = [f"r{i}" for i in range(12)]
+    embs = [[rnd.random() for _ in range(4)] for _ in ids]
+    col.add(ids=ids, embeddings=embs, metadatas=[{"grp": i % 2} for i in range(12)])
+    vi = col.build_vector_index(n_lists=3)
+    assert vi["version"] == col.version
+
+    q = [embs[5]]
+    qdf = spark.createDataFrame(
+        [(0, [float(x) for x in embs[5]])], "query_id INT, embedding ARRAY<FLOAT>"
+    )
+    # the index path engages (nprobe defaults to all lists -> exact)
+    assert col._query_via_index(qdf, 3, None, "index_and_wal", None) is not None
+    res = col.query(q, n_results=3)
+    assert res["ids"][0][0] == "r5" and res["distances"][0][0] == 0.0
+
+    # filtered KNN restricts within the probed lists (allowed-ids semi-join)
+    res = col.query(q, n_results=4, where={"grp": {"$eq": 0}})
+    assert all(int(i[1:]) % 2 == 0 for i in res["ids"][0])
+
+    # WAL tail after the build: add/update/delete all honored via knn_merge
+    col.add(ids=["new"], embeddings=[embs[5]])
+    col.update(ids=["r5"], embeddings=[[9.0, 9.0, 9.0, 9.0]])
+    col.delete(ids=["r7"])
+    res = col.query(q, n_results=12)
+    assert res["ids"][0][0] == "new"          # tail-side insert wins
+    assert "r7" not in res["ids"][0]          # tail-side delete excluded
+    by_id = dict(zip(res["ids"][0], res["distances"][0]))
+    assert by_id["r5"] > 100                  # tail-side update moved it away
+
+    # pending predicate delete -> exact fallback (still correct)
+    col.delete(where={"never_there": {"$eq": 1}})
+    assert col._query_via_index(qdf, 3, None, "index_and_wal", None) is None
+    assert col.query(q, n_results=3)["ids"][0][0] == "new"
+
+    # compaction bumps the version -> index stale -> fallback; rebuild re-engages
+    col.compact()
+    assert col._query_via_index(qdf, 3, None, "index_and_wal", None) is None
+    assert col.query(q, n_results=3)["ids"][0][0] == "new"
+    col.build_vector_index(n_lists=3)
+    assert col._query_via_index(qdf, 3, None, "index_and_wal", None) is not None
+    assert col.query(q, n_results=3)["ids"][0][0] == "new"
+
+
+def test_build_vector_index_autocompacts_and_rejects_empty(client):
+    col = client.create_collection("vempty", dimension=2)
+    with pytest.raises(CollectionError, match="empty"):
+        col.build_vector_index()
+    col.add(ids=["a", "b"], embeddings=[[1.0, 0], [0, 1.0]])
+    v_before = col.version
+    vi = col.build_vector_index(n_lists=1)
+    assert col.version == v_before + 1  # pending WAL compacted first
+    assert vi["version"] == col.version
+
+
+# ---------------------------------------------------------------------------
 # Insertion-offset pagination + predicate deletes (VERDICT r1 #3/#8)
 # ---------------------------------------------------------------------------
 
@@ -385,6 +451,37 @@ def test_predicate_delete_then_readd(client):
     col.add(ids=["a"], embeddings=[[5.0, 0, 0, 0]], metadatas=[{"tag": "x"}])
     # the predicate applied at ITS seq position — not to the later re-add
     assert sorted(r["id"] for r in col.get()) == ["a", "b", "c"]
+
+
+def test_sparse_vector_metadata_and_hybrid_search(client):
+    """SparseVector metadata values (base_types.py:13-117) survive the WAL
+    fold and serve sparse $knn terms in search() — the record-side half of
+    hybrid search."""
+    col = client.create_collection("svcol", dimension=2)
+    col.add(
+        ids=["a", "b", "c"],
+        embeddings=[[1.0, 0], [0, 1.0], [0.5, 0.5]],
+        metadatas=[
+            {"sv": {"indices": [0, 2], "values": [1.0, 2.0]}},
+            {"sv": {"indices": [2, 5], "values": [3.0, 1.0]}},
+            {"sv": {"indices": [7], "values": [4.0], "labels": ["rare"]}},
+        ],
+    )
+    row = col.get(ids=["a"])[0]
+    assert row["sv"]["indices"] == [0, 2] and row["sv"]["values"] == [1.0, 2.0]
+    assert col.get(ids=["c"])[0]["sv"]["labels"] == ["rare"]
+    # sparse $knn over the metadata column (idf off: hand-checkable dots)
+    df = col.search(
+        rank={"$knn": {"query": {"indices": [0, 2], "values": [1.0, 1.0]},
+                       "key": "sv", "limit": 3, "idf": False}},
+        select=["#id"],
+    )
+    scores = {r["id"]: r["score"] for r in df.collect()}
+    assert scores == {"a": 1.0 - 3.0, "b": 1.0 - 3.0}  # c shares no term
+    # malformed sparse metadata rejected at write time
+    with pytest.raises(Exception, match="ascending"):
+        col.add(ids=["z"], embeddings=[[0.0, 0]],
+                metadatas=[{"sv": {"indices": [3, 1], "values": [1.0, 1.0]}}])
 
 
 def test_mixed_numeric_metadata_coerces_to_float(client):
