@@ -444,14 +444,19 @@ class Collection:
                 log = log.withColumn(c, F.lit(None).cast(base_types[c]))
         return materialize(base, log, where_ops=where_ops)
 
-    def compact(self, attached: list | None = None) -> int:
+    def compact(self, attached: list | None = None, refresh_indexes: bool = True) -> int:
         """Fold the WAL into a new base version; returns the new version.
 
         ``attached`` — AttachedFunction list (streaming/compactor.py) run
         piggybacked on the compaction exactly as the reference's
         execute_task.rs: each gets (new state, raw log batch) and its
         output lands under the collection dir as the derived "output
-        collection" (`fn_{name}/v{version}`)."""
+        collection" (`fn_{name}/v{version}`).
+
+        ``refresh_indexes`` — when a vector index is registered, rebuild it
+        for the new version (the reference's compaction writes the vector
+        segment's index as part of the same flush, SURVEY §3.3), so index
+        reads never go stale across compactions."""
         meta = self._store.meta
         log_batch = self._store.read_log()
         snap = self.snapshot()
@@ -472,6 +477,8 @@ class Collection:
         meta.base_paths = [path]
         meta.log_paths = []
         self._store.catalog.update(meta)
+        if refresh_indexes and meta.vector_index is not None:
+            self.build_vector_index(n_lists=meta.vector_index.get("n_lists"))
         return new_version
 
     def build_vector_index(
@@ -557,10 +564,15 @@ class Collection:
             id=uuid.uuid4().hex,
             dimension=parent.dimension,
             space=parent.space,
+            version=parent.version,
             metadata=dict(parent.metadata),
             base_paths=list(parent.base_paths),
             log_paths=list(parent.log_paths),
             log_position=parent.log_position,
+            schema=parent.schema,
+            # zero-copy includes the vector index: the child serves from the
+            # parent's index files until its own writes diverge + compact
+            vector_index=dict(parent.vector_index) if parent.vector_index else None,
         )
         self._store.catalog.create(child)
         return Collection(self._client, self._client._scoped(name))

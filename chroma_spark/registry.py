@@ -312,6 +312,48 @@ _knn_query("knn_cosine_exact", "cosine")
 _knn_query("knn_ip_exact", "ip")
 
 
+def _knn_merge_oracle() -> str:
+    from .operators.knn import exact_knn_sql
+
+    a = exact_knn_sql(
+        "SELECT vec_id AS id, embedding FROM embeddings WHERE vec_id % 2 = 0",
+        _KNN_QUERIES_SQL, 10, "l2",
+    )
+    b = exact_knn_sql(
+        "SELECT vec_id AS id, embedding FROM embeddings WHERE vec_id % 2 = 1",
+        _KNN_QUERIES_SQL, 10, "l2",
+    )
+    return f"""
+WITH __a AS ({a}), __b AS ({b}),
+__u AS (SELECT query_id, id, dist FROM __a UNION ALL SELECT query_id, id, dist FROM __b)
+SELECT query_id, id, dist, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rank
+  FROM __u
+) WHERE rank <= 10"""
+
+
+@register("knn_merge_streams", None)  # oracle assigned below
+def knn_merge_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's knn_merge operator (operators/knn_merge.rs:43):
+    fuse two per-source top-k streams (the index-side / log-side split)
+    into one top-k per query."""
+    from .operators.knn import exact_knn, knn_merge
+
+    embs = load(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = embs.filter(F.col("vec_id") % 2 == 0).select(F.col("vec_id").alias("id"), "embedding")
+    b = embs.filter(F.col("vec_id") % 2 == 1).select(F.col("vec_id").alias("id"), "embedding")
+    return knn_merge(
+        [exact_knn(a, queries, k=10, space="l2"), exact_knn(b, queries, k=10, space="l2")],
+        k=10,
+    )
+
+
+QUERIES["knn_merge_streams"].oracle = _knn_merge_oracle()
+
+
 @register("knn_filtered", None)  # oracle assigned below
 def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter-before-KNN (reference: executor/local.py:107-127 prefilter)."""

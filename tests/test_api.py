@@ -367,13 +367,35 @@ def test_vector_index_lifecycle_and_knn_merge(client, spark):
     assert col._query_via_index(qdf, 3, None, "index_and_wal", None) is None
     assert col.query(q, n_results=3)["ids"][0][0] == "new"
 
-    # compaction bumps the version -> index stale -> fallback; rebuild re-engages
-    col.compact()
+    # compaction without refresh leaves the index stale -> exact fallback
+    col.compact(refresh_indexes=False)
     assert col._query_via_index(qdf, 3, None, "index_and_wal", None) is None
     assert col.query(q, n_results=3)["ids"][0][0] == "new"
     col.build_vector_index(n_lists=3)
     assert col._query_via_index(qdf, 3, None, "index_and_wal", None) is not None
     assert col.query(q, n_results=3)["ids"][0][0] == "new"
+
+    # default compact() refreshes the registered index for the new version
+    # (the reference's compaction flushes the vector segment's index too)
+    col.add(ids=["new2"], embeddings=[[0.1, 0.1, 0.1, 0.1]])
+    col.compact()
+    assert col._store.meta.vector_index["version"] == col.version
+    assert col._query_via_index(qdf, 3, None, "index_and_wal", None) is not None
+
+
+def test_fork_inherits_vector_index(client, spark):
+    col = client.create_collection("vparent", dimension=2)
+    col.add(ids=["a", "b"], embeddings=[[1.0, 0], [0, 1.0]])
+    col.build_vector_index(n_lists=1)
+    fork = col.fork("vchild")
+    qdf = spark.createDataFrame([(0, [1.0, 0.0])], "query_id INT, embedding ARRAY<FLOAT>")
+    # the child serves from the parent's index files (zero-copy)
+    assert fork._query_via_index(qdf, 2, None, "index_and_wal", None) is not None
+    assert fork.query([[1.0, 0]], n_results=1)["ids"][0] == ["a"]
+    # divergent child writes merge through the tail; parent untouched
+    fork.add(ids=["z"], embeddings=[[1.0, 0.0]])
+    assert fork.query([[1.0, 0]], n_results=2)["ids"][0] == ["a", "z"]
+    assert col.query([[1.0, 0]], n_results=2)["ids"][0] == ["a", "b"]
 
 
 def test_build_vector_index_autocompacts_and_rejects_empty(client):
