@@ -477,8 +477,11 @@ class Collection:
         meta.base_paths = [path]
         meta.log_paths = []
         self._store.catalog.update(meta)
-        if refresh_indexes and meta.vector_index is not None:
-            self.build_vector_index(n_lists=meta.vector_index.get("n_lists"))
+        if refresh_indexes:
+            if meta.vector_index is not None:
+                self.build_vector_index(n_lists=meta.vector_index.get("n_lists"))
+            for key, si in list((meta.sparse_indexes or {}).items()):
+                self.build_sparse_index(key, n_buckets=si.get("n_buckets", 64))
         return new_version
 
     def build_vector_index(
@@ -519,6 +522,84 @@ class Collection:
         }
         self._store.catalog.update(meta)
         return meta.vector_index
+
+    def build_sparse_index(self, key: str, n_buckets: int = 64) -> dict:
+        """Build + register the term-bucket posting index over a
+        SparseVector metadata column (the sparse-segment write of the
+        reference's compaction; per-term posting reads,
+        rust/index/src/sparse/reader.rs). ``search()`` sparse $knn terms on
+        ``key`` then read only their buckets' partitions, with WAL-tail
+        postings unioned in (the sparse_index_knn + sparse_log_knn merge,
+        SURVEY §3.2)."""
+        import os as _os
+
+        from .operators.sparse import explode_postings, write_sparse_index
+
+        if self._store.meta.log_paths:
+            self.compact()
+        meta = self._store.meta
+        base = self._store.read_base()
+        if base is None or key not in base.columns:
+            raise CollectionError(f"no SparseVector column {key!r} to index")
+        postings = explode_postings(
+            base.filter(F.col(key).isNotNull()), id_col="id", sparse_col=key
+        )
+        path = _os.path.join(
+            self._store.catalog.root, self._store.name, f"index_sparse_{key}", f"v{meta.version}"
+        )
+        write_sparse_index(postings, path, n_buckets=n_buckets)
+        n_docs = float(postings.select("id").distinct().count())
+        meta.sparse_indexes = {
+            **(meta.sparse_indexes or {}),
+            key: {
+                "version": meta.version,
+                "path": path,
+                "n_buckets": int(n_buckets),
+                "n_docs": n_docs,
+            },
+        }
+        self._store.catalog.update(meta)
+        return meta.sparse_indexes[key]
+
+    def _fresh_sparse_indexes(self, read_level: str) -> dict:
+        """Fresh per-key sparse indexes as RankEvaluator specs, with
+        WAL-tail postings merged in: index entries for touched ids are
+        anti-joined away and the live tail records' postings unioned (the
+        reference's parallel sparse_index_knn + sparse_log_knn). Pending
+        predicate deletes disable index use for safety (touched set
+        unknowable without a full fold); n_docs refreshes at compaction
+        like the reference's index-time stats."""
+        from .operators.sparse import explode_postings, read_sparse_index
+
+        meta = self._store.meta
+        if not meta.sparse_indexes:
+            return {}
+        log = self._store.read_log() if read_level != "index_only" else None
+        if log is not None and "where_json" in log.columns:
+            if log.filter(F.col("op") == "DELETE_WHERE").head() is not None:
+                return {}
+        out: dict = {}
+        spark = self._client.spark
+        for key, si in meta.sparse_indexes.items():
+            if si.get("version") != meta.version:
+                continue
+            postings = read_sparse_index(spark, si["path"])
+            if log is not None:
+                touched = log.select("id").distinct()
+                base = self._store.read_base()
+                base_t = base.join(touched, "id", "semi") if base is not None else None
+                tail = self._fold(base_t, log, [])
+                live = postings.join(touched, "id", "anti")
+                if key in tail.columns:
+                    tail_postings = explode_postings(
+                        tail.filter(F.col(key).isNotNull()), id_col="id", sparse_col=key
+                    ).withColumn(
+                        "bucket", (F.col("idx") % si["n_buckets"]).cast("int")
+                    )
+                    live = live.unionByName(tail_postings)
+                postings = live
+            out[key] = (postings, int(si["n_buckets"]), float(si["n_docs"]))
+        return out
 
     def snapshot_at(self, version: int) -> DataFrame:
         """Time travel: the compacted state as of ``version`` (old base
@@ -570,9 +651,10 @@ class Collection:
             log_paths=list(parent.log_paths),
             log_position=parent.log_position,
             schema=parent.schema,
-            # zero-copy includes the vector index: the child serves from the
+            # zero-copy includes the indexes: the child serves from the
             # parent's index files until its own writes diverge + compact
             vector_index=dict(parent.vector_index) if parent.vector_index else None,
+            sparse_indexes={k: dict(v) for k, v in (parent.sparse_indexes or {}).items()},
         )
         self._store.catalog.create(child)
         return Collection(self._client, self._client._scoped(name))
@@ -786,6 +868,7 @@ class Collection:
             snap,
             default_space=self._store.meta.space,
             offset_col="offset_id" if "offset_id" in snap.columns else None,
+            sparse_index=self._fresh_sparse_indexes(read_level),
             **payload,
         )
 

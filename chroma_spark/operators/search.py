@@ -41,11 +41,14 @@ def search(
     default_space: str = "l2",
     knn_fn=None,
     offset_col: str | None = None,
+    sparse_index: dict | None = None,
 ) -> DataFrame:
     """Run a Search payload; returns records (+ ``score`` when ranked).
 
     ``offset_col`` — the internal insertion-offset column; when given,
-    un-ranked results order by it (limit.rs:23-36) instead of the id."""
+    un-ranked results order by it (limit.rs:23-36) instead of the id.
+    ``sparse_index`` — per-key persisted posting indexes for sparse $knn
+    terms (see RankEvaluator)."""
     candidates = records
     if where is not None:
         candidates = candidates.filter(
@@ -62,7 +65,12 @@ def search(
             order = [F.col(id_col).asc()]
     else:
         ev = RankEvaluator(
-            candidates, id_col=id_col, vec_col=vec_col, default_space=default_space, knn_fn=knn_fn
+            candidates,
+            id_col=id_col,
+            vec_col=vec_col,
+            default_space=default_space,
+            knn_fn=knn_fn,
+            sparse_index=sparse_index,
         )
         scores = finalize_scores(ev.evaluate(rank))
         # hydration join (reference KnnProjection: winners only fetch payload)

@@ -61,6 +61,8 @@ class CollectionMeta:
     # vector-segment registration (a compaction writes the index for one
     # collection version; queries check freshness against it)
     vector_index: dict | None = None
+    # per-key sparse posting indexes {key: {version, path, n_buckets, n_docs}}
+    sparse_indexes: dict[str, dict] = field(default_factory=dict)
 
 
 class Catalog:

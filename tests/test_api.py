@@ -506,6 +506,42 @@ def test_sparse_vector_metadata_and_hybrid_search(client):
                 metadatas=[{"sv": {"indices": [3, 1], "values": [1.0, 1.0]}}])
 
 
+def test_sparse_index_lifecycle_in_search(client):
+    """build_sparse_index -> search sparse $knn reads the bucket-pruned
+    index; WAL-tail writes merge via anti-join + tail postings union (the
+    sparse_index_knn + sparse_log_knn pipeline)."""
+    col = client.create_collection("svidx", dimension=2)
+    col.add(
+        ids=["a", "b", "c"],
+        embeddings=[[1.0, 0], [0, 1.0], [0.5, 0.5]],
+        metadatas=[
+            {"sv": {"indices": [0, 2], "values": [1.0, 2.0]}},
+            {"sv": {"indices": [2, 5], "values": [3.0, 1.0]}},
+            {"sv": {"indices": [7], "values": [4.0]}},
+        ],
+    )
+    si = col.build_sparse_index("sv", n_buckets=8)
+    assert si["version"] == col.version and si["n_docs"] == 3.0
+    rank = {"$knn": {"query": {"indices": [0, 2], "values": [1.0, 1.0]},
+                     "key": "sv", "limit": 4, "idf": False}}
+    scores = {r["id"]: r["score"] for r in col.search(rank=rank, select=["#id"]).collect()}
+    assert scores == {"a": -2.0, "b": -2.0}
+    # tail writes: update b's vector, delete a, add d — index entries for
+    # touched ids must not leak through
+    col.update(ids=["b"], metadatas=[{"sv": {"indices": [2], "values": [10.0]}}])
+    col.delete(ids=["a"])
+    col.add(ids=["d"], embeddings=[[0.0, 0]],
+            metadatas=[{"sv": {"indices": [0], "values": [7.0]}}])
+    scores = {r["id"]: r["score"] for r in col.search(rank=rank, select=["#id"]).collect()}
+    assert scores == {"b": 1.0 - 10.0, "d": 1.0 - 7.0}
+    # compaction refreshes the sparse index for the new version
+    col.compact()
+    assert col._store.meta.sparse_indexes["sv"]["version"] == col.version
+    assert col._store.meta.sparse_indexes["sv"]["n_docs"] == 3.0  # b, c, d
+    scores = {r["id"]: r["score"] for r in col.search(rank=rank, select=["#id"]).collect()}
+    assert scores == {"b": 1.0 - 10.0, "d": 1.0 - 7.0}
+
+
 def test_mixed_numeric_metadata_coerces_to_float(client):
     col = client.create_collection("mx", dimension=2)
     col.add(
