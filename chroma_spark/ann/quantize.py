@@ -154,10 +154,14 @@ def ivf_quantized_search(
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
     round_decimals: int | None = 6,
+    allowed_ids: DataFrame | None = None,
+    excluded_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Full quantized-SPANN pipeline: nprobe centroid pruning -> Hamming
     prefilter within the probed lists -> exact re-rank. The candidate scan
-    reads only probed partitions AND only the narrow code column."""
+    reads only probed partitions AND only the narrow code column.
+    ``allowed_ids``/``excluded_ids``: see ivf.ivf_search (filter-before-ANN
+    and WAL-tail staleness exclusion)."""
     q = queries.select(
         F.col(query_id_col).alias("__qid"),
         F.col(query_vec_col).alias("__qvec"),
@@ -173,9 +177,14 @@ def ivf_quantized_search(
         nprobe,
         two_stage=False,
     ).select("__qid", "__qvec", "__qcode", "centroid_id")
+    probed_src = coded_postings
+    if allowed_ids is not None:
+        probed_src = probed_src.join(allowed_ids.select(F.col(id_col)), id_col, "semi")
+    if excluded_ids is not None:
+        probed_src = probed_src.join(excluded_ids.select(F.col(id_col)), id_col, "anti")
     ham = hamming(F.col("code"), F.col("__qcode"))
     pruned = topk_per_group(
-        coded_postings.join(F.broadcast(probes), "centroid_id").select(
+        probed_src.join(F.broadcast(probes), "centroid_id").select(
             "__qid",
             "__qvec",
             F.col(id_col),

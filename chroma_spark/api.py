@@ -478,14 +478,30 @@ class Collection:
         meta.log_paths = []
         self._store.catalog.update(meta)
         if refresh_indexes:
-            if meta.vector_index is not None:
-                self.build_vector_index(n_lists=meta.vector_index.get("n_lists"))
+            vi = meta.vector_index
+            if vi is not None:
+                self.build_vector_index(
+                    n_lists=vi.get("n_lists"),
+                    quantized=vi.get("means") is not None,
+                    rerank_factor=int(vi.get("rerank_factor", 24)),
+                )
+            elif self.schema is not None:
+                # declarative indexing: an explicit vector_index config in
+                # the schema means "maintain the index at compaction" (the
+                # reference's compaction always writes the vector segment)
+                cfg = self.schema.index_config("vector_index", "#embedding") or {}
+                if cfg.get("n_lists"):
+                    self.build_vector_index()
             for key, si in list((meta.sparse_indexes or {}).items()):
                 self.build_sparse_index(key, n_buckets=si.get("n_buckets", 64))
         return new_version
 
     def build_vector_index(
-        self, n_lists: int | None = None, replicas: int = 2
+        self,
+        n_lists: int | None = None,
+        replicas: int = 2,
+        quantized: bool | None = None,
+        rerank_factor: int = 24,
     ) -> dict:
         """Build + register the SPANN/IVF-style vector index for the
         current version (the vector-segment write of the reference's
@@ -493,13 +509,20 @@ class Collection:
         entries are compacted first so the index corresponds to exactly one
         collection version; ``query()`` then serves from the index and
         brute-forces only the WAL tail written after the build
-        (merged via knn_merge, ``operators/knn_merge.rs:43``)."""
+        (merged via knn_merge, ``operators/knn_merge.rs:43``).
+
+        ``quantized`` adds packed sign-bit codes to the postings (the
+        quantized-SPANN analog, rust/index/src/quantization): queries
+        Hamming-prune within probed lists and exact-re-rank
+        ``rerank_factor * k`` candidates — recall-lossy by design (recall
+        ≥ 0.95 at rerank_factor 24 on the test data; tune per corpus)."""
         import os as _os
 
         from .ann.ivf import build_ivf, write_ivf
 
         if self._store.meta.log_paths:
-            self.compact()
+            # refresh_indexes=False: this build IS the refresh
+            self.compact(refresh_indexes=False)
         meta = self._store.meta
         base = self._store.read_base()
         if base is None:
@@ -509,17 +532,26 @@ class Collection:
         if self.schema is not None:
             cfg = self.schema.index_config("vector_index", "#embedding") or {}
         n_lists = int(n_lists or cfg.get("n_lists", 16))
+        if quantized is None:
+            quantized = bool(cfg.get("quantized", False))
         centroids, postings = build_ivf(records, n_lists=n_lists, replicas=replicas)
         path = _os.path.join(
             self._store.catalog.root, self._store.name, "index_vector", f"v{meta.version}"
         )
-        write_ivf(centroids, postings, path)
-        meta.vector_index = {
+        desc = {
             "version": meta.version,
             "path": path,
             "n_lists": n_lists,
             "space": meta.space,
         }
+        if quantized:
+            from .ann.quantize import build_codes
+
+            postings, means = build_codes(postings)
+            desc["means"] = [float(m) for m in means]
+            desc["rerank_factor"] = int(rerank_factor)
+        write_ivf(centroids, postings, path)
+        meta.vector_index = desc
         self._store.catalog.update(meta)
         return meta.vector_index
 
@@ -536,7 +568,8 @@ class Collection:
         from .operators.sparse import explode_postings, write_sparse_index
 
         if self._store.meta.log_paths:
-            self.compact()
+            # refresh_indexes=False: this build IS the refresh
+            self.compact(refresh_indexes=False)
         meta = self._store.meta
         base = self._store.read_base()
         if base is None or key not in base.columns:
@@ -835,16 +868,32 @@ class Collection:
         centroids, postings = read_ivf(self._client.spark, vi["path"])
         probes = int(nprobe or vi["n_lists"])
         touched = log.select("id").distinct() if log is not None else None
-        index_top = ivf_search(
-            centroids,
-            postings,
-            qdf,
-            k=k,
-            nprobe=probes,
-            space=vi.get("space", meta.space),
-            allowed_ids=allowed,
-            excluded_ids=touched,
-        )
+        if vi.get("means") is not None:
+            from .ann.quantize import ivf_quantized_search
+
+            index_top = ivf_quantized_search(
+                centroids,
+                postings,
+                qdf,
+                [float(m) for m in vi["means"]],
+                k=k,
+                nprobe=probes,
+                rerank_factor=int(vi.get("rerank_factor", 24)),
+                space=vi.get("space", meta.space),
+                allowed_ids=allowed,
+                excluded_ids=touched,
+            )
+        else:
+            index_top = ivf_search(
+                centroids,
+                postings,
+                qdf,
+                k=k,
+                nprobe=probes,
+                space=vi.get("space", meta.space),
+                allowed_ids=allowed,
+                excluded_ids=touched,
+            )
         if touched is None:
             return index_top
         # WAL tail: materialize ONLY the touched id-groups (base semi-join),
@@ -863,7 +912,21 @@ class Collection:
         self._validate_indexed(payload.get("where"), payload.get("where_document"))
         snap = self.snapshot(read_level)
         if snap is None:
-            raise CollectionError("search on empty collection")
+            # reference semantics: an empty collection yields an empty
+            # SearchResult, not an error — run the pipeline over an empty
+            # record frame with the standard record schema
+            snap = self._client.spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("id", T.StringType()),
+                        T.StructField("offset_id", T.LongType()),
+                        T.StructField("embedding", T.ArrayType(T.FloatType())),
+                        T.StructField("document", T.StringType()),
+                        T.StructField("uri", T.StringType()),
+                    ]
+                ),
+            )
         return search_op(
             snap,
             default_space=self._store.meta.space,

@@ -237,6 +237,47 @@ def test_query_include_hydration(client):
         col.query([[1.0, 0, 0, 0]], include=["nope"])
 
 
+def test_search_empty_collection_returns_empty(client):
+    col = client.create_collection("esearch", dimension=2)
+    df = col.search(rank={"$knn": {"query": [1.0, 0], "limit": 3}}, select=["#id"])
+    assert df.collect() == []
+    assert col.search().collect() == []  # un-ranked form too
+
+
+def test_schema_configured_index_builds_at_compaction(client):
+    from chroma_spark.schema import Schema
+
+    schema = Schema().create_index("vector_index", "#embedding", {"n_lists": 2})
+    col = client.create_collection("auto_idx", dimension=2, schema=schema)
+    col.add(ids=["a", "b", "c"], embeddings=[[1.0, 0], [0, 1.0], [0.7, 0.7]])
+    assert col._store.meta.vector_index is None
+    col.compact()  # declarative: schema config -> index written by compaction
+    vi = col._store.meta.vector_index
+    assert vi is not None and vi["version"] == col.version and vi["n_lists"] == 2
+    assert col.query([[1.0, 0]], n_results=1)["ids"][0] == ["a"]
+
+
+def test_quantized_vector_index_lifecycle(client, spark):
+    import random
+
+    col = client.create_collection("qidx", dimension=8)
+    rnd = random.Random(11)
+    ids = [f"q{i}" for i in range(20)]
+    embs = [[rnd.random() for _ in range(8)] for _ in ids]
+    col.add(ids=ids, embeddings=embs)
+    vi = col.build_vector_index(n_lists=2, quantized=True, rerank_factor=24)
+    assert vi.get("means") is not None and len(vi["means"]) == 8
+    res = col.query([embs[3]], n_results=3)
+    assert res["ids"][0][0] == "q3" and res["distances"][0][0] == 0.0
+    # tail merge still works on the quantized path
+    col.add(ids=["qnew"], embeddings=[embs[3]])
+    res = col.query([embs[3]], n_results=4)
+    assert set(res["ids"][0][:2]) == {"q3", "qnew"}
+    # compaction refresh preserves quantization
+    col.compact()
+    assert col._store.meta.vector_index.get("means") is not None
+
+
 def test_query_empty_collection_per_query_lists(client):
     col = client.create_collection("empty", dimension=2)
     res = col.query([[1.0, 0], [0, 1.0]], n_results=3)
