@@ -225,11 +225,17 @@ class RankEvaluator:
                 # raw-dot operator contract. Terms batch per (col, idf).
                 by_sparse_col.setdefault((col, bool(t.get("idf", True))), []).append((key, t))
             else:
-                by_space.setdefault(t.get("space", self.default_space), []).append((key, t))
+                # dense terms may target any ARRAY<FLOAT> column via "key"
+                # (operator.py:1043-1111; default #embedding) — multi-vector
+                # records batch per (space, column)
+                vcol = str(t.get("key") or "#embedding").lstrip("#")
+                if vcol == "embedding":
+                    vcol = self.vec_col
+                by_space.setdefault((t.get("space", self.default_space), vcol), []).append((key, t))
         spark = self.records.sparkSession
         for (col, use_idf), keyed in by_sparse_col.items():
             self._precompute_sparse(spark, col, keyed, use_idf)
-        for space, keyed in by_space.items():
+        for (space, vcol), keyed in by_space.items():
             qrows = [(i, [float(x) for x in t.get("query")]) for i, (_, t) in enumerate(keyed)]
             qdf = spark.createDataFrame(qrows, "query_id INT, embedding ARRAY<FLOAT>")
             kmax = max(int(t.get("limit", 16)) for _, t in keyed)
@@ -239,7 +245,7 @@ class RankEvaluator:
                 k=kmax,
                 space=space,
                 id_col=self.id_col,
-                vec_col=self.vec_col,
+                vec_col=vcol,
                 round_decimals=None,
             )
             if len(keyed) > 1:

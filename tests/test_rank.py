@@ -133,6 +133,33 @@ def test_sparse_knn_term_idf_scaling(spark):
     assert 3 not in out
 
 
+def test_dense_knn_alternate_vector_column(spark):
+    """Dense $knn with key=<other ARRAY<FLOAT> column> (operator.py's key
+    param, default #embedding) — multi-vector records rank per column."""
+    from chroma_spark.operators.rank import RankEvaluator, finalize_scores
+
+    records = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0], [5.0, 5.0]),
+            (2, [3.0, 4.0], [0.0, 0.0]),
+        ],
+        "id BIGINT, embedding ARRAY<FLOAT>, image_emb ARRAY<FLOAT>",
+    )
+    expr = {
+        "$sum": [
+            {"$knn": {"query": [0.0, 0.0], "limit": 2, "space": "l2", "default": 0.0}},
+            {"$knn": {"query": [0.0, 0.0], "key": "image_emb", "limit": 2,
+                      "space": "l2", "default": 0.0}},
+        ]
+    }
+    out = {
+        r["id"]: r["score"]
+        for r in finalize_scores(RankEvaluator(records).evaluate(expr)).collect()
+    }
+    # id1: text 0 + image 50; id2: text 25 + image 0 (l2 = squared distance)
+    assert out == {1: 50.0, 2: 25.0}
+
+
 def test_sparse_dense_mixed_batch(spark):
     """Dense and sparse $knn terms coexist in one expression; sparse
     return_rank yields 0-based positions ordered by measure asc, id asc."""
