@@ -840,6 +840,27 @@ class Collection:
                 out["metadatas"][q].append(md or None)
         return out
 
+    def _embed_rank_queries(self, rank):
+        """String $knn queries embed client-side with the collection's
+        attached embedding function (Collection.py:447-449 embeds text Knn
+        queries before the search payload ships)."""
+        if isinstance(rank, list):
+            return [self._embed_rank_queries(e) for e in rank]
+        if not isinstance(rank, dict):
+            return rank
+        out = {}
+        for op, arg in rank.items():
+            if op == "$knn" and isinstance(arg, dict) and isinstance(arg.get("query"), str):
+                ef = self._embedding_function()
+                if ef is None:
+                    raise CollectionError(
+                        "string $knn query requires an attached embedding function"
+                    )
+                out[op] = {**arg, "query": [float(x) for x in ef([arg["query"]])[0]]}
+            else:
+                out[op] = self._embed_rank_queries(arg)
+        return out
+
     def _query_via_index(
         self,
         qdf: DataFrame,
@@ -910,6 +931,9 @@ class Collection:
     def search(self, read_level: str = "index_and_wal", **payload) -> DataFrame:
         """Hybrid search (Search payload of SURVEY §3.2) as a DataFrame."""
         self._validate_indexed(payload.get("where"), payload.get("where_document"))
+        payload = dict(payload)
+        if payload.get("rank") is not None:
+            payload["rank"] = self._embed_rank_queries(payload["rank"])
         snap = self.snapshot(read_level)
         if snap is None:
             # reference semantics: an empty collection yields an empty

@@ -351,6 +351,20 @@ def test_attached_embedding_function_auto_embed_and_query_texts(client):
         col.query()
 
 
+def test_search_string_knn_query_embeds_clientside(client):
+    """String $knn queries embed with the attached EF before the search
+    runs (Collection.py:447-449)."""
+    col = client.create_collection(
+        "efsearch", embedding_function="hashing", embedding_function_kwargs={"dim": 16}
+    )
+    col.add(ids=["a", "b"], documents=["alpha beta", "gamma delta"])
+    rows = col.search(rank={"$knn": {"query": "alpha beta", "limit": 2}}, select=["#id"]).collect()
+    assert rows[0]["id"] == "a" and rows[0]["score"] < 1e-6
+    plain = _mk(client)
+    with pytest.raises(CollectionError, match="embedding function"):
+        plain.search(rank={"$knn": {"query": "text", "limit": 1}})
+
+
 def test_query_texts_without_ef_rejected(client):
     col = _mk(client)
     with pytest.raises(CollectionError, match="embedding function"):

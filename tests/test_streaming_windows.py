@@ -109,6 +109,46 @@ def test_running_user_stats_state_persists_across_triggers(spark, tmp_path):
     assert latest[2] == (2, 8.0)
 
 
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("document", T.StringType()),
+    ]
+)
+
+
+def test_streaming_dedup_across_triggers(spark, tmp_path):
+    """dropDuplicatesWithinWatermark ingest dedup: a document re-arriving
+    in a LATER trigger (same content, different whitespace) is dropped;
+    state is keyed by the content fingerprint."""
+    from chroma_spark.streaming.dedup import dedup_stream
+
+    src, ckpt, sink = (str(tmp_path / d) for d in ("docs", "ckpt", "sink"))
+    _write_rows = lambda rows: (
+        spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    )
+    _write_rows([(_t(1), 1, "alpha beta"), (_t(2), 2, "gamma delta")])
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(src)
+    dd = dedup_stream(stream, watermark="2 hours")
+    _drain(dd, ckpt, sink)
+    _write_rows([(_t(10), 3, "alpha  beta"), (_t(11), 4, "epsilon")])  # 3 = dup of 1
+    _drain(dd, ckpt, sink)
+
+    out = sorted(r.doc_id for r in spark.read.parquet(sink).collect())
+    assert out == [1, 2, 4]
+
+
+def test_batch_dedup_twin(spark):
+    from chroma_spark.streaming.dedup import dedup_stream
+
+    df = spark.createDataFrame(
+        [(_t(1), 1, "x y"), (_t(2), 2, "x  y"), (_t(3), 3, "z")], DOC_SCHEMA
+    )
+    kept = sorted(r.doc_id for r in dedup_stream(df).collect())
+    assert kept in ([1, 3], [2, 3])  # one of the dups survives
+
+
 def test_sessionize_gap_boundary(spark):
     """Spark merges at the exact-gap boundary (inclusive windows); a new
     session starts only when the gap is STRICTLY greater than the session
