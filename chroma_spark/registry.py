@@ -531,6 +531,31 @@ def group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "group_maxk",
+    "WITH "
+    + _knn_cte("ka", "l2", 3, 100, _EMB_RECORDS_SQL)
+    + """
+SELECT id, label, score FROM (
+  SELECT j.*, row_number() OVER (PARTITION BY label ORDER BY score DESC, id ASC) AS gr
+  FROM (SELECT k.id, e.label, (round(k.dist, 6) + 0.0) AS score
+        FROM ka k JOIN embeddings e ON k.id = e.vec_id) j
+) WHERE gr <= 2""",
+)
+def group_maxk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxK per group (the FARTHEST k per label — MaxK of
+    operator.py:1378-1535 keeps max sort-key values; id tiebreak stays
+    ascending)."""
+    from .operators.search import search
+
+    return search(
+        _emb_records(spark, sf_dir),
+        rank={"$knn": {"query": _qvec(spark, sf_dir, 3), "limit": 100, "space": "l2"}},
+        group_by={"keys": ["label"], "aggregate": {"$max_k": {"keys": ["#score"], "k": 2}}},
+        select=["id", "label"],
+    )
+
+
 _SEARCH_FULL_RECORDS_SQL = (
     "SELECT vec_id AS id, embedding FROM embeddings"
     " WHERE (\"label\" IN (0, 1, 2, 3, 4, 5, 6))"
@@ -1309,6 +1334,44 @@ def _register_multimodal() -> None:
         lambda spark, sf_dir: MM.sample_frames(_assets(spark, sf_dir), every_n=5),
         MM.sample_frames_sql(assets_sql, every_n=5),
     )
+
+    def features_fn(spark, sf_dir):
+        # byte-histogram features (CLIP-encoder stand-in) verified by VALUE:
+        # the normalized float32 weights exactly recover the integer bin
+        # counts via round(w * nbytes), which both engines agree on
+        assets = _assets(spark, sf_dir)
+        feats = MM.extract_features(assets, n_bins=16)
+        sizes = assets.select("id", F.length("data").alias("nb"))
+        return (
+            feats.select("id", "modality", F.posexplode("features").alias("bin", "w"))
+            .join(sizes, "id")
+            .select(
+                "id",
+                "modality",
+                F.col("bin").cast("int").alias("bin"),
+                F.round(F.col("w") * F.col("nb")).cast("long").alias("n"),
+            )
+            .filter(F.col("n") > 0)
+        )
+
+    # the asset payload is the doc's UTF-8 bytes and the corpus is ASCII,
+    # so per-byte codes == per-character codepoints in SQL
+    features_sql = """
+WITH __a AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS modality,
+         text
+  FROM documents
+),
+__codes AS (
+  SELECT id, modality,
+         unnest(list_transform(range(1, length(text) + 1), i -> ord(text[i]))) AS code
+  FROM __a
+)
+SELECT id, modality, CAST(least(code // 16, 15) AS INTEGER) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM __codes GROUP BY id, modality, bin"""
+    QUERIES["multimodal_features_hist"] = Query(features_fn, features_sql)
 
 
 _register_multimodal()
