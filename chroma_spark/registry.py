@@ -1469,6 +1469,160 @@ def _ivf_codes(spark: SparkSession, sf_dir: str):
     return _CODES_CACHE[sf_dir]
 
 
+_FIXED_CENTROID_IDS = [7, 23, 41, 59, 77, 95, 113, 131]
+
+
+@register("ann_ivf_fixed_centroids", None)  # oracle attached below
+def ann_ivf_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF search plan made fully oracle-checkable: centroids are FIXED
+    records (no k-means), every distance is rounded before comparison, ties
+    break on centroid_id/id — so assignment, probing, and within-list top-k
+    are bit-deterministic across engines. Same physical shape as
+    ann_ivf_topk (assignment broadcast join -> nprobe pruning -> per-list
+    exact top-k); the trained variant stays recall-gated."""
+    from .functions.distance import l2
+    from .operators.topk import topk_per_group
+
+    emb = _emb_records(spark, sf_dir).select("id", "embedding")
+    id_map = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(sorted(_FIXED_CENTROID_IDS))],
+        "centroid_id INT, cid_src BIGINT",
+    )
+    cent = (
+        emb.filter(F.col("id").isin(_FIXED_CENTROID_IDS))
+        .join(F.broadcast(id_map), F.col("id") == F.col("cid_src"))
+        .select("centroid_id", F.col("embedding").alias("centroid"))
+    )
+    cdist = F.round(l2(F.col("embedding"), F.col("centroid")), 6) + F.lit(0.0)
+    assigned = topk_per_group(
+        emb.crossJoin(F.broadcast(cent)).select(
+            "id", "embedding", "centroid_id", cdist.alias("__cd")
+        ),
+        ["id"],
+        [F.col("__cd").asc(), F.col("centroid_id").asc()],
+        1,
+        two_stage=False,
+    ).select("id", "embedding", "centroid_id")
+    queries = emb.filter(F.col("id") < 5).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    qdist = F.round(l2(F.col("qvec"), F.col("centroid")), 6) + F.lit(0.0)
+    probes = topk_per_group(
+        queries.crossJoin(F.broadcast(cent)).select(
+            "query_id", "qvec", "centroid_id", qdist.alias("__qd")
+        ),
+        ["query_id"],
+        [F.col("__qd").asc(), F.col("centroid_id").asc()],
+        3,  # nprobe
+        two_stage=False,
+    ).select("query_id", "qvec", "centroid_id")
+    d = F.round(l2(F.col("embedding"), F.col("qvec")), 6) + F.lit(0.0)
+    return topk_per_group(
+        assigned.join(F.broadcast(probes), "centroid_id").select(
+            "query_id", "id", d.alias("dist")
+        ),
+        ["query_id"],
+        [F.col("dist").asc(), F.col("id").asc()],
+        10,
+        rank_col="rank",
+    )
+
+
+def _ann_ivf_fixed_oracle() -> str:
+    from .functions.distance import l2_sql
+
+    ids = ", ".join(str(i) for i in _FIXED_CENTROID_IDS)
+    cd = l2_sql("r.embedding", "c.centroid")
+    qd = l2_sql("q.embedding", "c.centroid")
+    dd = l2_sql("a.embedding", "p.qvec")
+    return f"""
+WITH __cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding AS centroid
+  FROM embeddings WHERE vec_id IN ({ids})
+),
+__ad AS (
+  SELECT r.vec_id AS id, r.embedding, c.centroid_id, (round({cd}, 6) + 0.0) AS cd
+  FROM embeddings r CROSS JOIN __cent c
+),
+__assigned AS (
+  SELECT id, embedding, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY cd ASC, centroid_id ASC) AS rn
+    FROM __ad
+  ) WHERE rn = 1
+),
+__qd AS (
+  SELECT q.vec_id AS query_id, q.embedding AS qvec, c.centroid_id, (round({qd}, 6) + 0.0) AS qd
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q CROSS JOIN __cent c
+),
+__probes AS (
+  SELECT query_id, qvec, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qd ASC, centroid_id ASC) AS rn
+    FROM __qd
+  ) WHERE rn <= 3
+),
+__dd AS (
+  SELECT p.query_id, a.id, (round({dd}, 6) + 0.0) AS dist
+  FROM __assigned a JOIN __probes p ON a.centroid_id = p.centroid_id
+)
+SELECT query_id, id, dist, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rank
+  FROM __dd
+) WHERE rank <= 10"""
+
+
+QUERIES["ann_ivf_fixed_centroids"].oracle = _ann_ivf_fixed_oracle()
+
+
+@register("ann_quantized_fixed_pivot", None)  # oracle attached below
+def ann_quantized_fixed_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantized prefilter + re-rank plan made oracle-checkable: a
+    FIXED all-zeros pivot (no corpus mean) makes every sign bit
+    deterministic across engines; Hamming distances are exact ints with id
+    tiebreaks, and the re-rank uses rounded distances. The Spark side runs
+    the REAL packed-code machinery (build_codes + quantized_search); the
+    oracle recomputes the same bits pointwise."""
+    from .ann.quantize import build_codes, quantized_search
+
+    emb = _emb_records(spark, sf_dir).select("id", "embedding")
+    means = [0.0] * 64
+    coded, _ = build_codes(emb, means=means)
+    queries = emb.filter(F.col("id") < 5).select(F.col("id").alias("query_id"), "embedding")
+    return quantized_search(coded, queries, means, k=10, rerank_factor=4, space="l2")
+
+
+def _ann_quantized_fixed_oracle() -> str:
+    from .functions.distance import l2_sql
+
+    ham = (
+        "list_sum(list_transform(range(1, 65), i -> "
+        "CASE WHEN (r.embedding[i] > 0.0) != (q.embedding[i] > 0.0) THEN 1 ELSE 0 END))"
+    )
+    d = l2_sql("c.embedding", "c.qvec")
+    return f"""
+WITH __h AS (
+  SELECT q.vec_id AS query_id, q.embedding AS qvec, r.vec_id AS id, r.embedding,
+         {ham} AS ham
+  FROM embeddings r
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+),
+__cand AS (
+  SELECT query_id, qvec, id, embedding FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ham ASC, id ASC) AS rn
+    FROM __h
+  ) WHERE rn <= 40
+),
+__d AS (
+  SELECT c.query_id, c.id, (round({d}, 6) + 0.0) AS dist FROM __cand c
+)
+SELECT query_id, id, dist, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rank
+  FROM __d
+) WHERE rank <= 10"""
+
+
+QUERIES["ann_quantized_fixed_pivot"].oracle = _ann_quantized_fixed_oracle()
+
+
 @register("ann_ivf_topk", None)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ann.ivf import ivf_search
