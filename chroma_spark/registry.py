@@ -174,6 +174,22 @@ _where_query(
 )
 _where_query("where_array_contains", {"m_tags": {"$contains": "spark"}}, ["id"])
 _where_query("where_array_not_contains", {"m_tags": {"$not_contains": "table"}}, ["id"])
+# int/float cross-type equality: int 300 == float 300.0 (the reference's
+# two-column OR in sqlite.py:694-708; both engines' numeric coercion)
+_where_query(
+    "where_cross_type_eq",
+    {
+        "$or": [
+            {"$and": [  # float bounds on the int column
+                {"n_chars": {"$gte": 199.5}},
+                {"n_chars": {"$lt": 300.0}},
+            ]},
+            {"m_score": {"$in": [1, 2, 3]}},  # int literals on double column
+            {"n_chars": {"$eq": 246.0}},      # float literal on int column
+        ]
+    },
+    ["id", "n_chars", "m_score"],
+)
 # keys never written to the collection: $ne/$nin MATCH, positive ops fail —
 # the compilers constant-fold them instead of raising AnalysisException
 # (reference oracle test_filtering.py:59-66; VERDICT r1 "What's wrong" #2)
