@@ -653,12 +653,18 @@ class Collection:
         Local-FS implementation; a production deployment delegates to the
         table format's VACUUM with the same referenced-set rule.
         """
+        import os
         import shutil
 
         referenced: set[str] = set()
+        index_referenced: set[str] = set()
         for cname in self._store.catalog.list():
             m = self._store.catalog.get(cname)
             referenced.update(m.base_paths)
+            if m.vector_index:
+                index_referenced.add(m.vector_index["path"])
+            for si in (m.sparse_indexes or {}).values():
+                index_referenced.add(si["path"])
         keep = set(self.list_versions()[-max(1, keep_last):])
         keep.add(self._store.meta.version)
         deleted = []
@@ -667,6 +673,17 @@ class Collection:
             if v not in keep and path not in referenced:
                 shutil.rmtree(path)
                 deleted.append(v)
+        # stale per-version index layouts (not referenced by any
+        # collection's current descriptors — fork children may point at a
+        # parent's old index)
+        coll_dir = os.path.join(self._store.catalog.root, self._store.name)
+        for sub in os.listdir(coll_dir) if os.path.isdir(coll_dir) else []:
+            if not (sub == "index_vector" or sub.startswith("index_sparse_")):
+                continue
+            for vdir in os.listdir(os.path.join(coll_dir, sub)):
+                p = os.path.join(coll_dir, sub, vdir)
+                if p not in index_referenced:
+                    shutil.rmtree(p)
         return deleted
 
     def fork(self, name: str) -> "Collection":
@@ -735,6 +752,10 @@ class Collection:
             snap = snap.limit(limit)
         drop = {"embeddings": "embedding", "documents": "document", "uris": "uri"}
         hidden = {v for k, v in drop.items() if k not in include} | {"offset_id"}
+        if "metadatas" not in include:
+            # include gates metadata too (GetResult carries metadatas only
+            # when asked, chromadb/api/types.py:585-608)
+            hidden |= {c for c in snap.columns if c not in ("id", "embedding", "document", "uri")}
         cols = [c for c in snap.columns if c not in hidden]
         return [r.asDict(recursive=True) for r in snap.select(*cols).collect()]
 

@@ -323,6 +323,31 @@ def test_version_time_travel_and_gc(client, spark):
     assert col.count() == 3  # current state untouched
 
 
+def test_get_include_gates_metadata(client):
+    col = _mk(client)
+    rows = col.get(ids=["a"], include=[])
+    assert set(rows[0].keys()) == {"id"}
+    rows = col.get(ids=["a"], include=["documents"])
+    assert set(rows[0].keys()) == {"id", "document"}
+    rows = col.get(ids=["a"], include=["metadatas"])
+    assert set(rows[0].keys()) == {"id", "k", "tag"}
+
+
+def test_gc_removes_stale_index_versions(client):
+    import os
+
+    col = client.create_collection("gcidx", dimension=2)
+    col.add(ids=["a", "b"], embeddings=[[1.0, 0], [0, 1.0]])
+    col.build_vector_index(n_lists=1)  # v1 index
+    col.add(ids=["c"], embeddings=[[0.5, 0.5]])
+    col.build_vector_index(n_lists=1)  # v2 index; v1's is now unreferenced
+    idx_root = os.path.join(client.catalog.root, col._store.name, "index_vector")
+    assert sorted(os.listdir(idx_root)) == ["v1", "v2"]
+    col.gc(keep_last=1)
+    assert sorted(os.listdir(idx_root)) == ["v2"]
+    assert col.query([[1.0, 0]], n_results=1)["ids"][0] == ["a"]
+
+
 def test_gc_preserves_fork_referenced_versions(client):
     col = _mk(client, name="parent")
     col.compact()  # v1 — about to be referenced by the fork
