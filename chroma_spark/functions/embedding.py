@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import hashlib
 import math
-from collections.abc import Callable, Iterator
+from collections.abc import Callable
 
 import numpy as np
 import pandas as pd
@@ -81,6 +81,31 @@ class HashingEmbeddingFunction(EmbeddingFunction):
                 vec[_md5_bucket(tok, self.dim)] += 1.0
             n = math.sqrt(float(np.dot(vec, vec)))
             out.append((vec / n if n else vec).tolist())
+        return out
+
+
+class CharNgramHashingEmbeddingFunction(EmbeddingFunction):
+    """Second real local embedder: character-n-gram feature hashing.
+
+    Robust to tokenization differences (typos, agglutination) where the
+    word-level hasher is not — the classic fastText-style subword trick.
+    Same md5 bucketing, L2-normalized.
+    """
+
+    name = "char_ngram_hashing"
+
+    def __init__(self, dim: int = 64, n: int = 3):
+        self.dim, self.n = dim, n
+
+    def __call__(self, texts: list[str | None]) -> list[list[float]]:
+        out = []
+        for text in texts:
+            vec = np.zeros(self.dim, dtype=np.float64)
+            s = " ".join(_tokenize(text))
+            for i in range(max(0, len(s) - self.n + 1)):
+                vec[_md5_bucket(s[i : i + self.n], self.dim)] += 1.0
+            norm = math.sqrt(float(np.dot(vec, vec)))
+            out.append((vec / norm if norm else vec).tolist())
         return out
 
 
@@ -169,16 +194,42 @@ class HuggingFaceEmbeddingServerFunction(_UnavailableProvider):
     name, requires = "huggingface_server", "a running TEI endpoint"
 
 
+class JinaEmbeddingFunction(_UnavailableProvider):
+    name, requires = "jina", "the jina API and a key"
+
+
+class VoyageAIEmbeddingFunction(_UnavailableProvider):
+    name, requires = "voyageai", "the voyageai package and an API key"
+
+
+class GoogleGenerativeAiEmbeddingFunction(_UnavailableProvider):
+    name, requires = "google_generative_ai", "google-generativeai and an API key"
+
+
+class MistralEmbeddingFunction(_UnavailableProvider):
+    name, requires = "mistral", "the mistralai package and an API key"
+
+
+class InstructorEmbeddingFunction(_UnavailableProvider):
+    name, requires = "instructor", "InstructorEmbedding + model weights"
+
+
 known_embedding_functions: dict[str, Callable[..., EmbeddingFunction]] = {
     c.name: c
     for c in (
         HashingEmbeddingFunction,
+        CharNgramHashingEmbeddingFunction,
         Bm25SparseEmbeddingFunction,
         OpenAIEmbeddingFunction,
         CohereEmbeddingFunction,
         ONNXMiniLM_L6_V2,
         SentenceTransformerEmbeddingFunction,
         HuggingFaceEmbeddingServerFunction,
+        JinaEmbeddingFunction,
+        VoyageAIEmbeddingFunction,
+        GoogleGenerativeAiEmbeddingFunction,
+        MistralEmbeddingFunction,
+        InstructorEmbeddingFunction,
     )
 }
 

@@ -13,7 +13,7 @@ plan.rs:34-588``) so plans can be logged, shipped, or replayed.
 from __future__ import annotations
 
 from dataclasses import asdict, dataclass, field
-from typing import Any, Sequence
+from typing import Sequence
 
 
 @dataclass

@@ -52,9 +52,25 @@ def test_registry_and_stubs():
     assert "hashing" in known_embedding_functions
     with pytest.raises(KeyError):
         get_embedding_function("nope")
-    for name in ("openai", "cohere", "onnx_mini_lm_l6_v2", "sentence_transformer"):
+    for name in (
+        "openai", "cohere", "onnx_mini_lm_l6_v2", "sentence_transformer",
+        "jina", "voyageai", "google_generative_ai", "mistral", "instructor",
+    ):
         with pytest.raises(NotImplementedError, match="not installed|needs"):
             get_embedding_function(name)(["x"])
+
+
+def test_char_ngram_hashing_subword_robustness():
+    from chroma_spark.functions.embedding import CharNgramHashingEmbeddingFunction
+
+    import numpy as np
+
+    ef = CharNgramHashingEmbeddingFunction(dim=64, n=3)
+    a, b, c = ef(["sparkly table", "sparkly tables", "completely different thing"])
+    assert abs(float(np.dot(a, a)) - 1.0) < 1e-9  # normalized
+    # subword overlap: the near-typo pair is far more similar than unrelated
+    assert float(np.dot(a, b)) > 0.8 > float(np.dot(a, c))
+    assert ef([""]) == [[0.0] * 64] and ef([None]) == [[0.0] * 64]
 
     @register_embedding_function
     class Custom(EmbeddingFunction):
