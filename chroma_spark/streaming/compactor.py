@@ -71,12 +71,18 @@ def stream_compact(
     attached: list[AttachedFunction] | None = None,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    index_builder: Callable[[DataFrame, str], None] | None = None,
 ):
     """Run the WAL->base compaction as a streaming query.
 
     Returns the StreamingQuery; with ``available_now`` it drains the current
     backlog and stops (call ``.awaitTermination()``), otherwise it runs
     continuously as new WAL fragments land.
+
+    ``index_builder(state_df, index_path)`` runs after each batch's base
+    write — the reference's compaction writes the vector-segment index in
+    the same pass; :func:`ivf_index_builder` gives the canonical one. The
+    per-version index lands under ``{state_dir}/index_v{N}``.
     """
     reader = spark.readStream.schema(log_schema)
     if max_files_per_trigger is not None:
@@ -92,6 +98,8 @@ def stream_compact(
         new_v = _current_version(state_dir) + 1
         merged.write.mode("overwrite").parquet(f"{state_dir}/base_v{new_v}")
         state = s.read.parquet(f"{state_dir}/base_v{new_v}")
+        if index_builder is not None:
+            index_builder(state, f"{state_dir}/index_v{new_v}")
         for af in attached or []:
             af.fn(state, batch).write.mode("overwrite").parquet(
                 f"{state_dir}/fn_{af.name}/batch_{batch_id}"
@@ -103,6 +111,29 @@ def stream_compact(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def ivf_index_builder(
+    n_lists: int = 16,
+    replicas: int = 2,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> Callable[[DataFrame, str], None]:
+    """Canonical per-batch index builder: IVF over the new state, written
+    in the partitioned deployment layout (write_ivf)."""
+
+    def build(state: DataFrame, path: str) -> None:
+        from pyspark.sql import functions as F
+
+        from ..ann.ivf import build_ivf, write_ivf
+
+        records = state.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col)
+        if records.isEmpty():
+            return
+        centroids, postings = build_ivf(records, n_lists=n_lists, replicas=replicas)
+        write_ivf(centroids, postings, path)
+
+    return build
 
 
 def read_function_output(spark: SparkSession, state_dir: str, name: str) -> DataFrame:

@@ -120,6 +120,48 @@ def test_attached_functions_run_per_batch(spark, dirs):
     assert stats[("document", "alpha")] == 1  # batch-2 run sees surviving docs
 
 
+VEC_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("seq_id", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("id", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def test_stream_compact_maintains_ivf_index(spark, dirs):
+    """index_builder runs per batch (the reference compaction writes the
+    vector segment's index in the same pass): after each drain the current
+    version's index exists and searches the current state."""
+    from chroma_spark.ann.ivf import ivf_search, read_ivf
+    from chroma_spark.streaming.compactor import ivf_index_builder, stream_compact
+
+    log_dir, state_dir, ckpt = dirs
+    rows1 = [(0, "ADD", "a", [1.0, 0.0]), (1, "ADD", "b", [0.0, 1.0])]
+    rows2 = [(2, "UPSERT", "c", [0.9, 0.1]), (3, "DELETE", "b", None)]
+    spark.createDataFrame(rows1, VEC_LOG_SCHEMA).coalesce(1).write.mode("append").parquet(log_dir)
+    builder = ivf_index_builder(n_lists=1, replicas=1)
+    q = stream_compact(
+        spark, log_dir, state_dir, VEC_LOG_SCHEMA, ckpt, index_builder=builder
+    )
+    q.awaitTermination(120)
+    spark.createDataFrame(rows2, VEC_LOG_SCHEMA).coalesce(1).write.mode("append").parquet(log_dir)
+    q = stream_compact(
+        spark, log_dir, state_dir, VEC_LOG_SCHEMA, ckpt, index_builder=builder
+    )
+    q.awaitTermination(120)
+
+    import os
+
+    versions = sorted(d for d in os.listdir(state_dir) if d.startswith("index_v"))
+    assert versions == ["index_v1", "index_v2"]
+    centroids, postings = read_ivf(spark, f"{state_dir}/index_v2")
+    qdf = spark.createDataFrame([(0, [1.0, 0.0])], "query_id INT, embedding ARRAY<FLOAT>")
+    top = ivf_search(centroids, postings, qdf, k=2, nprobe=1).collect()
+    assert [r["id"] for r in top] == ["a", "c"]  # b deleted; c upserted
+
+
 def test_statistics_null_bucket(spark):
     df = spark.createDataFrame(
         [("x", None), ("x", "u"), (None, "u")], ["k1", "k2"]
