@@ -422,7 +422,9 @@ class Collection:
                 where_ops.append(
                     (
                         int(r["seq_id"]),
-                        set(p["ids"]) if p.get("ids") else None,
+                        # an EMPTY id list is a real (matches-nothing)
+                        # constraint, distinct from "no id constraint"
+                        set(p["ids"]) if p.get("ids") is not None else None,
                         p.get("where"),
                         p.get("where_document"),
                     )
@@ -478,22 +480,47 @@ class Collection:
         meta.log_paths = []
         self._store.catalog.update(meta)
         if refresh_indexes:
+            base = self._store.read_base()
+
+            def _has_rows(col_name: str) -> bool:
+                return (
+                    base is not None
+                    and col_name in base.columns
+                    and base.filter(F.col(col_name).isNotNull()).head() is not None
+                )
+
             vi = meta.vector_index
             if vi is not None:
-                self.build_vector_index(
-                    n_lists=vi.get("n_lists"),
-                    quantized=vi.get("means") is not None,
-                    rerank_factor=int(vi.get("rerank_factor", 24)),
-                )
+                if _has_rows("embedding"):
+                    self.build_vector_index(
+                        n_lists=vi.get("n_lists"),
+                        quantized=vi.get("means") is not None,
+                        rerank_factor=int(vi.get("rerank_factor", 24)),
+                    )
+                else:
+                    # the collection emptied out (or lost every embedding):
+                    # deregister rather than crash the k-means build; a
+                    # later compaction with vectors re-registers via the
+                    # schema path or an explicit build
+                    m = self._store.meta
+                    m.vector_index = None
+                    self._store.catalog.update(m)
             elif self.schema is not None:
                 # declarative indexing: an explicit vector_index config in
                 # the schema means "maintain the index at compaction" (the
                 # reference's compaction always writes the vector segment)
                 cfg = self.schema.index_config("vector_index", "#embedding") or {}
-                if cfg.get("n_lists"):
+                if cfg.get("n_lists") and _has_rows("embedding"):
                     self.build_vector_index()
             for key, si in list((meta.sparse_indexes or {}).items()):
-                self.build_sparse_index(key, n_buckets=si.get("n_buckets", 64))
+                if _has_rows(key):
+                    self.build_sparse_index(key, n_buckets=si.get("n_buckets", 64))
+                else:
+                    m = self._store.meta
+                    m.sparse_indexes = {
+                        k: v for k, v in (m.sparse_indexes or {}).items() if k != key
+                    }
+                    self._store.catalog.update(m)
         return new_version
 
     def build_vector_index(
@@ -594,18 +621,46 @@ class Collection:
         self._store.catalog.update(meta)
         return meta.sparse_indexes[key]
 
-    def _fresh_sparse_indexes(self, read_level: str) -> dict:
+    @staticmethod
+    def _rank_knn_keys(rank) -> dict[str, bool]:
+        """Every $knn key a rank expression touches -> is_sparse."""
+        out: dict[str, bool] = {}
+
+        def walk(node):
+            if isinstance(node, list):
+                for e in node:
+                    walk(e)
+                return
+            if not isinstance(node, dict):
+                return
+            for op, arg in node.items():
+                if op == "$knn" and isinstance(arg, dict):
+                    q = arg.get("query")
+                    if isinstance(q, dict):
+                        out[str(arg.get("key", "sparse")).lstrip("#")] = True
+                    else:
+                        out[str(arg.get("key") or "#embedding").lstrip("#")] = False
+                else:
+                    walk(arg)
+
+        walk(rank)
+        return out
+
+    def _fresh_sparse_indexes(self, read_level: str, keys: set[str] | None = None) -> dict:
         """Fresh per-key sparse indexes as RankEvaluator specs, with
         WAL-tail postings merged in: index entries for touched ids are
         anti-joined away and the live tail records' postings unioned (the
         reference's parallel sparse_index_knn + sparse_log_knn). Pending
         predicate deletes disable index use for safety (touched set
         unknowable without a full fold); n_docs refreshes at compaction
-        like the reference's index-time stats."""
+        like the reference's index-time stats. ``keys`` restricts the work
+        to the sparse columns a payload actually queries."""
         from .operators.sparse import explode_postings, read_sparse_index
 
         meta = self._store.meta
         if not meta.sparse_indexes:
+            return {}
+        if keys is not None and not (keys & set(meta.sparse_indexes)):
             return {}
         log = self._store.read_log() if read_level != "index_only" else None
         if log is not None and "where_json" in log.columns:
@@ -614,6 +669,8 @@ class Collection:
         out: dict = {}
         spark = self._client.spark
         for key, si in meta.sparse_indexes.items():
+            if keys is not None and key not in keys:
+                continue
             if si.get("version") != meta.version:
                 continue
             postings = read_sparse_index(spark, si["path"])
@@ -837,11 +894,13 @@ class Collection:
         need_payload = bool(set(include) - {"distances"})
         if need_payload:
             # winners-only hydration: the top-k side is tiny — broadcast it
-            # into the snapshot join rather than shuffling the records
-            winners = F.broadcast(top).join(snap, "id", "left")
+            # as the BUILD side of an inner join (winner ids are by
+            # construction a subset of the snapshot, so inner == left, and
+            # a left join could not broadcast its left/build side)
+            winners = snap.join(F.broadcast(top), "id", "inner")
         else:
             winners = top
-        rows = winners.collect()
+        rows = [r.asDict(recursive=True) for r in winners.collect()]
         meta_cols = [c for c in snap.columns if c not in self._INTERNAL_COLS]
         out = empty
         for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
@@ -955,28 +1014,40 @@ class Collection:
         payload = dict(payload)
         if payload.get("rank") is not None:
             payload["rank"] = self._embed_rank_queries(payload["rank"])
+        rank_keys = self._rank_knn_keys(payload.get("rank"))
         snap = self.snapshot(read_level)
         if snap is None:
             # reference semantics: an empty collection yields an empty
             # SearchResult, not an error — run the pipeline over an empty
-            # record frame with the standard record schema
-            snap = self._client.spark.createDataFrame(
-                [],
-                T.StructType(
-                    [
-                        T.StructField("id", T.StringType()),
-                        T.StructField("offset_id", T.LongType()),
-                        T.StructField("embedding", T.ArrayType(T.FloatType())),
-                        T.StructField("document", T.StringType()),
-                        T.StructField("uri", T.StringType()),
-                    ]
-                ),
-            )
+            # record frame carrying the standard record schema plus any
+            # column the rank expression references (sparse keys /
+            # alternate dense vector keys)
+            from .sparse_vector import SPARSE_VECTOR_TYPE
+
+            fields = [
+                T.StructField("id", T.StringType()),
+                T.StructField("offset_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+                T.StructField("document", T.StringType()),
+                T.StructField("uri", T.StringType()),
+            ]
+            standard = {f.name for f in fields}
+            for key, is_sparse in rank_keys.items():
+                if key not in standard:
+                    fields.append(
+                        T.StructField(
+                            key, SPARSE_VECTOR_TYPE if is_sparse else T.ArrayType(T.FloatType())
+                        )
+                    )
+            snap = self._client.spark.createDataFrame([], T.StructType(fields))
+        sparse_keys = {k for k, s in rank_keys.items() if s}
         return search_op(
             snap,
             default_space=self._store.meta.space,
             offset_col="offset_id" if "offset_id" in snap.columns else None,
-            sparse_index=self._fresh_sparse_indexes(read_level),
+            sparse_index=self._fresh_sparse_indexes(read_level, keys=sparse_keys)
+            if sparse_keys
+            else {},
             **payload,
         )
 

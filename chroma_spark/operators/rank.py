@@ -139,19 +139,26 @@ class RankEvaluator:
         default_space: str = "l2",
         knn_fn: Callable[..., DataFrame] | None = None,
         sparse_index: dict[str, tuple[DataFrame, int, float | None]] | None = None,
+        idf_records: DataFrame | None = None,
     ) -> None:
         """``sparse_index`` routes sparse $knn terms on a key through a
         persisted term-bucket postings index instead of exploding the
         record column inline: ``{key: (indexed_postings, n_buckets,
         n_docs|None)}`` (see sparse.write_sparse_index). The candidate set
         is still ``records`` — index hits outside it are semi-joined away,
-        the reference's allowed-ids bitmap restriction."""
+        the reference's allowed-ids bitmap restriction.
+
+        ``idf_records``: the UNFILTERED corpus for sparse IDF stats when
+        ``records`` is a filtered candidate subset — keeps inline scoring
+        consistent with the indexed path (the reference's Idf always reads
+        whole-index stats)."""
         self.records = records
         self.id_col = id_col
         self.vec_col = vec_col
         self.default_space = default_space
         self.knn_fn = knn_fn or exact_knn
         self.sparse_index = sparse_index or {}
+        self.idf_records = idf_records
         # (qvec, limit, space, return_rank) -> support DataFrame, filled by
         # _precompute_knns before tree evaluation
         self._knn_cache: dict[tuple, DataFrame] = {}
@@ -361,6 +368,7 @@ class RankEvaluator:
                 sparse_col=sparse_col,
                 round_decimals=None,
                 idf=use_idf,
+                idf_records=self.idf_records,
             )
         top = top.withColumn("__measure", F.lit(1.0) - F.col("score"))
         w = Window.partitionBy("query_id").orderBy(F.col("__measure").asc(), F.col(self.id_col).asc())

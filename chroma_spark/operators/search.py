@@ -71,6 +71,7 @@ def search(
             default_space=default_space,
             knn_fn=knn_fn,
             sparse_index=sparse_index,
+            idf_records=records,  # IDF stats over the unfiltered corpus
         )
         scores = finalize_scores(ev.evaluate(rank))
         # hydration join (reference KnnProjection: winners only fetch payload)

@@ -294,6 +294,7 @@ def sparse_dot_topk(
     query_id_col: str = "query_id",
     round_decimals: int | None = 6,
     idf: bool = False,
+    idf_records: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` by sparse dot product per query; ``(query_id, id, score)``.
 
@@ -301,7 +302,10 @@ def sparse_dot_topk(
     exploded query terms on the index, sum products per (query, id) —
     the SPANN-paper posting-list join expressed as DataFrame ops
     (sparse_index_knn.rs equivalent). ``idf`` scales query weights by the
-    corpus IDF first (the orchestration-level contract, sparse_knn.rs:243).
+    corpus IDF first (the orchestration-level contract, sparse_knn.rs:243);
+    ``idf_records`` names the stats corpus when ``records`` is already a
+    filtered candidate subset (the reference's Idf always reads whole-index
+    stats; the filter only restricts the support).
     """
     postings = explode_postings(records, id_col=id_col, sparse_col=sparse_col)
     qpost = query.select(
@@ -313,7 +317,13 @@ def sparse_dot_topk(
             )
         ).alias("p"),
     ).select("query_id", F.col("p.idx").alias("idx"), F.col("p.val").cast("double").alias("q_w"))
-    return _dot_topk(postings, qpost, k, round_decimals, idf_from=postings if idf else None)
+    idf_from = None
+    if idf:
+        if idf_records is not None and idf_records is not records:
+            idf_from = explode_postings(idf_records, id_col=id_col, sparse_col=sparse_col)
+        else:
+            idf_from = postings
+    return _dot_topk(postings, qpost, k, round_decimals, idf_from=idf_from)
 
 
 # ---------------------------------------------------------------------------
@@ -347,17 +357,25 @@ def write_bm25_index(
     """
     from ..functions.text import md5_long
 
-    toks = docs.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
-    tf = (
-        toks.select("id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
-        .groupBy("id", "dl", "term")
-        .agg(F.count("*").alias("tf"))
-        .withColumn("bucket", (md5_long(F.col("term")) % n_buckets).cast("int"))
-    )
-    tf.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(path)
-    stats = toks.select(F.size("toks").alias("dl")).agg(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
-    ).first()
+    # persist the tokenization for the build's duration: the tf write and
+    # the corpus-stats aggregate share one tokenize pass (offline builds
+    # may cache; queries never do)
+    toks = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    ).persist()
+    try:
+        tf = (
+            toks.select("id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+            .groupBy("id", "dl", "term")
+            .agg(F.count("*").alias("tf"))
+            .withColumn("bucket", (md5_long(F.col("term")) % n_buckets).cast("int"))
+        )
+        tf.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(path)
+        stats = toks.select(F.size("toks").alias("dl")).agg(
+            F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+        ).first()
+    finally:
+        toks.unpersist()
     return {
         "n_docs": float(stats["n"]),
         "avgdl": float(stats["avgdl"]),

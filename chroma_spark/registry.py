@@ -741,7 +741,6 @@ _SPARSE_IDX_CACHE: dict[str, tuple[DataFrame, int, float]] = {}
 
 def _sparse_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int, float]:
     if sf_dir not in _SPARSE_IDX_CACHE:
-        import json
         import os
 
         from .operators.sparse import (
@@ -751,20 +750,12 @@ def _sparse_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int, flo
             write_sparse_index,
         )
 
-        path = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            ".index_cache",
-            f"sparse_{os.path.basename(os.path.normpath(sf_dir))}_{_SPARSE_DIM}",
-        )
+        path = _index_dir(f"sparse{_SPARSE_DIM}", sf_dir)
         meta_file = os.path.join(path, "_index_meta.json")
-        src = f"{sf_dir}/documents.parquet"
-        src_sig = [os.path.getmtime(src), os.path.getsize(src)] if os.path.isfile(src) else None
-        meta = None
-        if os.path.exists(meta_file):
-            with open(meta_file) as f:
-                meta = json.load(f)
-            if meta.get("src_sig") != src_sig or meta.get("n_buckets") != _SPARSE_BUCKETS:
-                meta = None  # source data changed: rebuild
+        sig = _src_sig(f"{sf_dir}/documents.parquet")
+        meta = _load_index_meta(meta_file, sig)
+        if meta is not None and meta.get("n_buckets") != _SPARSE_BUCKETS:
+            meta = None
         if meta is None:
             docs = _docs_df(spark, sf_dir)
             postings = explode_postings(build_sparse(docs, _SPARSE_DIM))
@@ -775,9 +766,8 @@ def _sparse_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int, flo
             n_docs = float(
                 read_sparse_index(spark, path).select("id").distinct().count()
             )
-            meta = {"src_sig": src_sig, "n_buckets": _SPARSE_BUCKETS, "n_docs": n_docs}
-            with open(meta_file, "w") as f:
-                json.dump(meta, f)
+            meta = {"src_sig": sig, "n_buckets": _SPARSE_BUCKETS, "n_docs": n_docs}
+            _save_index_meta(meta_file, meta)
         # NOT persisted: caching would materialize the full index in memory
         # and bypass the per-query bucket partition pruning — the property
         # that bounds a sparse query's read cost at 100 TB

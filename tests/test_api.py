@@ -622,6 +622,68 @@ def test_sparse_index_lifecycle_in_search(client):
     assert scores == {"b": 1.0 - 10.0, "d": 1.0 - 7.0}
 
 
+def test_delete_empty_id_list_with_where_deletes_nothing(client):
+    """ids=[] is a real matches-nothing constraint, not 'no constraint' —
+    the intersection with any predicate is empty."""
+    col = _mk(client)
+    col.delete(ids=[], where={"k": {"$gte": 0}})
+    assert col.count() == 3
+
+
+def test_compact_deregisters_index_when_collection_empties(client):
+    col = client.create_collection("vgone", dimension=2)
+    col.add(ids=["a", "b"], embeddings=[[1.0, 0], [0, 1.0]])
+    col.build_vector_index(n_lists=1)
+    col.delete(ids=["a", "b"])
+    v = col.compact()  # must not crash the k-means build on zero vectors
+    assert col.count() == 0 and col.version == v
+    assert col._store.meta.vector_index is None
+    # and the collection keeps working afterwards
+    col.add(ids=["c"], embeddings=[[0.5, 0.5]])
+    assert col.query([[0.5, 0.5]], n_results=1)["ids"][0] == ["c"]
+
+
+def test_search_empty_collection_with_sparse_rank(client):
+    col = client.create_collection("esparse", dimension=2)
+    df = col.search(
+        rank={"$knn": {"query": {"indices": [0], "values": [1.0]}, "key": "sv", "limit": 2}},
+        select=["#id"],
+    )
+    assert df.collect() == []
+
+
+def test_filtered_sparse_idf_consistent_inline_vs_indexed(client):
+    """A where-filtered sparse search must score identically whether it
+    reads the persisted index or falls back inline: IDF stats always come
+    from the whole corpus, the filter only restricts the support."""
+    col = client.create_collection("idfc", dimension=2)
+    col.add(
+        ids=["a", "b", "c", "d"],
+        embeddings=[[1.0, 0], [0, 1.0], [0.5, 0.5], [0.2, 0.8]],
+        metadatas=[
+            {"grp": "x", "sv": {"indices": [0, 1], "values": [1.0, 1.0]}},
+            {"grp": "x", "sv": {"indices": [1], "values": [2.0]}},
+            {"grp": "y", "sv": {"indices": [0], "values": [3.0]}},
+            {"grp": "y", "sv": {"indices": [1, 2], "values": [1.0, 1.0]}},
+        ],
+    )
+    col.build_sparse_index("sv", n_buckets=4)
+    rank = {"$knn": {"query": {"indices": [0, 1], "values": [1.0, 1.0]}, "key": "sv", "limit": 4}}
+    indexed = {
+        r["id"]: r["score"]
+        for r in col.search(where={"grp": {"$eq": "x"}}, rank=rank, select=["#id"]).collect()
+    }
+    # a predicate delete matching NOTHING forces the inline fallback while
+    # leaving the corpus (and therefore the idf stats) unchanged
+    col.delete(where={"never": {"$eq": 1}})
+    assert col._fresh_sparse_indexes("index_and_wal", keys={"sv"}) == {}
+    inline = {
+        r["id"]: r["score"]
+        for r in col.search(where={"grp": {"$eq": "x"}}, rank=rank, select=["#id"]).collect()
+    }
+    assert inline == indexed and set(inline) == {"a", "b"}
+
+
 def test_mixed_numeric_metadata_coerces_to_float(client):
     col = client.create_collection("mx", dimension=2)
     col.add(

@@ -59,6 +59,15 @@ def test_registry_and_stubs():
         with pytest.raises(NotImplementedError, match="not installed|needs"):
             get_embedding_function(name)(["x"])
 
+    @register_embedding_function
+    class Custom(EmbeddingFunction):
+        name = "custom_test"
+
+        def __call__(self, texts):
+            return [[1.0] for _ in texts]
+
+    assert get_embedding_function("custom_test")(["a"]) == [[1.0]]
+
 
 def test_char_ngram_hashing_subword_robustness():
     from chroma_spark.functions.embedding import CharNgramHashingEmbeddingFunction
@@ -71,15 +80,6 @@ def test_char_ngram_hashing_subword_robustness():
     # subword overlap: the near-typo pair is far more similar than unrelated
     assert float(np.dot(a, b)) > 0.8 > float(np.dot(a, c))
     assert ef([""]) == [[0.0] * 64] and ef([None]) == [[0.0] * 64]
-
-    @register_embedding_function
-    class Custom(EmbeddingFunction):
-        name = "custom_test"
-
-        def __call__(self, texts):
-            return [[1.0] for _ in texts]
-
-    assert get_embedding_function("custom_test")(["a"]) == [[1.0]]
 
 
 def test_embed_records_arrow_path_matches_local(spark):
