@@ -307,40 +307,84 @@ class Collection:
 
         from .sparse_vector import SPARSE_VECTOR_TYPE, validate_sparse_vector
 
-        rows = []
-        meta_keys: dict[str, type] = {}
-        for m in metadatas or []:
-            for k, v in (m or {}).items():
-                t = type(v)
-                if t is dict:
-                    # SparseVector metadata value (base_types.py:13-117) —
-                    # the record field sparse KNN / hybrid search runs over
-                    validate_sparse_vector(v)
-                prev = meta_keys.get(k)
-                if prev is None:
-                    meta_keys[k] = t
-                elif prev is not t:
-                    # mixed int/float for one key coerces the column to
-                    # float (reference rust/types/src/metadata.rs:709-712)
-                    if {prev, t} == {int, float}:
-                        meta_keys[k] = float
+        def _scalar_type(x, ctx):
+            if isinstance(x, bool):
+                return bool
+            if isinstance(x, int):
+                return int
+            if isinstance(x, float):
+                return float
+            if isinstance(x, str):
+                return str
+            raise CollectionError(f"unsupported metadata value {x!r} in {ctx}")
+
+        def _vtype(k, v):
+            """Value type tag: a scalar type, ("array", elem), or "sparse"
+            (reference MetadataValue incl. Bool/Int/Float/StringArray,
+            rust/types/src/metadata.rs:659-682)."""
+            if isinstance(v, dict):
+                validate_sparse_vector(v)
+                return "sparse"
+            if isinstance(v, list):
+                elem = None  # None = empty array, adopts the column's type
+                for x in v:
+                    t = _scalar_type(x, f"array key {k!r}")
+                    if elem is None or elem is t:
+                        elem = t
+                    elif {elem, t} == {int, float}:
+                        elem = float  # mixed-numeric arrays coerce (metadata.rs:709-712)
                     else:
                         raise CollectionError(
-                            f"mixed types for metadata key {k!r}: "
-                            f"{prev.__name__} vs {t.__name__}"
+                            f"mixed element types in array metadata key {k!r}"
                         )
+                return ("array", elem)
+            return _scalar_type(v, f"key {k!r}")
+
+        def _promote(prev, cur, k):
+            if prev is None or prev == cur:
+                return cur
+            if {prev, cur} == {int, float}:
+                return float
+            if (
+                isinstance(prev, tuple)
+                and isinstance(cur, tuple)
+                and prev[0] == cur[0] == "array"
+            ):
+                a, b = prev[1], cur[1]
+                if a is None:
+                    return cur
+                if b is None or a is b:
+                    return prev
+                if {a, b} == {int, float}:
+                    return ("array", float)
+            raise CollectionError(
+                f"mixed types for metadata key {k!r}: {prev} vs {cur}"
+            )
+
+        rows = []
+        meta_keys: dict[str, object] = {}
+        for m in metadatas or []:
+            for k, v in (m or {}).items():
+                meta_keys[k] = _promote(meta_keys.get(k), _vtype(k, v), k)
+        for k, t in list(meta_keys.items()):
+            if t == ("array", None):
+                meta_keys[k] = ("array", str)  # only-empty arrays: string
 
         def _coerce(v, t):
             if v is None:
                 return None
             if t is float and isinstance(v, int) and not isinstance(v, bool):
                 return float(v)
-            if t is dict:
+            if t == "sparse":
                 return {
                     "indices": [int(i) for i in v["indices"]],
                     "values": [float(x) for x in v["values"]],
                     "labels": list(v["labels"]) if v.get("labels") is not None else None,
                 }
+            if isinstance(t, tuple):
+                if t[1] is float:
+                    return [float(x) for x in v]
+                return list(v)
             return v
 
         for i in range(n):
@@ -366,12 +410,14 @@ class Collection:
             T.StructField("uri", T.StringType()),
         ]
         for k, t in meta_keys.items():
-            if t is dict:
+            if t == "sparse":
                 fields.append(T.StructField(k, SPARSE_VECTOR_TYPE))
+            elif isinstance(t, tuple):
+                fields.append(T.StructField(k, T.ArrayType(_META_SPARK_TYPES[t[1]])))
             elif t in _META_SPARK_TYPES:
                 fields.append(T.StructField(k, _META_SPARK_TYPES[t]))
             else:
-                raise CollectionError(f"unsupported metadata type {t.__name__} for key {k!r}")
+                raise CollectionError(f"unsupported metadata type {t!r} for key {k!r}")
         df = self._client.spark.createDataFrame(rows, T.StructType(fields))
         path = self._store.append_log(df)
         meta.log_paths = [*meta.log_paths, path]

@@ -684,6 +684,37 @@ def test_filtered_sparse_idf_consistent_inline_vs_indexed(client):
     assert inline == indexed and set(inline) == {"a", "b"}
 
 
+def test_array_metadata_values_and_contains(client):
+    """Array metadata (Bool/Int/Float/StringArray, metadata.rs:673-681)
+    round-trips through the WAL and serves $contains/$not_contains."""
+    col = client.create_collection("arr", dimension=2)
+    col.add(
+        ids=["a", "b", "c"],
+        embeddings=[[1.0, 0], [0, 1.0], [0.5, 0.5]],
+        metadatas=[
+            {"tags": ["red", "hot"], "nums": [1, 2]},
+            {"tags": ["blue"], "nums": [2.5, 3]},  # mixed int/float -> float
+            {"tags": []},
+        ],
+    )
+    rows = {r["id"]: r for r in col.get()}
+    assert rows["a"]["tags"] == ["red", "hot"]
+    assert rows["b"]["nums"] == [2.5, 3.0]
+    assert rows["c"]["tags"] == [] and rows["c"]["nums"] is None
+    got = [r["id"] for r in col.get(where={"tags": {"$contains": "red"}})]
+    assert got == ["a"]
+    got = sorted(r["id"] for r in col.get(where={"tags": {"$not_contains": "red"}}))
+    assert got == ["b", "c"]  # empty array and missing both count as not-contains
+    got = [r["id"] for r in col.get(where={"nums": {"$contains": 2}})]
+    assert got == ["a"]
+    with pytest.raises(CollectionError, match="mixed element types"):
+        col.add(ids=["z"], embeddings=[[0.0, 0]], metadatas=[{"tags": ["x", 1]}])
+    # survives compaction + predicate delete over the array
+    col.compact()
+    col.delete(where={"tags": {"$contains": "blue"}})
+    assert sorted(r["id"] for r in col.get()) == ["a", "c"]
+
+
 def test_mixed_numeric_metadata_coerces_to_float(client):
     col = client.create_collection("mx", dimension=2)
     col.add(
