@@ -1020,10 +1020,30 @@ _register_textstats()
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read ts as raw nanos BIGINT (timezone-independent)."""
+    """Load events.parquet with ts normalized to epoch NANOS as BIGINT,
+    timezone-independently, whatever the on-disk type: TIMESTAMP(NANOS)
+    (read as raw-nanos long via nanosAsLong), TIMESTAMP_NTZ/TIMESTAMP
+    (micros since epoch), or an already-integral column. Downstream
+    queries always see ts: BIGINT nanos, matching DuckDB's epoch_ns()."""
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = ev.schema["ts"].dataType
+    if isinstance(ts_type, (TimestampType, TimestampNTZType)):
+        # timestampdiff on NTZ wall-clock values never consults a timezone;
+        # for TIMESTAMP the session zone cancels between the two operands.
+        ev = ev.withColumn(
+            "ts",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ),"
+                " CAST(ts AS TIMESTAMP_NTZ)) * CAST(1000 AS BIGINT)"
+            ),
+        )
+    elif not isinstance(ts_type, LongType):
+        ev = ev.withColumn("ts", F.col("ts").cast("bigint"))
+    return ev
 
 
 @register(
