@@ -1676,6 +1676,50 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver contract surface
 # ---------------------------------------------------------------------------
 
+# The driver caps its CORRECTNESS run at ~50 rows taken in dict order, but 60
+# queries are registered. Order by information content: the oracle-checkable
+# ANN forms, multimodal, and streaming-function queries lead (they cover
+# surfaces nothing else measures); near-duplicate variants of still-measured
+# queries trail (each is a one-knob variant of a measured sibling and stays
+# pytest-covered even when the cap drops it).
+_MEASURE_FIRST = [
+    "ann_ivf_fixed_centroids",
+    "ann_quantized_fixed_pivot",
+    "multimodal_decode_meta",
+    "multimodal_resize_plan",
+    "multimodal_frame_sample",
+    "multimodal_features_hist",
+    "revision_history_events",
+    "record_counter_by_source",
+    "ann_ivf_topk",
+    "ann_quantized_topk",
+]
+_MEASURE_LAST = [
+    "where_ne_absent_key",  # variant of where_ne_missing_key
+    "where_cross_type_eq",  # variant of where_eq_shorthand
+    "where_array_not_contains",  # variant of where_array_contains
+    "doc_not_contains_or",  # variant of doc_contains
+    "doc_regex_and_not",  # variant of doc_regex
+    "peek_first_n",  # variant of get_page
+    "get_page_offset_order",  # variant of get_page
+    "knn_ip_exact",  # third distance of knn_l2/cosine_exact
+    "group_maxk",  # variant of group_topk
+    "search_select_doc",  # variant of search_full
+]
+
+
+def _reorder_for_measurement() -> None:
+    missing = [n for n in _MEASURE_FIRST + _MEASURE_LAST if n not in QUERIES]
+    if missing:
+        raise RuntimeError(f"measurement-order names drifted: {missing}")
+    middle = [n for n in QUERIES if n not in _MEASURE_FIRST and n not in _MEASURE_LAST]
+    ordered = {n: QUERIES[n] for n in _MEASURE_FIRST + middle + _MEASURE_LAST}
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+_reorder_for_measurement()
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in QUERIES.items()}
