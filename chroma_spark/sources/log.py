@@ -59,6 +59,7 @@ def materialize(
     seq_col: str = "seq_id",
     op_col: str = "op",
     where_ops: list[tuple[int, list | None, dict | None, dict | None]] | None = None,
+    impl: str = "auto",
 ) -> DataFrame:
     """Fold ``log`` (in ``seq_col`` order, per ``id_col``) onto ``base``.
 
@@ -70,6 +71,11 @@ def materialize(
     where_document)`` — applied between ops at their seq position; a record
     existing at that seq and matching ALL given constraints (id membership
     and/or predicates) is deleted.
+
+    ``impl``: ``"auto"`` folds with pure window/aggregate expressions
+    (whole-stage codegen, no Python) when no predicate deletes are pending
+    and falls back to the per-group pandas fold otherwise; ``"vectorized"``
+    / ``"python"`` force a path (property tests assert their equivalence).
     """
     from ..where import where_doc_matches, where_matches
 
@@ -96,6 +102,11 @@ def materialize(
         if OFFSET_COL not in log.columns:
             union = union.withColumn(OFFSET_COL, F.lit(None).cast("long"))
         union = union.select(id_col, seq_col, op_col, OFFSET_COL, *field_cols)
+
+    if impl == "vectorized" or (impl == "auto" and not where_ops):
+        if where_ops:
+            raise ValueError("vectorized fold does not support where_ops")
+        return _materialize_vectorized(union, id_col, seq_col, op_col, field_cols)
 
     out_schema = T.StructType(
         [union.schema[id_col], T.StructField(OFFSET_COL, T.LongType())]
@@ -166,6 +177,65 @@ def materialize(
         return pd.DataFrame([{id_col: pdf[id_col].iloc[0], OFFSET_COL: offset, **state}])
 
     return union.groupBy(id_col).applyInPandas(fold, schema=out_schema)
+
+
+def _materialize_vectorized(
+    union: DataFrame, id_col: str, seq_col: str, op_col: str, field_cols: list[str]
+) -> DataFrame:
+    """Net-effect fold as pure column expressions (SURVEY §2.1's mapping).
+
+    The per-id automaton collapses to three facts derivable without
+    iteration (one hash shuffle on id, reused by the final aggregate):
+
+    - last DELETE seq ``_del`` (none -> -2; BASE sits at seq -1, below any
+      log seq, so -2 orders before everything);
+    - incarnation start ``_inc`` = min seq of a BASE/ADD/UPSERT after
+      ``_del``. Any setter after a DELETE (or at the start) inserts; later
+      setters while the record exists never re-insert, so min() is exact.
+      Null ``_inc`` = the id does not survive;
+    - a row contributes field values iff it IS the incarnation insert (all
+      its fields, nulls included) or is a later UPDATE/UPSERT (non-null
+      fields only — that's ``max_by`` over a null-keyed seq). Duplicate
+      ADDs while alive contribute nothing, exactly the reference's
+      ignored-add (materialize_logs.rs:81).
+
+    offset_id: the incarnation insert's seq — or the carried offset when
+    the insert is the BASE row (its own incarnation predates this fold).
+    """
+    from pyspark.sql import Window
+
+    setters = F.col(op_col).isin(BASE_OP, "ADD", "UPSERT")
+    w = Window.partitionBy(id_col)
+    df = union.withColumn(
+        "_del",
+        F.coalesce(
+            F.max(F.when(F.col(op_col) == "DELETE", F.col(seq_col))).over(w),
+            F.lit(-2).cast("long"),
+        ),
+    ).withColumn(
+        "_inc",
+        F.min(F.when(setters & (F.col(seq_col) > F.col("_del")), F.col(seq_col))).over(w),
+    )
+    is_insert = F.col(seq_col) == F.col("_inc")
+    is_merge = F.col(op_col).isin("UPDATE", "UPSERT") & (F.col(seq_col) > F.col("_inc"))
+    contributing = df.filter(is_insert | is_merge)
+
+    aggs = [
+        F.min_by(
+            F.when(F.col(op_col) == BASE_OP, F.col(OFFSET_COL)).otherwise(F.col(seq_col)),
+            F.when(F.col(seq_col) == F.col("_inc"), F.col(seq_col)),
+        ).alias(OFFSET_COL)
+    ]
+    for c in field_cols:
+        aggs.append(
+            F.max_by(
+                F.col(c),
+                F.when(
+                    (F.col(seq_col) == F.col("_inc")) | F.col(c).isNotNull(), F.col(seq_col)
+                ),
+            ).alias(c)
+        )
+    return contributing.groupBy(id_col).agg(*aggs)
 
 
 def _is_null(v) -> bool:

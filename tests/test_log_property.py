@@ -68,6 +68,25 @@ def test_materialize_with_base_matches_state_machine(spark, ops):
     assert got == expect
 
 
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=st.lists(_op(), min_size=1, max_size=12))
+def test_vectorized_fold_equals_python_fold(spark, ops):
+    """The window/aggregate fold and the per-group pandas fold must agree on
+    every column INCLUDING offset_id, with and without a base side."""
+    base = spark.createDataFrame(
+        [("a", "base-doc", 0.5), ("b", None, 9.9)],
+        "id STRING, document STRING, score DOUBLE",
+    )
+    log = spark.createDataFrame(
+        [(i, op, rid, doc, score) for i, (op, rid, doc, score) in enumerate(ops)],
+        "seq_id LONG, op STRING, id STRING, document STRING, score DOUBLE",
+    )
+    for b in (None, base):
+        vec = sorted(tuple(r) for r in materialize(b, log, impl="vectorized").collect())
+        py = sorted(tuple(r) for r in materialize(b, log, impl="python").collect())
+        assert vec == py, (b is not None, ops)
+
+
 # ---------------------------------------------------------------------------
 # DELETE_WHERE folding + offset_id assignment (reference: the predicate is
 # stored in the log and applied at materialization; offset id = seq of the

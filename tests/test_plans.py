@@ -125,6 +125,32 @@ def test_bm25_index_matches_inline(spark):
     assert indexed == inline and len(inline) == 15
 
 
+def test_wal_fold_plain_tail_has_no_python_stage(spark, tmp_path):
+    # an index_and_wal read with a plain (no predicate-delete) log tail must
+    # fold with window/aggregate expressions — no FlatMapGroupsInPandas /
+    # Python in the merge; the pandas fold is reserved for DELETE_WHERE
+    from chroma_spark.api import Client
+
+    client = Client(spark, str(tmp_path / "store"))
+    col = client.create_collection("walplan", dimension=2, space="l2")
+    col.add(ids=["a", "b"], embeddings=[[1.0, 0], [0, 1.0]], metadatas=[{"k": 1}, {"k": 2}])
+    col.compact()
+    col.add(ids=["c"], embeddings=[[1.0, 1.0]], metadatas=[{"k": 3}])
+    col.update(ids=["a"], metadatas=[{"k": 9}])
+    snap = col.snapshot()  # base ∪ plain tail
+    plan = _plan(snap)
+    assert "FlatMapGroupsInPandas" not in plan, plan[:800]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert {r["id"]: r["k"] for r in col.get()} == {"a": 9, "b": 2, "c": 3}
+
+    # with a pending predicate delete the pandas fold (the general automaton)
+    # is the correct path
+    col.delete(where={"k": {"$gte": 9}})
+    snap2 = col.snapshot()
+    assert "FlatMapGroupsInPandas" in _plan(snap2)
+    assert {r.id for r in snap2.select("id").collect()} == {"b", "c"}
+
+
 def test_registered_sparse_queries_prune_index_buckets(spark):
     # the registered sparse queries must read the PERSISTED term-bucket
     # index with the query's buckets as partition filters — the scan cost
