@@ -154,6 +154,22 @@ def build_ivf(
         [(i, c) for i, c in enumerate(centers)],
         "centroid_id INT, centroid ARRAY<FLOAT>",
     )
+    postings = assign_to_centroids(records, centroids, replicas, id_col=id_col, vec_col=vec_col)
+    return centroids, postings
+
+
+def assign_to_centroids(
+    records: DataFrame,
+    centroids: DataFrame,
+    replicas: int = 2,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Tag each record with its ``replicas`` nearest posting lists — one
+    broadcast join + local window, no record-side shuffle before the final
+    repartition-by-list. This is both the build-time assignment pass and the
+    incremental-insert pass (SPANN appends new vectors to existing heads,
+    ``rust/index/src/spann/types.rs``; retraining is a separate decision)."""
     cdist = distance(F.col(vec_col), F.col("centroid"), "l2")
     assigned = topk_per_group(
         records.crossJoin(F.broadcast(centroids)).withColumn("__cdist", cdist),
@@ -162,8 +178,15 @@ def build_ivf(
         max(1, replicas),
         two_stage=False,  # per-record group: n_lists rows, local window
     ).drop("__cdist", "centroid")
-    postings = assigned.repartition("centroid_id")
-    return centroids, postings
+    return assigned.repartition("centroid_id")
+
+
+def append_ivf_postings(postings: DataFrame, path: str) -> None:
+    """Append a delta batch into an existing partitioned layout — new files
+    land inside the per-list directories, so partition pruning keeps working
+    and nothing existing is rewritten (the LSM-ish append SPANN's posting
+    lists do; readers version-filter via the ``__epoch`` column)."""
+    postings.write.mode("append").partitionBy("centroid_id").parquet(f"{path}/postings")
 
 
 def write_ivf(centroids: DataFrame, postings: DataFrame, path: str) -> None:

@@ -538,11 +538,7 @@ class Collection:
             vi = meta.vector_index
             if vi is not None:
                 if _has_rows("embedding"):
-                    self.build_vector_index(
-                        n_lists=vi.get("n_lists"),
-                        quantized=vi.get("means") is not None,
-                        rerank_factor=int(vi.get("rerank_factor", 24)),
-                    )
+                    self._maintain_vector_index(log_batch)
                 else:
                     # the collection emptied out (or lost every embedding):
                     # deregister rather than crash the k-means build; a
@@ -616,6 +612,15 @@ class Collection:
             "path": path,
             "n_lists": n_lists,
             "space": meta.space,
+            # incremental-maintenance state: epoch stamps every posting row
+            # (readers filter `__epoch <= version`, so shared-layout forks
+            # stay consistent); trained_version/n_rows/n_appended drive the
+            # retrain-on-drift decision at compaction
+            "epoch": meta.version,
+            "trained_version": meta.version,
+            "replicas": int(replicas),
+            "n_rows": int(records.count()),
+            "n_appended": 0,
         }
         if quantized:
             from .ann.quantize import build_codes
@@ -623,10 +628,123 @@ class Collection:
             postings, means = build_codes(postings)
             desc["means"] = [float(m) for m in means]
             desc["rerank_factor"] = int(rerank_factor)
+        postings = postings.withColumn("__epoch", F.lit(meta.version).cast("long"))
         write_ivf(centroids, postings, path)
         meta.vector_index = desc
         self._store.catalog.update(meta)
         return meta.vector_index
+
+    # fraction of the trained corpus that may accumulate as tombstoned/
+    # appended deltas before compaction retrains k-means from scratch —
+    # SPANN's incremental-head discipline (types.rs splits/merges heads
+    # incrementally and reclusters only on imbalance)
+    REINDEX_FRACTION = 0.5
+
+    def _maintain_vector_index(self, log_batch: DataFrame | None) -> dict:
+        """Per-compaction index upkeep WITHOUT a full rebuild: reuse the
+        trained centroids, tombstone the batch's touched ids at the new
+        epoch, assign only the delta's vectors (old centroids, old
+        quantization pivot) and append them to the existing partitioned
+        layout. A 0.1% delta costs a delta-sized pass, not a corpus-sized
+        one. Retrains from scratch only when cumulative drift exceeds
+        ``REINDEX_FRACTION`` of the trained corpus (or no epoch-stamped
+        layout exists yet)."""
+        import os as _os
+
+        from .ann.ivf import append_ivf_postings, assign_to_centroids
+
+        meta = self._store.meta
+        vi = meta.vector_index
+
+        def _full() -> dict:
+            return self.build_vector_index(
+                n_lists=vi.get("n_lists") if vi else None,
+                quantized=vi.get("means") is not None if vi else None,
+                rerank_factor=int(vi.get("rerank_factor", 24)) if vi else 24,
+            )
+
+        if vi is None or vi.get("epoch") is None or log_batch is None:
+            return _full()
+        own_prefix = _os.path.join(self._store.catalog.root, self._store.name) + _os.sep
+        if not vi["path"].startswith(own_prefix):
+            # fork child diverging from a parent-owned layout: appending here
+            # would interleave two collections' independent epoch counters —
+            # rebuild once into our own directory instead
+            return _full()
+        base = self._store.read_base()
+        touched = log_batch.filter(F.col("id").isNotNull()).select("id").distinct()
+        if "where_json" in log_batch.columns and (
+            log_batch.filter(F.col("op") == "DELETE_WHERE").head() is not None
+        ):
+            # a predicate delete's matched set = previously-indexed ids that
+            # are no longer live (the new base IS the folded truth)
+            _, live = self._load_vector_index()
+            gone = live.select("id").distinct().join(base.select("id"), "id", "anti")
+            touched = touched.unionByName(gone).distinct()
+        n_touched = int(touched.count())
+        if vi.get("n_appended", 0) + n_touched > self.REINDEX_FRACTION * max(
+            1, vi.get("n_rows", 0)
+        ):
+            return _full()
+        spark = self._client.spark
+        if n_touched:
+            touched.withColumn("epoch", F.lit(meta.version).cast("long")).write.mode(
+                "append"
+            ).parquet(_os.path.join(vi["path"], "tombstones"))
+            delta = (
+                base.join(touched, "id", "semi")
+                .filter(F.col("embedding").isNotNull())
+                .select("id", "embedding")
+            )
+            centroids = spark.read.parquet(_os.path.join(vi["path"], "centroids"))
+            assigned = assign_to_centroids(delta, centroids, replicas=int(vi.get("replicas", 2)))
+            if vi.get("means") is not None:
+                from .ann.quantize import build_codes
+
+                assigned, _ = build_codes(assigned, means=[float(m) for m in vi["means"]])
+            assigned = assigned.withColumn("__epoch", F.lit(meta.version).cast("long"))
+            append_ivf_postings(assigned, vi["path"])
+        meta.vector_index = {
+            **vi,
+            "version": meta.version,
+            "epoch": meta.version,
+            "n_appended": int(vi.get("n_appended", 0)) + n_touched,
+        }
+        self._store.catalog.update(meta)
+        return meta.vector_index
+
+    def _load_vector_index(self) -> tuple[DataFrame, DataFrame]:
+        """(centroids, live postings) for the registered vector index.
+
+        Epoch MVCC: keep rows with ``__epoch <= vi.version`` that are not
+        superseded by a tombstone (``__epoch < dead_upto``). The tombstone
+        join is an equi-join on id whose right side is bounded by
+        ``REINDEX_FRACTION`` of the corpus (retrain resets it), and a fork
+        child reading the parent's layout filters both sides to its own
+        pinned version — shared files, no copies."""
+        import os as _os
+
+        spark = self._client.spark
+        vi = self._store.meta.vector_index
+        centroids = spark.read.parquet(_os.path.join(vi["path"], "centroids"))
+        postings = spark.read.parquet(_os.path.join(vi["path"], "postings"))
+        if "__epoch" in postings.columns and vi.get("epoch") is not None:
+            version = int(vi["version"])
+            postings = postings.filter(F.col("__epoch") <= version)
+            tomb_path = _os.path.join(vi["path"], "tombstones")
+            if _os.path.isdir(tomb_path):
+                dead = (
+                    spark.read.parquet(tomb_path)
+                    .filter(F.col("epoch") <= version)
+                    .groupBy("id")
+                    .agg(F.max("epoch").alias("__dead_upto"))
+                )
+                postings = (
+                    postings.join(dead, "id", "left")
+                    .filter(F.col("__dead_upto").isNull() | (F.col("__epoch") >= F.col("__dead_upto")))
+                    .drop("__dead_upto")
+                )
+        return centroids, postings
 
     def build_sparse_index(self, key: str, n_buckets: int = 64) -> dict:
         """Build + register the term-bucket posting index over a
@@ -1005,14 +1123,14 @@ class Collection:
             return None
         if read_level not in ("index_only", "index_and_wal"):
             return None
-        from .ann.ivf import ivf_search, read_ivf
+        from .ann.ivf import ivf_search
         from .operators.knn import knn_merge
 
         log = self._store.read_log() if read_level != "index_only" else None
         if log is not None and "where_json" in log.columns:
             if log.filter(F.col("op") == "DELETE_WHERE").head() is not None:
                 return None
-        centroids, postings = read_ivf(self._client.spark, vi["path"])
+        centroids, postings = self._load_vector_index()
         probes = int(nprobe or vi["n_lists"])
         touched = log.select("id").distinct() if log is not None else None
         if vi.get("means") is not None:

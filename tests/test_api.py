@@ -478,6 +478,77 @@ def test_fork_inherits_vector_index(client, spark):
     assert col.query([[1.0, 0]], n_results=2)["ids"][0] == ["a", "b"]
 
 
+def test_compaction_maintains_index_incrementally(client, spark):
+    """A small delta must NOT retrain k-means or rewrite the corpus: the
+    trained centroids stay byte-identical, the delta is appended at the new
+    epoch, and the index-served query equals brute force over the snapshot.
+    Cumulative drift past REINDEX_FRACTION then triggers a retrain."""
+    import random
+
+    from chroma_spark.operators.knn import exact_knn
+
+    col = client.create_collection("vinc", dimension=4, space="l2")
+    rnd = random.Random(7)
+    ids = [f"r{i}" for i in range(40)]
+    embs = [[rnd.random() for _ in range(4)] for _ in ids]
+    col.add(ids=ids, embeddings=embs)
+    vi = col.build_vector_index(n_lists=4)
+    trained = vi["trained_version"]
+    cents0 = sorted(tuple(r.centroid) for r in col._load_vector_index()[0].collect())
+
+    col.add(ids=["n1"], embeddings=[[2.0, 2, 2, 2]])
+    col.update(ids=["r3"], embeddings=[[3.0, 3, 3, 3]])
+    col.delete(ids=["r4"])
+    col.compact()
+    vi2 = col._store.meta.vector_index
+    assert vi2["trained_version"] == trained, "small delta must not retrain"
+    assert vi2["version"] == col.version and vi2["n_appended"] == 3
+    cents1 = sorted(tuple(r.centroid) for r in col._load_vector_index()[0].collect())
+    assert cents1 == cents0, "centroid table must be untouched by the delta"
+
+    # live postings reflect the delta: n1 present, r4 gone, r3 moved
+    live = {r.id for r in col._load_vector_index()[1].select("id").distinct().collect()}
+    assert "n1" in live and "r4" not in live and "r3" in live
+
+    # with no WAL tail, the index-served query must equal exact brute force
+    # (nprobe defaults to every list)
+    assert col._store.meta.log_paths == []
+    qdf = spark.createDataFrame([(0, [2.0, 2.0, 2.0, 2.0])], "query_id INT, embedding ARRAY<FLOAT>")
+    assert col._query_via_index(qdf, 5, None, "index_and_wal", None) is not None
+    got = col.query([[2.0, 2, 2, 2]], n_results=5)["ids"][0]
+    exact = exact_knn(col.snapshot().filter("embedding is not null"), qdf, k=5, space="l2")
+    assert got == [r.id for r in exact.orderBy("rank").collect()]
+    assert got[0] == "n1"
+
+    # cumulative drift beyond REINDEX_FRACTION * n_rows retrains
+    col.add(
+        ids=[f"m{i}" for i in range(30)],
+        embeddings=[[rnd.random() for _ in range(4)] for _ in range(30)],
+    )
+    col.compact()
+    vi3 = col._store.meta.vector_index
+    assert vi3["trained_version"] == col.version, "drift must trigger a retrain"
+    assert vi3["n_appended"] == 0
+
+
+def test_quantized_index_incremental_append_uses_trained_pivot(client, spark):
+    col = client.create_collection("vincq", dimension=4, space="l2")
+    import random
+
+    rnd = random.Random(11)
+    ids = [f"q{i}" for i in range(30)]
+    col.add(ids=ids, embeddings=[[rnd.random() for _ in range(4)] for _ in ids])
+    vi = col.build_vector_index(n_lists=3, quantized=True, rerank_factor=24)
+    means0 = vi["means"]
+    col.add(ids=["zz"], embeddings=[[2.0, 2, 2, 2]])
+    col.compact()
+    vi2 = col._store.meta.vector_index
+    assert vi2["trained_version"] == vi["trained_version"]
+    assert vi2["means"] == means0, "delta must encode with the trained pivot"
+    # appended row is code-searchable end to end
+    assert col.query([[2.0, 2, 2, 2]], n_results=1)["ids"][0] == ["zz"]
+
+
 def test_build_vector_index_autocompacts_and_rejects_empty(client):
     col = client.create_collection("vempty", dimension=2)
     with pytest.raises(CollectionError, match="empty"):
