@@ -479,6 +479,28 @@ class Collection:
         return log, where_ops
 
     @staticmethod
+    def _predicate_matched_ids(base: DataFrame, where_ops: list[tuple]) -> DataFrame:
+        """Base ids matched by any pending DELETE_WHERE, evaluated
+        vectorized with the same where compilers every read uses. Exact for
+        ids the id-keyed tail never touches (their state at each predicate's
+        seq IS base state); ids the tail does touch are collected separately
+        by the callers, so the union is always a superset of the stale set —
+        over-inclusion only routes an id through the bounded tail fold,
+        never drops one."""
+        known = frozenset(base.columns)
+        cond = F.lit(False)
+        for _seq, w_ids, w, wd in where_ops:
+            c = F.lit(True)
+            if w_ids is not None:
+                c = c & F.col("id").isin([str(i) for i in w_ids])
+            if w is not None:
+                c = c & where_to_column(w, known_keys=known)
+            if wd is not None:
+                c = c & where_doc_to_column(wd)
+            cond = cond | c
+        return base.filter(cond).select("id")
+
+    @staticmethod
     def _fold(base: DataFrame | None, log: DataFrame | None, where_ops: list[tuple]) -> DataFrame | None:
         if log is None:
             return base
@@ -815,10 +837,11 @@ class Collection:
         WAL-tail postings merged in: index entries for touched ids are
         anti-joined away and the live tail records' postings unioned (the
         reference's parallel sparse_index_knn + sparse_log_knn). Pending
-        predicate deletes disable index use for safety (touched set
-        unknowable without a full fold); n_docs refreshes at compaction
-        like the reference's index-time stats. ``keys`` restricts the work
-        to the sparse columns a payload actually queries."""
+        predicate deletes fold in the same way — their matched ids come
+        from one vectorized base scan (_predicate_matched_ids) and replay
+        at seq position inside the bounded tail fold; n_docs refreshes at
+        compaction like the reference's index-time stats. ``keys``
+        restricts the work to the sparse columns a payload queries."""
         from .operators.sparse import explode_postings, read_sparse_index
 
         meta = self._store.meta
@@ -827,22 +850,28 @@ class Collection:
         if keys is not None and not (keys & set(meta.sparse_indexes)):
             return {}
         log = self._store.read_log() if read_level != "index_only" else None
-        if log is not None and "where_json" in log.columns:
-            if log.filter(F.col("op") == "DELETE_WHERE").head() is not None:
-                return {}
+        log, where_ops = self._split_where_ops(log)
         out: dict = {}
         spark = self._client.spark
+        touched: DataFrame | None = None
+        if log is not None:
+            touched = log.select("id").distinct()
+            if where_ops:
+                base = self._store.read_base()
+                if base is not None:
+                    touched = touched.unionByName(
+                        self._predicate_matched_ids(base, where_ops)
+                    ).distinct()
         for key, si in meta.sparse_indexes.items():
             if keys is not None and key not in keys:
                 continue
             if si.get("version") != meta.version:
                 continue
             postings = read_sparse_index(spark, si["path"])
-            if log is not None:
-                touched = log.select("id").distinct()
+            if touched is not None:
                 base = self._store.read_base()
                 base_t = base.join(touched, "id", "semi") if base is not None else None
-                tail = self._fold(base_t, log, [])
+                tail = self._fold(base_t, log, where_ops)
                 live = postings.join(touched, "id", "anti")
                 if key in tail.columns:
                     tail_postings = explode_postings(
@@ -1114,9 +1143,14 @@ class Collection:
         allowed: DataFrame | None,
     ) -> DataFrame | None:
         """Index-side KNN + WAL-tail brute force + knn_merge; None when the
-        exact path must run instead (no fresh index, bounded read level, or
-        pending predicate deletes whose touched-id set is unknowable
-        without a full fold)."""
+        exact path must run instead (no fresh index or bounded read level).
+
+        Pending predicate deletes do NOT abandon the index: for ids the
+        id-keyed tail never touches, base state IS their state at every
+        tail seq, so each predicate's matched set is exact when evaluated
+        vectorized against base (one pushdown-able filter scan) — those ids
+        join the excluded set and the bounded tail fold, which replays the
+        predicate at its seq position for the touched groups."""
         meta = self._store.meta
         vi = meta.vector_index
         if vi is None or vi.get("version") != meta.version:
@@ -1127,12 +1161,13 @@ class Collection:
         from .operators.knn import knn_merge
 
         log = self._store.read_log() if read_level != "index_only" else None
-        if log is not None and "where_json" in log.columns:
-            if log.filter(F.col("op") == "DELETE_WHERE").head() is not None:
-                return None
+        log, where_ops = self._split_where_ops(log)
         centroids, postings = self._load_vector_index()
         probes = int(nprobe or vi["n_lists"])
         touched = log.select("id").distinct() if log is not None else None
+        if where_ops:
+            matched = self._predicate_matched_ids(self._store.read_base(), where_ops)
+            touched = matched if touched is None else touched.unionByName(matched).distinct()
         if vi.get("means") is not None:
             from .ann.quantize import ivf_quantized_search
 
@@ -1162,10 +1197,11 @@ class Collection:
         if touched is None:
             return index_top
         # WAL tail: materialize ONLY the touched id-groups (base semi-join),
-        # brute-force them, then merge the two top-k streams
+        # brute-force them, then merge the two top-k streams; pending
+        # predicate deletes replay inside the bounded fold
         base = self._store.read_base()
         base_t = base.join(touched, "id", "semi") if base is not None else None
-        tail = self._fold(base_t, log, [])
+        tail = self._fold(base_t, log, where_ops)
         tail = tail.filter(F.col("embedding").isNotNull())
         if allowed is not None:
             tail = tail.join(allowed, "id", "semi")

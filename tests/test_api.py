@@ -442,9 +442,10 @@ def test_vector_index_lifecycle_and_knn_merge(client, spark):
     by_id = dict(zip(res["ids"][0], res["distances"][0]))
     assert by_id["r5"] > 100                  # tail-side update moved it away
 
-    # pending predicate delete -> exact fallback (still correct)
+    # pending predicate delete: the index stays engaged (matched ids are
+    # computed vectorized against base and excluded; no wholesale fallback)
     col.delete(where={"never_there": {"$eq": 1}})
-    assert col._query_via_index(qdf, 3, None, "index_and_wal", None) is None
+    assert col._query_via_index(qdf, 3, None, "index_and_wal", None) is not None
     assert col.query(q, n_results=3)["ids"][0][0] == "new"
 
     # compaction without refresh leaves the index stale -> exact fallback
@@ -744,15 +745,63 @@ def test_filtered_sparse_idf_consistent_inline_vs_indexed(client):
         r["id"]: r["score"]
         for r in col.search(where={"grp": {"$eq": "x"}}, rank=rank, select=["#id"]).collect()
     }
-    # a predicate delete matching NOTHING forces the inline fallback while
-    # leaving the corpus (and therefore the idf stats) unchanged
-    col.delete(where={"never": {"$eq": 1}})
-    assert col._fresh_sparse_indexes("index_and_wal", keys={"sv"}) == {}
+    # the same corpus without a persisted index scores via the inline path
+    col2 = client.create_collection("idfc2", dimension=2)
+    col2.add(
+        ids=["a", "b", "c", "d"],
+        embeddings=[[1.0, 0], [0, 1.0], [0.5, 0.5], [0.2, 0.8]],
+        metadatas=[
+            {"grp": "x", "sv": {"indices": [0, 1], "values": [1.0, 1.0]}},
+            {"grp": "x", "sv": {"indices": [1], "values": [2.0]}},
+            {"grp": "y", "sv": {"indices": [0], "values": [3.0]}},
+            {"grp": "y", "sv": {"indices": [1, 2], "values": [1.0, 1.0]}},
+        ],
+    )
     inline = {
+        r["id"]: r["score"]
+        for r in col2.search(where={"grp": {"$eq": "x"}}, rank=rank, select=["#id"]).collect()
+    }
+    assert inline == indexed and set(inline) == {"a", "b"}
+    # a pending predicate delete no longer abandons the index: the spec is
+    # still served (matched ids excluded via the bounded tail fold) and a
+    # nothing-matching predicate leaves scores identical
+    col.delete(where={"never": {"$eq": 1}})
+    assert col._fresh_sparse_indexes("index_and_wal", keys={"sv"}) != {}
+    tolerated = {
         r["id"]: r["score"]
         for r in col.search(where={"grp": {"$eq": "x"}}, rank=rank, select=["#id"]).collect()
     }
-    assert inline == indexed and set(inline) == {"a", "b"}
+    assert tolerated == indexed
+
+
+def test_index_reads_tolerate_matching_predicate_deletes(client, spark):
+    """Pending DELETE_WHERE with real matches: vector and sparse reads stay
+    index-served and agree exactly with the post-compaction ground truth."""
+    col = client.create_collection("pdel", dimension=2)
+    ids = [f"r{i}" for i in range(10)]
+    col.add(
+        ids=ids,
+        embeddings=[[float(i), float(10 - i)] for i in range(10)],
+        metadatas=[
+            {"grp": "x" if i % 2 else "y", "sv": {"indices": [i % 3], "values": [1.0 + i]}}
+            for i in range(10)
+        ],
+    )
+    col.build_vector_index(n_lists=2)
+    col.build_sparse_index("sv", n_buckets=4)
+    col.delete(where={"grp": {"$eq": "x"}})  # matches r1,r3,r5,r7,r9 — pending
+
+    qdf = spark.createDataFrame([(0, [2.0, 8.0])], "query_id INT, embedding ARRAY<FLOAT>")
+    assert col._query_via_index(qdf, 4, None, "index_and_wal", None) is not None
+    got_vec = col.query([[2.0, 8.0]], n_results=4)["ids"][0]
+    assert col._fresh_sparse_indexes("index_and_wal", keys={"sv"}) != {}
+    rank = {"$knn": {"query": {"indices": [1], "values": [1.0]}, "key": "sv", "limit": 5}}
+    got_sparse = [r["id"] for r in col.search(rank=rank, select=["#id"]).collect()]
+
+    col.compact()  # ground truth: predicate applied for real
+    assert col.query([[2.0, 8.0]], n_results=4)["ids"][0] == got_vec
+    assert [r["id"] for r in col.search(rank=rank, select=["#id"]).collect()] == got_sparse
+    assert not any(int(i[1:]) % 2 for i in got_vec), "deleted grp=x ids leaked"
 
 
 def test_array_metadata_values_and_contains(client):
