@@ -46,6 +46,36 @@ BENCH_QUERIES = [
     "top_customers",
 ]
 
+# Per-query budgets at sf0.1: 2x the BASELINE.md §B row where one exists,
+# else ~2.5x a healthy measured run (ambient-load spread documented there is
+# ±10%; these only trip on real plan regressions). Violations are reported
+# in the JSON line (budget_violations) so a regression is data, not prose;
+# set SPARK_GRAFT_BENCH_STRICT=1 to also fail the process.
+BUDGETS_SEC = {
+    "where_nested_bool": 4.2,
+    "doc_regex": 2.0,
+    "get_page": 2.0,
+    "knn_cosine_exact": 3.6,
+    "rank_rrf": 7.0,
+    "rank_hybrid_sparse": 7.0,
+    "search_full": 4.4,
+    "bm25_topk": 5.0,  # cold-start JIT of the tokenize+agg shape, BASELINE.md
+    "sparse_dot_topk": 3.8,
+    "dedup_minhash_lsh": 4.8,
+    "text_quality": 1.0,
+    "token_counts_by_source": 1.0,
+    "ann_ivf_topk": 3.4,
+    "ann_quantized_topk": 6.5,
+    "embed_hash_knn": 4.8,
+    "multimodal_decode_meta": 1.5,
+    "statistics_value_freq": 1.5,
+    "log_materialize_events": 2.0,
+    "events_hourly_window": 1.5,
+    "events_sessionize": 1.6,
+    "pricing_summary": 1.5,
+    "top_customers": 1.8,
+}
+
 
 def main() -> None:
     spark = get_spark("chroma-spark-bench")
@@ -61,6 +91,13 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
     total = round(sum(timings.values()), 3)
+    violations = {
+        name: {"sec": t, "budget": BUDGETS_SEC[name]}
+        for name, t in timings.items()
+        if name in BUDGETS_SEC and t > BUDGETS_SEC[name]
+    }
+    for name, v in violations.items():
+        print(f"# BUDGET EXCEEDED {name}: {v['sec']}s > {v['budget']}s", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -69,10 +106,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "budget_violations": violations,
             }
         )
     )
     spark.stop()
+    if violations and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
+        sys.exit(1)
 
 
 if __name__ == "__main__":
