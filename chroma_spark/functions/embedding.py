@@ -109,6 +109,43 @@ class CharNgramHashingEmbeddingFunction(EmbeddingFunction):
         return out
 
 
+class JLRademacherEmbeddingFunction(EmbeddingFunction):
+    """Third real local embedder: Johnson–Lindenstrauss random projection
+    of char-n-gram counts with a Rademacher (±1) matrix.
+
+    The projection row for an n-gram is read off the bits of its 60-bit
+    md5 — deterministic, no stored matrix, and recomputable in SQL
+    (``(md5_long(g) >> j) & 1``), so the driver's oracle can verify the
+    whole pandas-UDF embed path by value. Geometry is genuinely distinct
+    from tf feature-hashing (dense signed sums; JL preserves inner
+    products in expectation), giving recall tests a third regime.
+    ``dim <= 60`` (one md5_long supplies the bits).
+    """
+
+    name = "jl_rademacher"
+
+    def __init__(self, dim: int = 32, n: int = 3):
+        if not 1 <= dim <= 60:
+            raise ValueError("jl_rademacher needs 1 <= dim <= 60 (md5_long has 60 bits)")
+        self.dim, self.n = dim, n
+
+    def __call__(self, texts: list[str | None]) -> list[list[float]]:
+        from collections import Counter
+
+        j = np.arange(self.dim, dtype=np.int64)
+        out = []
+        for text in texts:
+            s = " ".join(_tokenize(text))
+            grams = Counter(s[i : i + self.n] for i in range(max(0, len(s) - self.n + 1)))
+            vec = np.zeros(self.dim, dtype=np.float64)
+            for g, c in grams.items():
+                h = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                vec += float(c) * (((h >> j) & 1) * 2.0 - 1.0)
+            norm = math.sqrt(float(np.dot(vec, vec)))
+            out.append((vec / norm if norm else vec).tolist())
+        return out
+
+
 class Bm25SparseEmbeddingFunction(EmbeddingFunction):
     """BM25 document-side weights as a SparseVector struct.
 
@@ -121,6 +158,16 @@ class Bm25SparseEmbeddingFunction(EmbeddingFunction):
 
     def __init__(self, k1: float = 1.2, b: float = 0.75, avg_len: float = 256.0, dim: int = 1 << 20):
         self.k1, self.b, self.avg_len, self.dim = k1, b, avg_len, dim
+
+    @classmethod
+    def from_corpus_stats(cls, stats: dict, **kwargs) -> "Bm25SparseEmbeddingFunction":
+        """Length-normalize against the COLLECTION's real average document
+        length (the ``avgdl`` that ``write_bm25_index`` computes at
+        compaction) instead of the 256.0 fastembed constant — the constant
+        stays the default for provider parity, but a corpus-stats EF scores
+        identically (up to the rank-neutral (k1+1) factor) to the inline
+        corpus-wide BM25 on the same data."""
+        return cls(avg_len=float(stats["avgdl"]), **kwargs)
 
     def __call__(self, texts: list[str | None]) -> list[dict]:
         out = []
@@ -219,6 +266,7 @@ known_embedding_functions: dict[str, Callable[..., EmbeddingFunction]] = {
     for c in (
         HashingEmbeddingFunction,
         CharNgramHashingEmbeddingFunction,
+        JLRademacherEmbeddingFunction,
         Bm25SparseEmbeddingFunction,
         OpenAIEmbeddingFunction,
         CohereEmbeddingFunction,

@@ -1289,6 +1289,61 @@ SELECT id, b AS idx,
 FROM __tf"""
     QUERIES["embed_bm25_doc_vectors"] = Query(sparse_fn, sparse_sql)
 
+    # --- JL Rademacher projection (functions/embedding.py) — the third
+    # embedding geometry, run through the REAL pandas-UDF path; the oracle
+    # recomputes the ±1 projection from the same md5 bits in SQL ---
+    from .functions.embedding import JLRademacherEmbeddingFunction
+
+    jdim, jn = 32, 3
+    jef = JLRademacherEmbeddingFunction(dim=jdim, n=jn)
+
+    def jl_knn_fn(spark, sf_dir):
+        emb = embed_records(_docs_df(spark, sf_dir), jef)
+        qvec = F.array(*[F.lit(float(x)) for x in jef([qtext])[0]])
+        dist = F.lit(1.0) - F.aggregate(
+            F.zip_with(F.col("embedding"), qvec, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            emb.select("id", (F.round(dist, 6) + F.lit(0.0)).alias("dist"))
+            .orderBy(F.col("dist").asc(), F.col("id").asc())
+            .limit(k)
+        )
+
+    import numpy as _np
+
+    _qv = _np.array(jef([qtext])[0])
+    _qnz = {j: float(v) for j, v in enumerate(_qv) if v != 0.0}
+    jq_vals = ", ".join(f"({j}, {v!r})" for j, v in sorted(_qnz.items()))
+    jl_grams = (
+        f"list_transform(range(1, greatest(len(s) - {jn - 1}, 0) + 1), i -> substr(s, i, {jn}))"
+    )
+    jl_sql = f"""
+WITH __s AS (
+  SELECT id, array_to_string({tokens_sql('"document"')}, ' ') AS s FROM ({_DOCS_SQL})
+),
+__g AS (
+  SELECT id, unnest({jl_grams}) AS g FROM __s
+),
+__gh AS (
+  SELECT id, {md5_long_sql("g")} AS h, count(*) AS cnt FROM __g GROUP BY id, h
+),
+__v AS (
+  SELECT id, j, sum(cnt * (CASE WHEN (h >> j) & 1 = 1 THEN 1.0 ELSE -1.0 END)) AS v
+  FROM __gh CROSS JOIN (SELECT unnest(range(0, {jdim})) AS j)
+  GROUP BY id, j
+),
+__norm AS (SELECT id, sqrt(sum(v * v)) AS nrm FROM __v GROUP BY id),
+__q(j, qw) AS (VALUES {jq_vals}),
+__dot AS (SELECT v.id, sum(v.v * q.qw) AS d FROM __v v JOIN __q q ON v.j = q.j GROUP BY v.id)
+SELECT d0.id, (round(1 - coalesce(dt.d / n.nrm, 0), 6) + 0.0) AS dist
+FROM (SELECT id FROM ({_DOCS_SQL})) d0
+LEFT JOIN __norm n ON d0.id = n.id
+LEFT JOIN __dot dt ON d0.id = dt.id
+ORDER BY dist ASC, d0.id ASC LIMIT {k}"""
+    QUERIES["embed_jl_knn"] = Query(jl_knn_fn, jl_sql)
+
 
 _register_embedding()
 
@@ -1649,6 +1704,65 @@ SELECT query_id, id, dist, rank FROM (
 QUERIES["ann_quantized_fixed_pivot"].oracle = _ann_quantized_fixed_oracle()
 
 
+_SQ4_LO, _SQ4_STEP = -0.6, 0.08  # covers the testdata range [-0.53, 0.46] in 16 levels
+
+
+@register("ann_sq4_fixed_ranges", None)  # oracle attached below
+def ann_sq4_fixed_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4-bit scalar-quantization tier (ADC prefilter + exact re-rank,
+    ann/quantize.py SQ4; reference parity rust/index/src/quantization/
+    mod.rs 4-bit codes) made oracle-checkable: FIXED per-dim (lo, step)
+    instead of corpus min/max, floor(+0.5) level rounding so both engines
+    break ties identically, rounded ADC and exact distances. The Spark side
+    runs the REAL packed-code machinery (build_codes4 + sq4_search)."""
+    from .ann.quantize import build_codes4, sq4_search
+
+    emb = _emb_records(spark, sf_dir).select("id", "embedding")
+    ranges = ([_SQ4_LO] * 64, [_SQ4_STEP] * 64)
+    coded, _ = build_codes4(emb, ranges=ranges)
+    queries = emb.filter(F.col("id") < 5).select(F.col("id").alias("query_id"), "embedding")
+    return sq4_search(coded, queries, ranges, k=10, rerank_factor=4, space="l2")
+
+
+def _ann_sq4_fixed_oracle() -> str:
+    from .functions.distance import l2_sql
+
+    lvl = (
+        f"least(15, greatest(0, CAST(floor((CAST(r.embedding[i] AS DOUBLE) - ({_SQ4_LO!r}))"
+        f" / {_SQ4_STEP!r} + 0.5) AS INT)))"
+    )
+    recon = f"list_transform(range(1, 65), i -> ({_SQ4_LO!r}) + {lvl} * {_SQ4_STEP!r})"
+    adc = l2_sql("c.recon", "c.qvec")
+    d = l2_sql("c.embedding", "c.qvec")
+    return f"""
+WITH __h AS (
+  SELECT q.vec_id AS query_id, q.embedding AS qvec, r.vec_id AS id, r.embedding,
+         {recon} AS recon
+  FROM embeddings r
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+),
+__adc AS (
+  SELECT query_id, qvec, id, embedding, (round({adc}, 6) + 0.0) AS adc
+  FROM __h c
+),
+__cand AS (
+  SELECT query_id, qvec, id, embedding FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, id ASC) AS rn
+    FROM __adc
+  ) WHERE rn <= 40
+),
+__d AS (
+  SELECT c.query_id, c.id, (round({d}, 6) + 0.0) AS dist FROM __cand c
+)
+SELECT query_id, id, dist, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rank
+  FROM __d
+) WHERE rank <= 10"""
+
+
+QUERIES["ann_sq4_fixed_ranges"].oracle = _ann_sq4_fixed_oracle()
+
+
 @register("ann_ivf_topk", None)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ann.ivf import ivf_search
@@ -1685,12 +1799,14 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MEASURE_FIRST = [
     "ann_ivf_fixed_centroids",
     "ann_quantized_fixed_pivot",
+    "ann_sq4_fixed_ranges",
     "multimodal_decode_meta",
     "multimodal_resize_plan",
     "multimodal_frame_sample",
     "multimodal_features_hist",
     "revision_history_events",
     "record_counter_by_source",
+    "embed_jl_knn",
     "ann_ivf_topk",
     "ann_quantized_topk",
 ]
@@ -1705,6 +1821,8 @@ _MEASURE_LAST = [
     "knn_ip_exact",  # third distance of knn_l2/cosine_exact
     "group_maxk",  # variant of group_topk
     "search_select_doc",  # variant of search_full
+    "rank_minmax_unary",  # variant of rank_arith (same RankDomain machinery)
+    "doc_freq_topk",  # building block measured through bm25_topk (df+idf)
 ]
 
 

@@ -103,6 +103,68 @@ def test_ivf_quantized_pipeline_recall(spark):
 
 
 # ---------------------------------------------------------------------------
+# SQ4 (4-bit scalar quantization + ADC prefilter + re-rank) — second tier
+# ---------------------------------------------------------------------------
+
+
+def test_sq4_recall_at_small_rerank(spark):
+    """ADC on reconstructed 4-bit codes is tight enough that recall >= 0.95
+    holds at rerank_factor 4 — vs 24 for sign-bit Hamming (VERDICT r2 #6
+    asked for <= 8)."""
+    from chroma_spark.ann.quantize import build_codes4, sq4_search
+
+    records, queries = _records(spark), _queries(spark)
+    coded, ranges = build_codes4(records)
+    exact = exact_knn(records, queries, k=10, space="l2")
+    approx = sq4_search(coded, queries, ranges, k=10, rerank_factor=4, space="l2")
+    r = recall_at_k(approx, exact)
+    assert r >= 0.95, f"sq4 recall@10 at rerank_factor=4 = {r}"
+
+
+def test_sq4_pack_unpack_roundtrip(spark):
+    """Every reconstructed value sits within step/2 of the original (interior
+    points), and packing puts 16 dims per BIGINT word."""
+    from chroma_spark.ann.quantize import _unpack4_expr, build_codes4
+
+    df = spark.createDataFrame(
+        [("a", [float(i) / 17 for i in range(17)]), ("b", [1.0 - float(i) / 17 for i in range(17)])],
+        "id STRING, embedding ARRAY<FLOAT>",
+    )
+    coded, (lo, step) = build_codes4(df)
+    assert len(lo) == 17
+    rows = coded.select(
+        "id", "embedding", F.col("code4"), _unpack4_expr("code4", lo, step).alias("recon")
+    ).collect()
+    for r in rows:
+        assert len(r.code4) == 2  # 17 dims -> 2 packed words
+        for orig, rec, st in zip(r.embedding, r.recon, step):
+            assert abs(orig - rec) <= st / 2 + 1e-6, (r.id, orig, rec, st)
+
+
+def test_ivf_sq4_pipeline_recall(spark):
+    from chroma_spark.ann.quantize import build_codes4, ivf_sq4_search
+
+    records, queries = _records(spark), _queries(spark)
+    centroids, postings = build_ivf(records, n_lists=16)
+    coded_postings, ranges = build_codes4(postings)
+    exact = exact_knn(records, queries, k=10, space="l2")
+    approx = ivf_sq4_search(
+        centroids, coded_postings, queries, ranges, k=10, nprobe=8, rerank_factor=4
+    )
+    r = recall_at_k(approx, exact)
+    assert r >= 0.95, f"ivf+sq4 recall@10 = {r}"
+
+
+def test_sq4_stays_jvm_side(spark):
+    from chroma_spark.ann.quantize import build_codes4, sq4_search
+
+    records, queries = _records(spark), _queries(spark, n=3)
+    coded, ranges = build_codes4(records)
+    plan = sq4_search(coded, queries, ranges, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
 # Persisted index layout: partition pruning on probed lists
 # ---------------------------------------------------------------------------
 

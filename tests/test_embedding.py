@@ -91,6 +91,74 @@ def test_embed_records_arrow_path_matches_local(spark):
         assert np.allclose(out[i], local[i])
 
 
+def test_jl_rademacher_deterministic_unit_norm_distinct_geometry():
+    from chroma_spark.functions.embedding import JLRademacherEmbeddingFunction
+
+    ef = JLRademacherEmbeddingFunction(dim=32, n=3)
+    a1, a2 = ef(["the quick brown fox"])[0], ef(["the quick brown fox"])[0]
+    assert a1 == a2 and len(a1) == 32
+    assert math.isclose(sum(x * x for x in a1), 1.0, rel_tol=1e-9)
+    # subword sensitivity: a typo shares most grams -> closer than a
+    # different sentence (the JL geometry preserves n-gram overlap)
+    b = ef(["the quikc brown fox"])[0]
+    c = ef(["entirely unrelated words here"])[0]
+    dot = lambda u, v: sum(x * y for x, y in zip(u, v))  # noqa: E731
+    assert dot(a1, b) > dot(a1, c)
+    assert ef([""])[0] == [0.0] * 32 and ef([None])[0] == [0.0] * 32
+    with pytest.raises(ValueError, match="60"):
+        JLRademacherEmbeddingFunction(dim=61)
+    assert "jl_rademacher" in known_embedding_functions
+
+
+def test_bm25_ef_corpus_avgdl_matches_inline_scoring(spark, tmp_path):
+    """An EF built from write_bm25_index's collection stats scores exactly
+    like the inline corpus-wide bm25_topk (up to the rank-neutral (k1+1)
+    factor fastembed puts in the numerator): same length normalization,
+    same IDF — closing the 256.0-constant gap (VERDICT r2 #7)."""
+    import math as m
+
+    from chroma_spark.functions.embedding import _md5_bucket
+    from chroma_spark.operators.sparse import (
+        bm25_topk,
+        doc_frequency,
+        write_bm25_index,
+    )
+    from chroma_spark.registry import load
+    from tests.conftest import SF_SMALL
+
+    docs = load(spark, SF_SMALL, "documents").select(
+        F.col("doc_id").alias("id"), F.col("text").alias("document")
+    )
+    stats = write_bm25_index(docs, str(tmp_path / "tf"), n_buckets=8)
+    ef = Bm25SparseEmbeddingFunction.from_corpus_stats(stats)
+    assert ef.avg_len == stats["avgdl"] != 256.0
+
+    terms = ["spark", "table", "merge"]
+    inline = {r.id: r.score for r in bm25_topk(docs, terms, k=15).collect()}
+
+    n_docs = float(stats["n_docs"])
+    dfreq = {
+        r.term: float(r.df)
+        for r in doc_frequency(docs).filter(F.col("term").isin(terms)).collect()
+    }
+    idf = {
+        t: m.log((n_docs - min(dfreq.get(t, 0.0), n_docs) + 0.5) / (min(dfreq.get(t, 0.0), n_docs) + 0.5) + 1.0)
+        for t in terms
+    }
+    buckets = {_md5_bucket(t, ef.dim): t for t in terms}
+    sv_rows = embed_records(docs, ef, out_col="sv").select("id", "sv").collect()
+    scores = {}
+    for r in sv_rows:
+        s = 0.0
+        for i, v in zip(r.sv["indices"], r.sv["values"]):
+            if i in buckets:
+                s += idf[buckets[i]] * v / (ef.k1 + 1)
+        if s > 0:
+            scores[r.id] = s
+    for rid, sc in inline.items():
+        assert scores.get(rid) == pytest.approx(sc, abs=1e-6), rid
+
+
 def test_sparse_embed_column(spark):
     ef = Bm25SparseEmbeddingFunction(dim=1 << 12)
     df = spark.createDataFrame([("1", "a b a")], ["id", "document"])
