@@ -175,11 +175,27 @@ def where_doc_to_column(wd: dict[str, Any], doc_col: str = "document") -> Column
         return ~doc.contains(val)
     if op == "$regex":
         validate_regex(val)
-        return doc.rlike(val)
+        return _regex_with_prefilter(doc, val)
     if op == "$not_regex":
         validate_regex(val)
-        return ~doc.rlike(val)
+        return ~_regex_with_prefilter(doc, val)
     raise WhereError(f"unknown document operator {op}")
+
+
+def _regex_with_prefilter(doc: Column, pattern: str) -> Column:
+    """``rlike`` behind required-literal ``contains`` guards: every match
+    must contain the pattern's mandatory literal runs (regex_dialect,
+    mirroring literal_expr.rs), so rows failing a cheap substring check
+    never reach the regex automaton. Semantically redundant — results are
+    identical with or without the guards."""
+    from .regex_dialect import prefilter_literals
+
+    cond = None
+    for lit in prefilter_literals(pattern):
+        c = doc.contains(lit)
+        cond = c if cond is None else cond & c
+    matched = doc.rlike(pattern)
+    return matched if cond is None else cond & matched
 
 
 def _and_all(parts: list[Column]) -> Column:
@@ -350,26 +366,21 @@ def where_doc_matches(document: str | None, wd: dict[str, Any]) -> bool:
 # engine (`rlike`, Java regex) and the DuckDB oracle (RE2) agree.
 # ---------------------------------------------------------------------------
 
-_FORBIDDEN_REGEX_TOKENS = (
-    "(?<",  # lookbehind (not in RE2)
-    "(?=",  # lookahead (not in RE2)
-    "(?!",  # negative lookahead
-    "\\x",  # byte escapes (ChromaRegex rejects byte patterns)
-    "\\0",
-)
-
-
 def validate_regex(pattern: str) -> None:
-    """Reject patterns outside the supported dialect.
-
-    Mirrors ChromaRegex's validation stance (``rust/types/src/regex/mod.rs``):
-    unsupported constructs fail at *validation* time, not mid-query.
-    """
+    """Reject patterns outside the supported dialect by PARSING them
+    (regex_dialect.parse — the ChromaRegex/HIR analog,
+    ``rust/types/src/regex/mod.rs:53-66``), not token-blacklisting:
+    unsupported constructs fail at *validation* time, never mid-query, and
+    literal text like ``"(?="`` inside a character class is correctly
+    accepted. ``re.compile`` stays as a belt-and-braces syntax check."""
     import re
 
-    for tok in _FORBIDDEN_REGEX_TOKENS:
-        if tok in pattern:
-            raise WhereError(f"regex construct {tok!r} is outside the supported dialect")
+    from .regex_dialect import RegexDialectError, parse
+
+    try:
+        parse(pattern)
+    except RegexDialectError as e:
+        raise WhereError(str(e)) from e
     try:
         re.compile(pattern)
     except re.error as e:
