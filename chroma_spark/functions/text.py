@@ -36,11 +36,16 @@ def md5_long_sql(s: str) -> str:
 
 
 def word_ngrams(toks: Column, n: int) -> Column:
-    """Array of space-joined word n-grams from a token array (shingles)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.transform(
+    """Array of space-joined word n-grams from a token array (shingles).
+
+    Guarded for short inputs: ``sequence(1, 0)`` in Spark is the DESCENDING
+    [1, 0], not empty, so a document with fewer than ``n`` tokens must
+    short-circuit to an empty array instead of indexing past the end."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)])
     )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
 def word_ngrams_sql(toks: str, n: int) -> str:

@@ -153,3 +153,45 @@ def fingerprints_sql(docs_sql: str, text_col: str = "document", id_col: str = "i
     return f"""
 SELECT "{id_col}" AS id, {md5_long_sql(doc)} AS fp
 FROM ({docs_sql})"""
+
+
+def redact(
+    docs: DataFrame,
+    pattern: str,
+    replacement: str,
+    text_col: str = "document",
+    id_col: str = "id",
+) -> DataFrame:
+    """PII-style pattern redaction: ``(id, n_redacted, redacted)`` with
+    every occurrence of ``pattern`` replaced by the literal
+    ``replacement``. The pattern must pass the cross-engine regex dialect
+    (where.validate_regex) and the replacement is literal-only — the two
+    engines disagree on backreference syntax ($1 vs \\1), so group
+    references are rejected rather than silently diverging. Pure column
+    expressions; at 100 TB this is one scan, no shuffle."""
+    from ..where import WhereError, validate_regex
+
+    validate_regex(pattern)
+    if "$" in replacement or "\\" in replacement:
+        raise WhereError("redact replacement must be a literal (no group references)")
+    doc = F.coalesce(F.col(text_col), F.lit(""))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.regexp_extract_all(doc, F.lit(pattern), F.lit(0))).alias("n_redacted"),
+        F.regexp_replace(doc, pattern, replacement).alias("redacted"),
+    )
+
+
+def redact_sql(
+    docs_sql: str,
+    pattern: str,
+    replacement: str,
+    text_col: str = "document",
+    id_col: str = "id",
+) -> str:
+    doc = f"coalesce(\"{text_col}\", '')"
+    return f"""
+SELECT "{id_col}" AS id,
+       CAST(len(regexp_extract_all({doc}, '{pattern}')) AS INT) AS n_redacted,
+       regexp_replace({doc}, '{pattern}', '{replacement}', 'g') AS redacted
+FROM ({docs_sql})"""

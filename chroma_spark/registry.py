@@ -1016,6 +1016,47 @@ def _register_textstats() -> None:
 _register_textstats()
 
 
+# --- Decontamination + redaction (training-data hygiene; operators/
+# decontam.py, textstats.redact) ---
+
+
+def _register_decontam() -> None:
+    from .operators.decontam import ngram_contamination, ngram_contamination_sql
+    from .operators.textstats import redact, redact_sql
+
+    n = 5  # testdata docs are ~50-token synthetic strings; 5-grams give a
+    # small, meaningful overlap (the 13-gram GPT-3 bar needs longer docs)
+    eval_src = "src0"
+
+    def contam_fn(spark, sf_dir):
+        docs = load(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("id"), F.col("text").alias("document"), "source"
+        )
+        return ngram_contamination(
+            docs.filter(F.col("source") != eval_src),
+            docs.filter(F.col("source") == eval_src),
+            n=n,
+        )
+
+    QUERIES["decontaminate_ngram"] = Query(
+        contam_fn,
+        ngram_contamination_sql(
+            f"SELECT doc_id AS id, text AS document FROM documents WHERE source != '{eval_src}'",
+            f"SELECT text AS document FROM documents WHERE source = '{eval_src}'",
+            n=n,
+        ),
+    )
+
+    pat, rep = r"\b(customer|vector)\b", "[REDACTED]"
+    QUERIES["text_redact"] = Query(
+        lambda spark, sf_dir: redact(_docs_df(spark, sf_dir), pat, rep),
+        redact_sql(_DOCS_SQL, pat, rep),
+    )
+
+
+_register_decontam()
+
+
 # --- WAL / streaming analogs over the events table (SURVEY §2.1, §2.8) ---
 
 
@@ -1823,6 +1864,8 @@ _MEASURE_LAST = [
     "search_select_doc",  # variant of search_full
     "rank_minmax_unary",  # variant of rank_arith (same RankDomain machinery)
     "doc_freq_topk",  # building block measured through bm25_topk (df+idf)
+    "pricing_summary",  # non-reference bench anchor (BENCH measures it)
+    "top_customers",  # non-reference bench anchor (BENCH measures it)
 ]
 
 

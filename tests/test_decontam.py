@@ -1,0 +1,89 @@
+"""Decontamination (n-gram overlap vs an eval set) and regex redaction —
+training-data hygiene operators (operators/decontam.py, textstats.redact)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chroma_spark.operators.decontam import ngram_contamination
+from chroma_spark.operators.textstats import redact
+from chroma_spark.where import WhereError
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id STRING, document STRING")
+
+
+def test_ngram_contamination_flags_shared_ngrams(spark):
+    train = _df(
+        spark,
+        [
+            ("t1", "the quick brown fox jumps over the lazy dog"),
+            ("t2", "entirely novel content with no overlap at all"),
+            ("t3", "prefix words then the quick brown fox appears twice the quick brown fox"),
+            ("t4", None),
+        ],
+    )
+    eval_set = _df(spark, [("e1", "she saw the quick brown fox leap")])
+    got = {r.id: r.n_hits for r in ngram_contamination(train, eval_set, n=4).collect()}
+    # "the quick brown fox" is the only shared 4-gram; t3 contains it twice
+    # but n_hits counts DISTINCT contaminated n-grams
+    assert got == {"t1": 1, "t3": 1}
+
+
+def test_ngram_contamination_plan_broadcasts_eval_side(spark):
+    train = _df(spark, [(f"t{i}", f"doc number {i} body text here") for i in range(50)])
+    eval_set = _df(spark, [("e1", "doc number 7 body text here")])
+    plan = (
+        ngram_contamination(train, eval_set, n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Broadcast" in plan, "eval n-gram set must broadcast (train never shuffles to join)"
+    assert "SortMergeJoin" not in plan
+
+
+def test_redact_counts_and_replaces_all(spark):
+    docs = _df(
+        spark,
+        [
+            ("a", "email me or email the team"),
+            ("b", "nothing to hide"),
+            ("c", None),
+        ],
+    )
+    rows = {r.id: r for r in redact(docs, r"\bemail\b", "[MAIL]").collect()}
+    assert rows["a"].n_redacted == 2
+    assert rows["a"].redacted == "[MAIL] me or [MAIL] the team"
+    assert rows["b"].n_redacted == 0 and rows["b"].redacted == "nothing to hide"
+    assert rows["c"].n_redacted == 0 and rows["c"].redacted == ""
+
+
+def test_redact_rejects_dialect_violations_and_group_refs(spark):
+    docs = _df(spark, [("a", "x")])
+    with pytest.raises(WhereError):
+        redact(docs, "(?=lookahead)", "x")
+    with pytest.raises(WhereError, match="literal"):
+        redact(docs, "abc", "$1")
+    with pytest.raises(WhereError, match="literal"):
+        redact(docs, "abc", r"\1")
+
+
+def test_redact_stays_jvm_side(spark):
+    docs = _df(spark, [("a", "some text")])
+    plan = redact(docs, "text", "X")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_contamination_filter_composes(spark):
+    """The intended pipeline: anti-join contaminated ids out of the corpus."""
+    train = _df(
+        spark,
+        [("t1", "alpha beta gamma delta"), ("t2", "safe words only here")],
+    )
+    eval_set = _df(spark, [("e1", "alpha beta gamma delta epsilon")])
+    contaminated = ngram_contamination(train, eval_set, n=4)
+    clean = train.join(contaminated, "id", "anti")
+    assert [r.id for r in clean.collect()] == ["t2"]
