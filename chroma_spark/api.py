@@ -578,7 +578,7 @@ class Collection:
                     self.build_vector_index()
             for key, si in list((meta.sparse_indexes or {}).items()):
                 if _has_rows(key):
-                    self.build_sparse_index(key, n_buckets=si.get("n_buckets", 64))
+                    self._maintain_sparse_index(key, log_batch)
                 else:
                     m = self._store.meta
                     m.sparse_indexes = {
@@ -768,6 +768,115 @@ class Collection:
                 )
         return centroids, postings
 
+    def _touched_ids(self, log_batch: DataFrame, live_ids: DataFrame) -> DataFrame:
+        """Ids whose index entries a compaction batch invalidates: the
+        id-keyed log rows plus — under predicate deletes — previously-live
+        ids absent from the new (folded) base."""
+        touched = log_batch.filter(F.col("id").isNotNull()).select("id").distinct()
+        if "where_json" in log_batch.columns and (
+            log_batch.filter(F.col("op") == "DELETE_WHERE").head() is not None
+        ):
+            base = self._store.read_base()
+            gone = live_ids.distinct().join(base.select("id"), "id", "anti")
+            touched = touched.unionByName(gone).distinct()
+        return touched
+
+    def _maintain_sparse_index(self, key: str, log_batch: DataFrame | None) -> dict:
+        """Per-compaction sparse-index upkeep without a full rebuild — the
+        same epoch/tombstone scheme as _maintain_vector_index: touched ids
+        tombstone at the new epoch, the delta's postings append into the
+        bucket-partitioned layout, and only drift past REINDEX_FRACTION
+        (of indexed docs) rewrites from scratch. ``n_docs`` (the IDF
+        denominator) refreshes with one narrow count over the new base."""
+        import os as _os
+
+        from .operators.sparse import explode_postings
+
+        meta = self._store.meta
+        si = (meta.sparse_indexes or {}).get(key)
+
+        def _full() -> dict:
+            return self.build_sparse_index(
+                key, n_buckets=int(si.get("n_buckets", 64)) if si else 64
+            )
+
+        if si is None or si.get("epoch") is None or log_batch is None:
+            return _full()
+        own_prefix = _os.path.join(self._store.catalog.root, self._store.name) + _os.sep
+        if not si["path"].startswith(own_prefix):
+            return _full()  # fork child diverging from a parent-owned layout
+        touched = self._touched_ids(log_batch, self._load_sparse_index(si).select("id"))
+        n_touched = int(touched.count())
+        if si.get("n_appended", 0) + n_touched > self.REINDEX_FRACTION * max(
+            1, si.get("n_docs", 0)
+        ):
+            return _full()
+        base = self._store.read_base()
+        if n_touched:
+            touched.withColumn("epoch", F.lit(meta.version).cast("long")).write.mode(
+                "append"
+            ).parquet(_os.path.join(si["path"], "tombstones"))
+            delta = explode_postings(
+                base.join(touched, "id", "semi").filter(F.col(key).isNotNull()),
+                id_col="id",
+                sparse_col=key,
+            )
+            n_buckets = int(si["n_buckets"])
+            delta.withColumn("bucket", (F.col("idx") % n_buckets).cast("int")).withColumn(
+                "__epoch", F.lit(meta.version).cast("long")
+            ).repartition("bucket").write.mode("append").partitionBy("bucket").parquet(
+                _os.path.join(si["path"], "postings")
+            )
+        n_docs = float(base.filter(F.col(key).isNotNull()).count())
+        meta.sparse_indexes = {
+            **(meta.sparse_indexes or {}),
+            key: {
+                **si,
+                "version": meta.version,
+                "epoch": meta.version,
+                "n_docs": n_docs,
+                "n_appended": int(si.get("n_appended", 0)) + n_touched,
+            },
+        }
+        self._store.catalog.update(meta)
+        return meta.sparse_indexes[key]
+
+    def _load_sparse_index(self, si: dict) -> DataFrame:
+        """Live posting rows for a registered sparse index (epoch MVCC like
+        _load_vector_index), with the book-keeping column dropped so the
+        shape matches what the search operators and tail union expect."""
+        import os as _os
+
+        import os as _os2
+
+        spark = self._client.spark
+        # incremental layouts keep postings/ + tombstones/ as siblings (a
+        # tombstone dir inside a partitioned tree breaks discovery); plain
+        # layouts (pre-incremental / offline caches) are the bare dir
+        root = si["path"]
+        postings_dir = _os2.path.join(root, "postings")
+        postings = spark.read.parquet(postings_dir if _os2.path.isdir(postings_dir) else root)
+        if "__epoch" in postings.columns and si.get("epoch") is not None:
+            version = int(si["version"])
+            postings = postings.filter(F.col("__epoch") <= version)
+            tomb_path = _os.path.join(si["path"], "tombstones")
+            if _os.path.isdir(tomb_path):
+                dead = (
+                    spark.read.parquet(tomb_path)
+                    .filter(F.col("epoch") <= version)
+                    .groupBy("id")
+                    .agg(F.max("epoch").alias("__dead_upto"))
+                )
+                postings = (
+                    postings.join(dead, "id", "left")
+                    .filter(
+                        F.col("__dead_upto").isNull() | (F.col("__epoch") >= F.col("__dead_upto"))
+                    )
+                    .drop("__dead_upto")
+                )
+            postings = postings.drop("__epoch")
+        return postings
+
     def build_sparse_index(self, key: str, n_buckets: int = 64) -> dict:
         """Build + register the term-bucket posting index over a
         SparseVector metadata column (the sparse-segment write of the
@@ -789,11 +898,11 @@ class Collection:
             raise CollectionError(f"no SparseVector column {key!r} to index")
         postings = explode_postings(
             base.filter(F.col(key).isNotNull()), id_col="id", sparse_col=key
-        )
+        ).withColumn("__epoch", F.lit(meta.version).cast("long"))
         path = _os.path.join(
             self._store.catalog.root, self._store.name, f"index_sparse_{key}", f"v{meta.version}"
         )
-        write_sparse_index(postings, path, n_buckets=n_buckets)
+        write_sparse_index(postings, _os.path.join(path, "postings"), n_buckets=n_buckets)
         n_docs = float(postings.select("id").distinct().count())
         meta.sparse_indexes = {
             **(meta.sparse_indexes or {}),
@@ -802,6 +911,10 @@ class Collection:
                 "path": path,
                 "n_buckets": int(n_buckets),
                 "n_docs": n_docs,
+                # incremental-maintenance state (same scheme as the vector
+                # index: epoch-stamped rows, tombstones, drift counter)
+                "epoch": meta.version,
+                "n_appended": 0,
             },
         }
         self._store.catalog.update(meta)
@@ -842,7 +955,7 @@ class Collection:
         at seq position inside the bounded tail fold; n_docs refreshes at
         compaction like the reference's index-time stats. ``keys``
         restricts the work to the sparse columns a payload queries."""
-        from .operators.sparse import explode_postings, read_sparse_index
+        from .operators.sparse import explode_postings
 
         meta = self._store.meta
         if not meta.sparse_indexes:
@@ -852,7 +965,6 @@ class Collection:
         log = self._store.read_log() if read_level != "index_only" else None
         log, where_ops = self._split_where_ops(log)
         out: dict = {}
-        spark = self._client.spark
         touched: DataFrame | None = None
         if log is not None:
             touched = log.select("id").distinct()
@@ -867,7 +979,7 @@ class Collection:
                 continue
             if si.get("version") != meta.version:
                 continue
-            postings = read_sparse_index(spark, si["path"])
+            postings = self._load_sparse_index(si)
             if touched is not None:
                 base = self._store.read_base()
                 base_t = base.join(touched, "id", "semi") if base is not None else None

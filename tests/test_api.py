@@ -532,6 +532,57 @@ def test_compaction_maintains_index_incrementally(client, spark):
     assert vi3["n_appended"] == 0
 
 
+def test_compaction_maintains_sparse_index_incrementally(client):
+    """Same discipline as the vector index: a small delta appends at the
+    new epoch (no rewrite), deletes tombstone, search agrees with the
+    ground truth, and drift rebuilds."""
+    col = client.create_collection("sinc", dimension=2)
+    ids = [f"d{i}" for i in range(20)]
+    col.add(
+        ids=ids,
+        embeddings=[[float(i), 1.0] for i in range(20)],
+        metadatas=[{"sv": {"indices": [i % 4], "values": [1.0 + i]}} for i in range(20)],
+    )
+    si0 = col.build_sparse_index("sv", n_buckets=4)
+    assert si0["epoch"] == col.version and si0["n_appended"] == 0
+
+    col.add(ids=["n1"], embeddings=[[99.0, 1.0]], metadatas=[{"sv": {"indices": [1], "values": [50.0]}}])
+    col.delete(ids=["d5"])
+    col.update(ids=["d6"], metadatas=[{"sv": {"indices": [2], "values": [40.0]}}])
+    v_before = col.version
+    col.compact()
+    si = col._store.meta.sparse_indexes["sv"]
+    assert si["version"] == col.version and si["epoch"] == col.version
+    assert si["n_appended"] == 3
+    assert si["path"] == si0["path"], "small delta must not rewrite the layout"
+    assert si["n_docs"] == 20.0  # 20 + n1 - d5
+    assert col.version == v_before + 1
+
+    live = col._load_sparse_index(si)
+    live_ids = {r.id for r in live.select("id").distinct().collect()}
+    assert "n1" in live_ids and "d5" not in live_ids
+    assert "__epoch" not in live.columns
+
+    # index-served search equals the snapshot truth: top doc for term 1 is n1
+    rank = {"$knn": {"query": {"indices": [1], "values": [1.0]}, "key": "sv", "limit": 3}}
+    top = [r["id"] for r in col.search(rank=rank, select=["#id"]).collect()]
+    assert top[0] == "n1"
+    # updated doc d6 serves its NEW posting (old term-1 entry tombstoned)
+    rank2 = {"$knn": {"query": {"indices": [2], "values": [1.0]}, "key": "sv", "limit": 3}}
+    top2 = [r["id"] for r in col.search(rank=rank2, select=["#id"]).collect()]
+    assert top2[0] == "d6"
+
+    # drift: touch >50% of docs -> rebuild resets the layout + counters
+    col.add(
+        ids=[f"m{i}" for i in range(15)],
+        embeddings=[[0.0, float(i)] for i in range(15)],
+        metadatas=[{"sv": {"indices": [3], "values": [2.0]}} for _ in range(15)],
+    )
+    col.compact()
+    si2 = col._store.meta.sparse_indexes["sv"]
+    assert si2["n_appended"] == 0 and si2["path"] != si0["path"], "drift must rebuild"
+
+
 def test_quantized_index_incremental_append_uses_trained_pivot(client, spark):
     col = client.create_collection("vincq", dimension=4, space="l2")
     import random
