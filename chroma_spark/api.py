@@ -591,8 +591,8 @@ class Collection:
         self,
         n_lists: int | None = None,
         replicas: int = 2,
-        quantized: bool | None = None,
-        rerank_factor: int = 24,
+        quantized: bool | str | None = None,
+        rerank_factor: int | None = None,
     ) -> dict:
         """Build + register the SPANN/IVF-style vector index for the
         current version (the vector-segment write of the reference's
@@ -602,11 +602,13 @@ class Collection:
         brute-forces only the WAL tail written after the build
         (merged via knn_merge, ``operators/knn_merge.rs:43``).
 
-        ``quantized`` adds packed sign-bit codes to the postings (the
-        quantized-SPANN analog, rust/index/src/quantization): queries
-        Hamming-prune within probed lists and exact-re-rank
-        ``rerank_factor * k`` candidates — recall-lossy by design (recall
-        ≥ 0.95 at rerank_factor 24 on the test data; tune per corpus)."""
+        ``quantized`` picks the code tier, mirroring the reference's 1-bit
+        + 4-bit RaBitQ pair (rust/index/src/quantization/mod.rs):
+        ``"sign"``/``True`` packs sign-bit codes (Hamming prefilter;
+        rerank_factor defaults to 24), ``"sq4"`` packs 4-bit scalar codes
+        with per-dim corrective (lo, step) (ADC prefilter; rerank_factor
+        defaults to 4 — the tighter prefilter needs far fewer re-rank
+        candidates at the same recall bar)."""
         import os as _os
 
         from .ann.ivf import build_ivf, write_ivf
@@ -624,7 +626,11 @@ class Collection:
             cfg = self.schema.index_config("vector_index", "#embedding") or {}
         n_lists = int(n_lists or cfg.get("n_lists", 16))
         if quantized is None:
-            quantized = bool(cfg.get("quantized", False))
+            quantized = cfg.get("quantized", False)
+        if quantized is True:
+            quantized = "sign"
+        if quantized not in (False, "sign", "sq4"):
+            raise CollectionError(f"unknown quantization tier {quantized!r}; use 'sign' or 'sq4'")
         centroids, postings = build_ivf(records, n_lists=n_lists, replicas=replicas)
         path = _os.path.join(
             self._store.catalog.root, self._store.name, "index_vector", f"v{meta.version}"
@@ -644,12 +650,19 @@ class Collection:
             "n_rows": int(records.count()),
             "n_appended": 0,
         }
-        if quantized:
+        if quantized == "sign":
             from .ann.quantize import build_codes
 
             postings, means = build_codes(postings)
             desc["means"] = [float(m) for m in means]
-            desc["rerank_factor"] = int(rerank_factor)
+            desc["rerank_factor"] = int(rerank_factor or 24)
+        elif quantized == "sq4":
+            from .ann.quantize import build_codes4
+
+            postings, (lo, step) = build_codes4(postings)
+            desc["sq4_lo"] = [float(x) for x in lo]
+            desc["sq4_step"] = [float(x) for x in step]
+            desc["rerank_factor"] = int(rerank_factor or 4)
         postings = postings.withColumn("__epoch", F.lit(meta.version).cast("long"))
         write_ivf(centroids, postings, path)
         meta.vector_index = desc
@@ -679,10 +692,15 @@ class Collection:
         vi = meta.vector_index
 
         def _full() -> dict:
+            tier: bool | str = False
+            if vi is not None and vi.get("means") is not None:
+                tier = "sign"
+            elif vi is not None and vi.get("sq4_lo") is not None:
+                tier = "sq4"
             return self.build_vector_index(
                 n_lists=vi.get("n_lists") if vi else None,
-                quantized=vi.get("means") is not None if vi else None,
-                rerank_factor=int(vi.get("rerank_factor", 24)) if vi else 24,
+                quantized=tier,
+                rerank_factor=int(vi["rerank_factor"]) if vi and "rerank_factor" in vi else None,
             )
 
         if vi is None or vi.get("epoch") is None or log_batch is None:
@@ -724,6 +742,12 @@ class Collection:
                 from .ann.quantize import build_codes
 
                 assigned, _ = build_codes(assigned, means=[float(m) for m in vi["means"]])
+            elif vi.get("sq4_lo") is not None:
+                from .ann.quantize import build_codes4
+
+                assigned, _ = build_codes4(
+                    assigned, ranges=(list(vi["sq4_lo"]), list(vi["sq4_step"]))
+                )
             assigned = assigned.withColumn("__epoch", F.lit(meta.version).cast("long"))
             append_ivf_postings(assigned, vi["path"])
         meta.vector_index = {
@@ -1291,6 +1315,21 @@ class Collection:
                 k=k,
                 nprobe=probes,
                 rerank_factor=int(vi.get("rerank_factor", 24)),
+                space=vi.get("space", meta.space),
+                allowed_ids=allowed,
+                excluded_ids=touched,
+            )
+        elif vi.get("sq4_lo") is not None:
+            from .ann.quantize import ivf_sq4_search
+
+            index_top = ivf_sq4_search(
+                centroids,
+                postings,
+                qdf,
+                (list(vi["sq4_lo"]), list(vi["sq4_step"])),
+                k=k,
+                nprobe=probes,
+                rerank_factor=int(vi.get("rerank_factor", 4)),
                 space=vi.get("space", meta.space),
                 allowed_ids=allowed,
                 excluded_ids=touched,

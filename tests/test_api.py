@@ -583,6 +583,35 @@ def test_compaction_maintains_sparse_index_incrementally(client):
     assert si2["n_appended"] == 0 and si2["path"] != si0["path"], "drift must rebuild"
 
 
+def test_sq4_index_lifecycle_and_incremental_maintenance(client):
+    """quantized='sq4' registers the 4-bit tier: queries serve via ADC +
+    re-rank, compaction appends deltas encoded with the TRAINED (lo, step),
+    and the tail merge stays correct."""
+    import random
+
+    col = client.create_collection("vsq4", dimension=4, space="l2")
+    rnd = random.Random(13)
+    ids = [f"s{i}" for i in range(30)]
+    embs = [[rnd.random() for _ in range(4)] for _ in ids]
+    col.add(ids=ids, embeddings=embs)
+    vi = col.build_vector_index(n_lists=3, quantized="sq4")
+    assert vi["rerank_factor"] == 4 and len(vi["sq4_lo"]) == 4 and "means" not in vi
+    assert col.query([embs[7]], n_results=1)["ids"][0] == ["s7"]
+
+    # WAL tail merges; then compaction appends with the trained ranges
+    col.add(ids=["zz"], embeddings=[[2.0, 2, 2, 2]])
+    assert col.query([[2.0, 2, 2, 2]], n_results=1)["ids"][0] == ["zz"]
+    col.compact()
+    vi2 = col._store.meta.vector_index
+    assert vi2["trained_version"] == vi["trained_version"]
+    assert vi2["sq4_lo"] == vi["sq4_lo"] and vi2["sq4_step"] == vi["sq4_step"]
+    assert col.query([[2.0, 2, 2, 2]], n_results=1)["ids"][0] == ["zz"]
+    assert col.query([embs[7]], n_results=1)["ids"][0] == ["s7"]
+
+    with pytest.raises(CollectionError, match="quantization tier"):
+        col.build_vector_index(quantized="pq")
+
+
 def test_quantized_index_incremental_append_uses_trained_pivot(client, spark):
     col = client.create_collection("vincq", dimension=4, space="l2")
     import random
