@@ -630,6 +630,46 @@ def test_quantized_index_incremental_append_uses_trained_pivot(client, spark):
     assert col.query([[2.0, 2, 2, 2]], n_results=1)["ids"][0] == ["zz"]
 
 
+def test_fork_isolated_from_parent_incremental_appends(client):
+    """Epoch MVCC on the shared layout: after a fork, the parent's
+    incremental compactions append rows/tombstones at LATER epochs into
+    the same files — the child, pinned at the fork version, must keep
+    reading its original state (deleted ids still visible, parent's new
+    ids invisible) from those shared files without any copy."""
+    col = client.create_collection("vmvcc", dimension=2)
+    # big enough that the parent's 2-id delta stays under REINDEX_FRACTION
+    ids = ["a", "b", "c"] + [f"f{i}" for i in range(7)]
+    col.add(
+        ids=ids,
+        embeddings=[[1.0, 0], [0, 1.0], [0.5, 0.5]] + [[2.0 + i, 2.0] for i in range(7)],
+        metadatas=[{"sv": {"indices": [0], "values": [3.0]}},
+                   {"sv": {"indices": [0], "values": [2.0]}},
+                   {"sv": {"indices": [0], "values": [1.0]}}] + [{}] * 7,
+    )
+    col.build_vector_index(n_lists=1)
+    col.build_sparse_index("sv", n_buckets=2)
+    child = col.fork("vmvcc-child")
+
+    # parent diverges: new vector, delete 'b', compact (incremental append)
+    col.add(ids=["p1"], embeddings=[[0.9, 0.1]],
+            metadatas=[{"sv": {"indices": [0], "values": [9.0]}}])
+    col.delete(ids=["b"])
+    col.compact()
+    assert col._store.meta.vector_index["path"] == child._store.meta.vector_index["path"]
+
+    # parent sees its new state
+    got_parent = set(col.query([[0.0, 1.0]], n_results=4)["ids"][0])
+    assert "p1" in got_parent and "b" not in got_parent
+    # child still sees the fork-time state from the SAME shared files
+    got_child = set(child.query([[0.0, 1.0]], n_results=4)["ids"][0])
+    assert "b" in got_child and "p1" not in got_child
+    rank = {"$knn": {"query": {"indices": [0], "values": [1.0]}, "key": "sv", "limit": 4}}
+    child_sparse = {r["id"] for r in child.search(rank=rank, select=["#id"]).collect()}
+    assert child_sparse == {"a", "b", "c"}
+    parent_sparse = {r["id"] for r in col.search(rank=rank, select=["#id"]).collect()}
+    assert parent_sparse == {"a", "c", "p1"}
+
+
 def test_build_vector_index_autocompacts_and_rejects_empty(client):
     col = client.create_collection("vempty", dimension=2)
     with pytest.raises(CollectionError, match="empty"):
