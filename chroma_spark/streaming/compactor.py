@@ -118,19 +118,36 @@ def ivf_index_builder(
     replicas: int = 2,
     id_col: str = "id",
     vec_col: str = "embedding",
+    retrain_every: int = 10,
 ) -> Callable[[DataFrame, str], None]:
     """Canonical per-batch index builder: IVF over the new state, written
-    in the partitioned deployment layout (write_ivf)."""
+    in the partitioned deployment layout (write_ivf).
+
+    K-means does NOT retrain per batch: when the previous version's
+    centroid table exists it is reused and the batch pays only the
+    broadcast assignment pass (SPANN's incremental-head discipline — the
+    Collection-level compact() goes further with epoch-stamped delta
+    appends). Retraining happens every ``retrain_every`` versions to absorb
+    distribution drift; pass 1 to restore the old per-batch retrain."""
 
     def build(state: DataFrame, path: str) -> None:
         from pyspark.sql import functions as F
 
-        from ..ann.ivf import build_ivf, write_ivf
+        from ..ann.ivf import assign_to_centroids, build_ivf, write_ivf
 
         records = state.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col)
         if records.isEmpty():
             return
-        centroids, postings = build_ivf(records, n_lists=n_lists, replicas=replicas)
+        spark = state.sparkSession
+        version = int(path.rsplit("_v", 1)[1]) if "_v" in path else 0
+        prev_centroids_dir = f"{path.rsplit('_v', 1)[0]}_v{version - 1}/centroids"
+        centroids = None
+        if version % max(1, retrain_every) != 0 and os.path.isdir(prev_centroids_dir):
+            centroids = spark.read.parquet(prev_centroids_dir)
+        if centroids is None:
+            centroids, postings = build_ivf(records, n_lists=n_lists, replicas=replicas)
+        else:
+            postings = assign_to_centroids(records, centroids, replicas, id_col=id_col, vec_col=vec_col)
         write_ivf(centroids, postings, path)
 
     return build

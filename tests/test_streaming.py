@@ -161,6 +161,12 @@ def test_stream_compact_maintains_ivf_index(spark, dirs):
     top = ivf_search(centroids, postings, qdf, k=2, nprobe=1).collect()
     assert [r["id"] for r in top] == ["a", "c"]  # b deleted; c upserted
 
+    # consecutive versions reuse the trained centroid table (no per-batch
+    # k-means retrain): v2's centroids are byte-identical to v1's
+    c1 = sorted(tuple(r.centroid) for r in read_ivf(spark, f"{state_dir}/index_v1")[0].collect())
+    c2 = sorted(tuple(r.centroid) for r in centroids.collect())
+    assert c1 == c2
+
 
 def test_statistics_null_bucket(spark):
     df = spark.createDataFrame(
