@@ -175,9 +175,30 @@ _ABSENT_POOLS = {**_KEY_POOLS, "zz_absent": ["red", "blue"]}
 _KNOWN = frozenset({"id", "i", "f", "s", "b", "document"})
 
 
+def _regex_pattern():
+    """Random dialect-safe patterns (regex_dialect grammar): literals,
+    classes, quantifiers, alternation, groups, anchors — every generated
+    pattern must validate AND evaluate identically in Java rlike, DuckDB
+    regexp_matches, and Python re."""
+    atom = st.one_of(
+        st.sampled_from(["a", "l", "t", "de", "ph", "x", "zz"]),
+        st.sampled_from(["[gd]", "[a-f]", "[^z ]", r"\w", r"\d", "."]),
+    )
+    quantified = st.tuples(atom, st.sampled_from(["", "", "*", "+", "?", "{1,2}", "*?"])).map(
+        lambda t: f"(?:{t[0]}){t[1]}" if len(t[0]) > 1 and t[1] else t[0] + t[1]
+    )
+    seq = st.lists(quantified, min_size=1, max_size=3).map("".join)
+    alt = st.lists(seq, min_size=1, max_size=2).map("|".join).map(
+        lambda p: f"(?:{p})" if "|" in p else p
+    )
+    return st.tuples(st.sampled_from(["", "^"]), alt, st.sampled_from(["", "$"])).map(
+        lambda t: t[0] + t[1] + t[2]
+    )
+
+
 def _where_doc():
     frag = st.sampled_from(["alpha", "a", "x", "zz", "delta", "e"])
-    pat = st.sampled_from(["^al", "a.a", "[gd]", "ta$", "a+l?"])
+    pat = st.one_of(st.sampled_from(["^al", "a.a", "[gd]", "ta$", "a+l?"]), _regex_pattern())
     leaf = st.one_of(
         frag.map(lambda v: {"$contains": v}),
         frag.map(lambda v: {"$not_contains": v}),
