@@ -227,6 +227,105 @@ class Collection:
                 raise CollectionError(f"duplicate ids in add: {sorted(dup)}")
         self._append("ADD", ids, self._auto_embed(embeddings, documents), documents, uris, metadatas)
 
+    _BULK_META_TYPES = (
+        T.BooleanType,
+        T.LongType,
+        T.DoubleType,
+        T.StringType,
+        T.IntegerType,
+        T.FloatType,
+    )
+
+    def add_records(self, records: DataFrame, op: str = "ADD") -> int:
+        """Distributed bulk ingest: append a whole DataFrame of records to
+        the WAL with NO driver-side row materialization — the 100-TB ingest
+        path (``add()`` mirrors the reference's list-based client API; this
+        is the Spark-native source for pipelines feeding from
+        JSONL/parquet/streams).
+
+        ``records`` columns: ``id`` (required, cast to string); optional
+        ``embedding ARRAY<FLOAT>``, ``document STRING``, ``uri STRING``;
+        every other column is a metadata key typed by its Spark type
+        (bool/long/double/string, arrays thereof, SparseVector struct).
+        When the collection has an attached embedding function and no
+        embedding column is given, documents embed through the Arrow
+        pandas-UDF path inside the same write.
+
+        Scale shape: one distributed semi-join dup check (ADD only, <= 5
+        offending ids reach the driver), seq ids from
+        ``monotonically_increasing_id`` offset by the log cursor (unique
+        and order-stable per partition — pagination order WITHIN one bulk
+        batch follows partition order), one parquet append, one MAX
+        aggregate over the written fragment to advance the cursor."""
+        if op not in ("ADD", "UPDATE", "UPSERT"):
+            raise CollectionError(f"add_records op must be ADD/UPDATE/UPSERT, got {op!r}")
+        if "id" not in records.columns:
+            raise CollectionError("add_records needs an 'id' column")
+        for reserved in ("seq_id", "op", "where_json"):
+            if reserved in records.columns:
+                raise CollectionError(f"column name {reserved!r} is reserved")
+        meta = self._store.meta
+        df = records.withColumn("id", F.col("id").cast("string"))
+        if "embedding" not in df.columns and "document" in df.columns:
+            ef = self._embedding_function()
+            if ef is not None:
+                df = df.withColumn("embedding", ef.embed_column(F.col("document")).cast("array<float>"))
+        if "embedding" in df.columns:
+            df = df.withColumn("embedding", F.col("embedding").cast("array<float>"))
+            dims = [
+                int(r["d"])
+                for r in df.select(F.size("embedding").alias("d"))
+                .filter(F.col("d").isNotNull() & (F.col("d") >= 0))
+                .distinct()
+                .collect()
+            ]
+            if meta.dimension is None and len(dims) == 1:
+                meta.dimension = dims[0]
+            elif dims and set(dims) != {meta.dimension}:
+                raise CollectionError(
+                    f"embedding dimension {sorted(dims)} != collection dimension {meta.dimension}"
+                )
+        from .sparse_vector import SPARSE_VECTOR_TYPE
+
+        for f in df.schema.fields:
+            if f.name in ("id", "embedding", "document", "uri"):
+                continue
+            t = f.dataType
+            ok = (
+                isinstance(t, self._BULK_META_TYPES)
+                or (isinstance(t, T.ArrayType) and isinstance(t.elementType, self._BULK_META_TYPES))
+                or t == SPARSE_VECTOR_TYPE
+            )
+            if not ok:
+                raise CollectionError(
+                    f"unsupported metadata column type {t.simpleString()} for key {f.name!r}"
+                )
+        if op == "ADD":
+            snap = self.snapshot()
+            if snap is not None:
+                dup = [
+                    r["id"]
+                    for r in snap.select("id").join(df.select("id"), "id", "semi").limit(5).collect()
+                ]
+                if dup:
+                    raise CollectionError(f"duplicate ids in add_records: {sorted(dup)}")
+        log_df = df.withColumn(
+            "seq_id", (F.lit(int(meta.log_position)) + F.monotonically_increasing_id()).cast("long")
+        ).withColumn("op", F.lit(op))
+        for c in ("embedding", "document", "uri"):
+            if c not in log_df.columns:
+                typ = "array<float>" if c == "embedding" else "string"
+                log_df = log_df.withColumn(c, F.lit(None).cast(typ))
+        front = ["seq_id", "op", "id", "embedding", "document", "uri"]
+        log_df = log_df.select(*front, *[c for c in log_df.columns if c not in front])
+        path = self._store.append_log(log_df)
+        written = self._client.spark.read.parquet(path)
+        row = written.agg(F.max("seq_id").alias("m"), F.count("*").alias("n")).first()
+        meta.log_paths = [*meta.log_paths, path]
+        meta.log_position = int(row["m"]) + 1 if row["m"] is not None else meta.log_position
+        self._store.catalog.update(meta)
+        return int(row["n"])
+
     def update(self, ids, embeddings=None, documents=None, uris=None, metadatas=None) -> None:
         self._append("UPDATE", ids, self._auto_embed(embeddings, documents), documents, uris, metadatas)
 

@@ -79,6 +79,76 @@ def test_delete_and_recreate(client):
     assert sorted(r["id"] for r in col.get()) == ["b", "c"]
 
 
+def test_add_records_bulk_ingest_distributed(client, spark):
+    """add_records appends a whole DataFrame to the WAL (the 100-TB ingest
+    path): parity with list-based add, dup rejection, UPSERT merge, seq
+    cursor interleaving with the list API, and compaction fold."""
+    col = client.create_collection("bulk", dimension=2, space="l2")
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0], "alpha doc", 1), ("b", [0.0, 1.0], "beta doc", 2), ("c", [0.5, 0.5], None, 3)],
+        "id STRING, embedding ARRAY<FLOAT>, document STRING, k LONG",
+    )
+    assert col.add_records(df) == 3
+    assert col.count() == 3
+    rows = {r["id"]: r for r in col.get()}
+    assert rows["a"]["document"] == "alpha doc" and rows["b"]["k"] == 2
+    assert [r["id"] for r in col.get(where={"k": {"$gte": 2}})] != []
+
+    with pytest.raises(CollectionError, match="duplicate"):
+        col.add_records(df)
+    with pytest.raises(CollectionError, match="'id' column"):
+        col.add_records(df.drop("id"))
+    with pytest.raises(CollectionError, match="reserved"):
+        col.add_records(df.withColumnRenamed("k", "seq_id"))
+    with pytest.raises(CollectionError, match="unsupported metadata"):
+        col.add_records(df.withColumn("bad", F_create_map()))
+
+    # bulk UPSERT merges non-null fields; list API interleaves cleanly after
+    up = spark.createDataFrame(
+        [("a", None, "alpha v2", None), ("d", [0.9, 0.1], "delta doc", 4)],
+        "id STRING, embedding ARRAY<FLOAT>, document STRING, k LONG",
+    )
+    assert col.add_records(up, op="UPSERT") == 2
+    assert col.count() == 4
+    got = {r["id"]: r for r in col.get()}
+    assert got["a"]["document"] == "alpha v2" and got["a"]["k"] == 1  # merge kept k
+    col.add(ids=["e"], embeddings=[[0.1, 0.9]])  # list API after bulk: cursor advanced
+    assert col.count() == 5
+    assert col.get()[-1]["id"] == "e"  # insertion-offset pagination still last
+
+    col.compact()
+    assert col.count() == 5
+    res = col.query([[0.9, 0.1]], n_results=1)
+    assert res["ids"][0] == ["d"]
+
+    # dimension guard
+    with pytest.raises(CollectionError, match="dimension"):
+        col.add_records(
+            spark.createDataFrame([("z", [1.0, 0.0, 0.0])], "id STRING, embedding ARRAY<FLOAT>")
+        )
+
+
+def F_create_map():
+    from pyspark.sql import functions as F
+
+    return F.create_map(F.lit("x"), F.lit(1))
+
+
+def test_add_records_auto_embeds_with_attached_ef(client, spark):
+    col = client.create_collection(
+        "bulkef", embedding_function="hashing", embedding_function_kwargs={"dim": 16}
+    )
+    df = spark.createDataFrame(
+        [("a", "alpha beta"), ("b", "gamma delta")], "id STRING, document STRING"
+    )
+    assert col.add_records(df) == 2
+    rows = col.get(include=["embeddings", "documents"])
+    assert all(len(r["embedding"]) == 16 for r in rows)
+    # the Arrow-embedded vectors match the client-side EF exactly
+    res = col.query(query_texts=["alpha beta"], n_results=1)
+    assert res["ids"][0] == ["a"] and res["distances"][0][0] < 1e-6
+
+
 def test_query_knn_and_read_levels(client):
     col = _mk(client)
     res = col.query([[1.0, 0, 0, 0]], n_results=2)
