@@ -326,6 +326,36 @@ class Collection:
         self._store.catalog.update(meta)
         return int(row["n"])
 
+    def delete_records(self, ids: DataFrame) -> int:
+        """Bulk delete by a DataFrame of ids — the distributed twin of
+        ``delete(ids=[...])`` for pipeline-scale removals (e.g. the output
+        of a dedup or decontamination pass anti-joined into the corpus).
+        One DELETE log row per id, appended with no driver-side rows;
+        returns the number of delete records written."""
+        if "id" not in ids.columns:
+            raise CollectionError("delete_records needs an 'id' column")
+        meta = self._store.meta
+        log_df = (
+            ids.select(F.col("id").cast("string").alias("id"))
+            .distinct()
+            .withColumn(
+                "seq_id",
+                (F.lit(int(meta.log_position)) + F.monotonically_increasing_id()).cast("long"),
+            )
+            .withColumn("op", F.lit("DELETE"))
+            .withColumn("embedding", F.lit(None).cast("array<float>"))
+            .withColumn("document", F.lit(None).cast("string"))
+            .withColumn("uri", F.lit(None).cast("string"))
+            .select("seq_id", "op", "id", "embedding", "document", "uri")
+        )
+        path = self._store.append_log(log_df)
+        written = self._client.spark.read.parquet(path)
+        row = written.agg(F.max("seq_id").alias("m"), F.count("*").alias("n")).first()
+        meta.log_paths = [*meta.log_paths, path]
+        meta.log_position = int(row["m"]) + 1 if row["m"] is not None else meta.log_position
+        self._store.catalog.update(meta)
+        return int(row["n"])
+
     def update(self, ids, embeddings=None, documents=None, uris=None, metadatas=None) -> None:
         self._append("UPDATE", ids, self._auto_embed(embeddings, documents), documents, uris, metadatas)
 

@@ -134,6 +134,37 @@ def F_create_map():
     return F.create_map(F.lit("x"), F.lit(1))
 
 
+def test_delete_records_bulk_and_decontam_composition(client, spark):
+    """delete_records removes a DataFrame of ids — the shape a dedup or
+    decontamination pass produces — without driver-side lists."""
+    from chroma_spark.operators.decontam import ngram_contamination
+
+    col = client.create_collection("bulkdel", dimension=2)
+    docs = [
+        ("a", "the quick brown fox jumps"),
+        ("b", "totally original content here"),
+        ("c", "again the quick brown fox appears"),
+    ]
+    col.add_records(
+        spark.createDataFrame(
+            [(i, [1.0, 0.0], d) for i, d in docs],
+            "id STRING, embedding ARRAY<FLOAT>, document STRING",
+        )
+    )
+    eval_set = spark.createDataFrame(
+        [("e1", "saw the quick brown fox leap")], "id STRING, document STRING"
+    )
+    contaminated = ngram_contamination(
+        col.snapshot().select("id", "document"), eval_set, n=4
+    )
+    assert col.delete_records(contaminated) == 2
+    assert sorted(r["id"] for r in col.get()) == ["b"]
+    col.compact()
+    assert col.count() == 1
+    with pytest.raises(CollectionError, match="'id' column"):
+        col.delete_records(eval_set.drop("id"))
+
+
 def test_add_records_auto_embeds_with_attached_ef(client, spark):
     col = client.create_collection(
         "bulkef", embedding_function="hashing", embedding_function_kwargs={"dim": 16}
