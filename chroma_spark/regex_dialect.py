@@ -246,6 +246,9 @@ class _Parser:
                 self.take()
             elif c == "[" and self.p[self.i : self.i + 2] == "[:":
                 raise self.error("POSIX class names are outside the supported dialect")
+            elif c == "&" and self.p[self.i : self.i + 2] == "&&":
+                # Java: class intersection; RE2/Python: two literal '&'s
+                raise self.error("class intersection '&&' is outside the supported dialect")
             else:
                 self.take()
         if self.peek() != "]":

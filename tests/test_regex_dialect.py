@@ -63,6 +63,7 @@ REJECTED = [
     "[[:alpha:]]",  # POSIX names differ across engines
     r"\p{L}+",  # absent from Python re (the DELETE_WHERE twin)
     "(?U)x",  # Unicode-case in Java, ungreedy in RE2
+    "[a&&b]",  # class intersection in Java, literal '&'s in RE2/Python
     "",
 ]
 
