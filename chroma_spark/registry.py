@@ -1053,6 +1053,23 @@ def _register_decontam() -> None:
         redact_sql(_DOCS_SQL, pat, rep),
     )
 
+    # deterministic hash-sampled dataset mix: 60% of src1, 25% of src2,
+    # 5% of everything else — reproducible across engines by construction
+    from .operators.sampling import hash_sample, hash_sample_sql
+
+    mix = {"src1": 0.6, "src2": 0.25}
+    docs_src_sql = "SELECT doc_id AS id, source FROM documents"
+
+    QUERIES["sample_stratified"] = Query(
+        lambda spark, sf_dir: hash_sample(
+            load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"), "source"),
+            rates_by_group=mix,
+            default_rate=0.05,
+            salt="mix1",
+        ),
+        hash_sample_sql(docs_src_sql, rates_by_group=mix, default_rate=0.05, salt="mix1"),
+    )
+
 
 _register_decontam()
 
@@ -1866,6 +1883,7 @@ _MEASURE_LAST = [
     "doc_freq_topk",  # building block measured through bm25_topk (df+idf)
     "pricing_summary",  # non-reference bench anchor (BENCH measures it)
     "top_customers",  # non-reference bench anchor (BENCH measures it)
+    "knn_l2_exact",  # l2 measured end-to-end by the ann_*_fixed oracles
 ]
 
 

@@ -77,6 +77,42 @@ def test_redact_stays_jvm_side(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_hash_sample_deterministic_and_stratified(spark):
+    from chroma_spark.operators.sampling import hash_sample
+
+    rows = [(f"d{i}", "a" if i % 2 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id STRING, source STRING")
+    s1 = {r.id for r in hash_sample(df, rates_by_group={"a": 0.5}, default_rate=0.1).collect()}
+    s2 = {r.id for r in hash_sample(df, rates_by_group={"a": 0.5}, default_rate=0.1).collect()}
+    assert s1 == s2, "hash sampling must be run-deterministic"
+    a = sum(1 for i in s1 if int(i[1:]) % 2)
+    b = len(s1) - a
+    assert 0.40 * 1000 < a < 0.60 * 1000, a  # ~50% of group a
+    assert 0.05 * 1000 < b < 0.16 * 1000, b  # ~10% of group b
+    # membership is per-row stable: sampling a subset agrees with the full run
+    sub = df.limit(500)
+    s_sub = {r.id for r in hash_sample(sub, rates_by_group={"a": 0.5}, default_rate=0.1).collect()}
+    sub_ids = {r.id for r in sub.collect()}
+    assert s_sub == s1 & sub_ids
+    # different salts draw independent subsets (not identical)
+    s3 = {r.id for r in hash_sample(df, rate=0.5, salt="other").collect()}
+    s4 = {r.id for r in hash_sample(df, rate=0.5).collect()}
+    assert s3 != s4
+    with pytest.raises(ValueError):
+        hash_sample(df)
+    with pytest.raises(ValueError):
+        hash_sample(df, rate=0.1, rates_by_group={"a": 0.2})
+
+
+def test_hash_sample_stays_jvm_side(spark):
+    from chroma_spark.operators.sampling import hash_sample
+
+    df = spark.createDataFrame([("x", "s")], "id STRING, source STRING")
+    plan = hash_sample(df, rate=0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan, "sampling is one scan, no shuffle"
+
+
 def test_contamination_filter_composes(spark):
     """The intended pipeline: anti-join contaminated ids out of the corpus."""
     train = _df(
