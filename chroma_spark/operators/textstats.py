@@ -195,3 +195,71 @@ SELECT "{id_col}" AS id,
        CAST(len(regexp_extract_all({doc}, '{pattern}')) AS INT) AS n_redacted,
        regexp_replace({doc}, '{pattern}', '{replacement}', 'g') AS redacted
 FROM ({docs_sql})"""
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 256,
+    overlap: int = 0,
+    text_col: str = "document",
+    id_col: str = "id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with optional overlap:
+    ``(id, chunk_idx, chunk, n_tokens)`` — the standard pre-embedding /
+    pre-training chunking step. Stride = chunk_tokens - overlap; the final
+    chunk may be short; empty/NULL documents yield no chunks.
+
+    Pure column expressions: tokenize once, slice per window, posexplode.
+    The 1->N fan-out happens inside the row's partition (no shuffle); at
+    100 TB output size is input size x (1 + overlap/stride)."""
+    if chunk_tokens <= 0 or not 0 <= overlap < chunk_tokens:
+        raise ValueError("need chunk_tokens > 0 and 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n_chunks = F.when(
+        F.size(toks) > 0,
+        F.floor((F.greatest(F.size(toks) - F.lit(overlap), F.lit(1)) - 1) / F.lit(stride)) + 1,
+    ).otherwise(F.lit(0))
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    windows = F.when(
+        n_chunks > 0,
+        F.transform(starts, lambda s: F.slice(toks, s + 1, chunk_tokens)),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(windows).alias("chunk_idx", "__w"),
+    ).select(
+        "id",
+        "chunk_idx",
+        F.array_join(F.col("__w"), " ").alias("chunk"),
+        F.size("__w").alias("n_tokens"),
+    )
+
+
+def chunk_documents_sql(
+    docs_sql: str,
+    chunk_tokens: int = 256,
+    overlap: int = 0,
+    text_col: str = "document",
+    id_col: str = "id",
+) -> str:
+    stride = chunk_tokens - overlap
+    toks = tokens_sql(f'"{text_col}"')
+    return f"""
+WITH __t AS (
+  SELECT "{id_col}" AS id, {toks} AS toks FROM ({docs_sql})
+),
+__n AS (
+  SELECT id, toks,
+         CASE WHEN len(toks) > 0
+              THEN CAST(floor((greatest(len(toks) - {overlap}, 1) - 1) / {stride}) AS BIGINT) + 1
+              ELSE 0 END AS n_chunks
+  FROM __t
+),
+__c AS (
+  SELECT id, unnest(range(0, n_chunks)) AS chunk_idx, toks FROM __n
+)
+SELECT id, CAST(chunk_idx AS INT) AS chunk_idx,
+       array_to_string(list_slice(toks, chunk_idx * {stride} + 1, chunk_idx * {stride} + {chunk_tokens}), ' ') AS chunk,
+       CAST(len(list_slice(toks, chunk_idx * {stride} + 1, chunk_idx * {stride} + {chunk_tokens})) AS INT) AS n_tokens
+FROM __c"""

@@ -1070,6 +1070,14 @@ def _register_decontam() -> None:
         hash_sample_sql(docs_src_sql, rates_by_group=mix, default_rate=0.05, salt="mix1"),
     )
 
+    # fixed-size token chunking with overlap (pre-embedding / pre-training)
+    from .operators.textstats import chunk_documents, chunk_documents_sql
+
+    QUERIES["chunk_documents"] = Query(
+        lambda spark, sf_dir: chunk_documents(_docs_df(spark, sf_dir), chunk_tokens=16, overlap=4),
+        chunk_documents_sql(_DOCS_SQL, chunk_tokens=16, overlap=4),
+    )
+
 
 _register_decontam()
 
@@ -1884,6 +1892,7 @@ _MEASURE_LAST = [
     "pricing_summary",  # non-reference bench anchor (BENCH measures it)
     "top_customers",  # non-reference bench anchor (BENCH measures it)
     "knn_l2_exact",  # l2 measured end-to-end by the ann_*_fixed oracles
+    "doc_fingerprint",  # md5 fingerprint machinery measured via dedup_exact_prefix
 ]
 
 

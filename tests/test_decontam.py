@@ -113,6 +113,40 @@ def test_hash_sample_stays_jvm_side(spark):
     assert "Exchange" not in plan, "sampling is one scan, no shuffle"
 
 
+def test_chunk_documents_windows_and_overlap(spark):
+    from chroma_spark.operators.textstats import chunk_documents
+
+    docs = _df(
+        spark,
+        [
+            ("a", "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),  # 10 tokens
+            ("b", "only three tokens"),
+            ("c", ""),
+            ("d", None),
+        ],
+    )
+    rows = sorted(
+        (r.id, r.chunk_idx, r.chunk, r.n_tokens)
+        for r in chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    )
+    # stride 3: starts 0,3,6 — the window at 6 reaches the end, so no
+    # redundant overlap-only tail chunk is emitted
+    assert rows == [
+        ("a", 0, "t0 t1 t2 t3", 4),
+        ("a", 1, "t3 t4 t5 t6", 4),
+        ("a", 2, "t6 t7 t8 t9", 4),
+        ("b", 0, "only three tokens", 3),
+    ]
+    # no-overlap path and exact coverage: concatenation reconstructs the doc
+    plain = chunk_documents(docs.filter("id = 'a'"), chunk_tokens=3, overlap=0)
+    joined = " ".join(r.chunk for r in plain.orderBy("chunk_idx").collect())
+    assert joined == "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=0)
+
+
 def test_contamination_filter_composes(spark):
     """The intended pipeline: anti-join contaminated ids out of the corpus."""
     train = _df(
