@@ -106,3 +106,72 @@ def test_full_user_journey(spark, tmp_path):
     assert deleted == []  # v_before is the fork's base: survives
     assert col.snapshot_at(v_before).count() == 6
     assert col.count() == 5 and fork.count() == 4
+
+
+def test_bulk_pipeline_journey_over_testdata(spark, tmp_path):
+    """The pipeline-scale journey over the driver's real testdata: bulk
+    DataFrame ingest (no driver-side rows), index build, incremental
+    compaction of a bulk delta, index-served search parity with exact
+    brute force, and a decontamination-style bulk delete."""
+    from pyspark.sql import functions as F
+
+    from chroma_spark.operators.knn import exact_knn
+    from tests.conftest import SF_SMALL
+
+    client = Client(spark, str(tmp_path / "store"))
+    col = client.create_collection("bulk-corpus", space="l2")
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    embs = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    records = (
+        docs.join(embs, docs.doc_id == embs.vec_id, "left")
+        .select(
+            F.col("doc_id").cast("string").alias("id"),
+            F.col("embedding"),
+            F.col("text").alias("document"),
+            "lang",
+            "source",
+            F.col("n_chars"),
+        )
+    )
+    n = col.add_records(records)
+    assert n == docs.count() and col.count() == n
+
+    # index the corpus; query via the index equals exact brute force when
+    # every list is probed
+    col.build_vector_index(n_lists=8)
+    qvec = [float(x) for x in embs.filter("vec_id = 3").first()["embedding"]]
+    got = col.query([qvec], n_results=5)["ids"][0]
+    qdf = spark.createDataFrame([(0, qvec)], "query_id INT, embedding ARRAY<FLOAT>")
+    snap = col.snapshot().filter("embedding is not null")
+    expect = [r.id for r in exact_knn(snap, qdf, k=5, space="l2").orderBy("rank").collect()]
+    assert got == expect and got[0] == "3"
+
+    # bulk delta -> incremental compaction (no retrain), still correct
+    delta = spark.createDataFrame(
+        [("bulk-new", qvec, "fresh document", None, None, None)],
+        "id STRING, embedding ARRAY<FLOAT>, document STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    col.add_records(delta, op="UPSERT")
+    trained = col._store.meta.vector_index["trained_version"]
+    col.compact()
+    vi = col._store.meta.vector_index
+    assert vi["trained_version"] == trained and vi["version"] == col.version
+    assert col.query([qvec], n_results=2)["ids"][0] == ["3", "bulk-new"] or (
+        col.query([qvec], n_results=2)["ids"][0] == ["bulk-new", "3"]
+    )
+
+    # decontamination-style bulk delete: drop every doc sharing a 5-gram
+    # with one "benchmark" source, then verify the collection shrank
+    from chroma_spark.operators.decontam import ngram_contamination
+
+    state = col.snapshot().select("id", "document", "source")
+    contaminated = ngram_contamination(
+        state.filter("source != 'src0' or source is null"),
+        state.filter("source = 'src0'"),
+        n=3,
+    )
+    n_bad = contaminated.count()
+    assert n_bad > 0
+    assert col.delete_records(contaminated) == n_bad
+    assert col.count() == n + 1 - n_bad
