@@ -261,7 +261,7 @@ class Collection:
             raise CollectionError(f"add_records op must be ADD/UPDATE/UPSERT, got {op!r}")
         if "id" not in records.columns:
             raise CollectionError("add_records needs an 'id' column")
-        for reserved in ("seq_id", "op", "where_json"):
+        for reserved in ("seq_id", "op", "where_json", "offset_id"):
             if reserved in records.columns:
                 raise CollectionError(f"column name {reserved!r} is reserved")
         meta = self._store.meta
@@ -272,19 +272,6 @@ class Collection:
                 df = df.withColumn("embedding", ef.embed_column(F.col("document")).cast("array<float>"))
         if "embedding" in df.columns:
             df = df.withColumn("embedding", F.col("embedding").cast("array<float>"))
-            dims = [
-                int(r["d"])
-                for r in df.select(F.size("embedding").alias("d"))
-                .filter(F.col("d").isNotNull() & (F.col("d") >= 0))
-                .distinct()
-                .collect()
-            ]
-            if meta.dimension is None and len(dims) == 1:
-                meta.dimension = dims[0]
-            elif dims and set(dims) != {meta.dimension}:
-                raise CollectionError(
-                    f"embedding dimension {sorted(dims)} != collection dimension {meta.dimension}"
-                )
         from .sparse_vector import SPARSE_VECTOR_TYPE
 
         for f in df.schema.fields:
@@ -301,6 +288,12 @@ class Collection:
                     f"unsupported metadata column type {t.simpleString()} for key {f.name!r}"
                 )
         if op == "ADD":
+            dup_in = [
+                r["id"]
+                for r in df.groupBy("id").count().filter(F.col("count") > 1).limit(5).collect()
+            ]
+            if dup_in:
+                raise CollectionError(f"duplicate ids within add_records batch: {sorted(dup_in)}")
             snap = self.snapshot()
             if snap is not None:
                 dup = [
@@ -319,8 +312,23 @@ class Collection:
         front = ["seq_id", "op", "id", "embedding", "document", "uri"]
         log_df = log_df.select(*front, *[c for c in log_df.columns if c not in front])
         path = self._store.append_log(log_df)
+        # validate dimensions on the WRITTEN fragment (one narrow scan that
+        # shares the cursor read) so an attached EF's pandas UDF is not
+        # evaluated twice; a failed check leaves the fragment unreferenced
         written = self._client.spark.read.parquet(path)
-        row = written.agg(F.max("seq_id").alias("m"), F.count("*").alias("n")).first()
+        row = written.agg(
+            F.max("seq_id").alias("m"),
+            F.count("*").alias("n"),
+            F.collect_set(F.size("embedding")).alias("dims"),
+        ).first()
+        dims = [int(d) for d in (row["dims"] or []) if d is not None and d >= 0]
+        if dims:
+            if meta.dimension is None and len(dims) == 1:
+                meta.dimension = dims[0]
+            elif set(dims) != {meta.dimension}:
+                raise CollectionError(
+                    f"embedding dimension {sorted(dims)} != collection dimension {meta.dimension}"
+                )
         meta.log_paths = [*meta.log_paths, path]
         meta.log_position = int(row["m"]) + 1 if row["m"] is not None else meta.log_position
         self._store.catalog.update(meta)
@@ -841,15 +849,7 @@ class Collection:
             # rebuild once into our own directory instead
             return _full()
         base = self._store.read_base()
-        touched = log_batch.filter(F.col("id").isNotNull()).select("id").distinct()
-        if "where_json" in log_batch.columns and (
-            log_batch.filter(F.col("op") == "DELETE_WHERE").head() is not None
-        ):
-            # a predicate delete's matched set = previously-indexed ids that
-            # are no longer live (the new base IS the folded truth)
-            _, live = self._load_vector_index()
-            gone = live.select("id").distinct().join(base.select("id"), "id", "anti")
-            touched = touched.unionByName(gone).distinct()
+        touched = self._touched_ids(log_batch, self._load_vector_index()[1].select("id"))
         n_touched = int(touched.count())
         if vi.get("n_appended", 0) + n_touched > self.REINDEX_FRACTION * max(
             1, vi.get("n_rows", 0)
@@ -1000,15 +1000,15 @@ class Collection:
         shape matches what the search operators and tail union expect."""
         import os as _os
 
-        import os as _os2
+        import os as _os
 
         spark = self._client.spark
         # incremental layouts keep postings/ + tombstones/ as siblings (a
         # tombstone dir inside a partitioned tree breaks discovery); plain
         # layouts (pre-incremental / offline caches) are the bare dir
         root = si["path"]
-        postings_dir = _os2.path.join(root, "postings")
-        postings = spark.read.parquet(postings_dir if _os2.path.isdir(postings_dir) else root)
+        postings_dir = _os.path.join(root, "postings")
+        postings = spark.read.parquet(postings_dir if _os.path.isdir(postings_dir) else root)
         if "__epoch" in postings.columns and si.get("epoch") is not None:
             version = int(si["version"])
             postings = postings.filter(F.col("__epoch") <= version)

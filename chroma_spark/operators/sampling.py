@@ -25,7 +25,9 @@ _M = 1_000_000  # rate resolution: 1e-6
 
 def _keep_expr(id_col: str, rate: Column, salt: str) -> Column:
     h = md5_long(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % _M
-    return h < (rate * _M).cast("long")
+    # round, don't truncate: 0.6 * 1e6 is 599999.999... in binary floating
+    # point — truncation would disagree with the SQL twin's decimal rounding
+    return h < F.round(rate * _M).cast("long")
 
 
 def hash_sample(
@@ -71,4 +73,7 @@ def hash_sample_sql(
         for g, gr in sorted(rates_by_group.items()):
             r = f"CASE WHEN \"{group_col}\" = '{g}' THEN {float(gr)!r} ELSE {r} END"
     h = md5_long_sql(f"'{salt}' || CAST(\"{id_col}\" AS VARCHAR)")
-    return f"SELECT * FROM ({src_sql}) WHERE {h} % {_M} < CAST(({r}) * {_M} AS BIGINT)"
+    return (
+        f"SELECT * FROM ({src_sql}) "
+        f"WHERE {h} % {_M} < CAST(round(CAST(({r}) AS DOUBLE) * {_M}) AS BIGINT)"
+    )

@@ -81,7 +81,9 @@ Node = Empty | Lit | Cls | Rep | Cat | Alt
 
 _QUANTIFIABLE = (Lit, Cls, Rep, Cat, Alt)
 _CLASS_ESCAPES = set("dDwWsS")
-_CHAR_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "f": "\f", "v": "\v", "a": "\a", "e": "\x1b"}
+# \v is a single U+000B in RE2/Python but the vertical-whitespace CLASS in
+# Java 8+, and \e is absent from Python re — both rejected, not mapped
+_CHAR_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "f": "\f", "a": "\a"}
 _LOOK_ESCAPES = set("bBAz")  # valid in Java + RE2 + the reference's crate
 
 
@@ -182,6 +184,11 @@ class _Parser:
             return self._parse_escape()
         if c in "*+?":
             raise self.error("quantifier with nothing to repeat")
+        if c == "{":
+            # not a well-formed quantifier (parse_quantified handles those):
+            # RE2/Python treat a stray '{' as a literal, Java throws
+            # 'Illegal repetition' at compile time — reject at validation
+            raise self.error("literal '{' must be escaped (Java rejects stray braces)")
         return Lit(self.take())
 
     def _parse_group(self) -> Node:
@@ -241,9 +248,23 @@ class _Parser:
         while (c := self.peek()) is not None and c != "]":
             if c == "\\":
                 self.take()
-                if self.peek() is None:
+                e = self.peek()
+                if e is None:
                     raise self.error("dangling escape in character class")
+                # class-internal escapes restricted to the three-engine set:
+                # perl classes, the shared control chars, \xHH, and escaped
+                # punctuation; \uXXXX / \v / \e / \p / octal diverge
+                if e.isalnum() and e not in "dDwWsSntrfax":
+                    raise self.error(
+                        f"escape \\{e} inside a character class is outside the supported dialect"
+                    )
                 self.take()
+                if e == "x":
+                    import re as _re
+
+                    if _re.match(r"[0-9a-fA-F]{2}", self.p[self.i :]) is None:
+                        raise self.error(r"\x needs two hex digits")
+                    self.i += 2
             elif c == "[" and self.p[self.i : self.i + 2] == "[:":
                 raise self.error("POSIX class names are outside the supported dialect")
             elif c == "&" and self.p[self.i : self.i + 2] == "&&":
@@ -290,13 +311,9 @@ class _Parser:
             self.i += 2
             return Lit(chr(int(m.group(0), 16)))
         if c == "u":
-            import re as _re
-
-            m = _re.match(r"[0-9a-fA-F]{4}", self.p[self.i :])
-            if m is None:
-                raise self.error(r"\u needs four hex digits")
-            self.i += 4
-            return Lit(chr(int(m.group(0), 16)))
+            # \uXXXX exists in Java and Python but NOT in RE2 (which only
+            # has \x{...}) — a validated pattern would crash the oracle
+            raise self.error(r"\uXXXX escapes are outside the supported dialect (absent from RE2)")
         if c.isalpha():
             raise self.error(f"unknown escape \\{c}")
         return Lit(c)  # escaped metachar -> literal

@@ -1096,17 +1096,22 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = ev.schema["ts"].dataType
-    if isinstance(ts_type, (TimestampType, TimestampNTZType)):
-        # timestampdiff on NTZ wall-clock values never consults a timezone;
-        # for TIMESTAMP the session zone cancels between the two operands.
+    if isinstance(ts_type, TimestampNTZType):
+        # NTZ wall-clock: timestampdiff between two NTZ values never
+        # consults a timezone, matching DuckDB's epoch_ns on naive values
         ev = ev.withColumn(
             "ts",
             F.expr(
                 "timestampdiff(MICROSECOND,"
-                " CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ),"
-                " CAST(ts AS TIMESTAMP_NTZ)) * CAST(1000 AS BIGINT)"
+                " CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ), ts)"
+                " * CAST(1000 AS BIGINT)"
             ),
         )
+    elif isinstance(ts_type, TimestampType):
+        # instant semantics: unix_micros reads the internal UTC epoch value
+        # directly — exact in ANY session timezone (an NTZ cast here would
+        # shift by the session zone offset)
+        ev = ev.withColumn("ts", F.unix_micros(F.col("ts")) * F.lit(1000).cast("long"))
     elif not isinstance(ts_type, LongType):
         ev = ev.withColumn("ts", F.col("ts").cast("bigint"))
     return ev

@@ -38,9 +38,9 @@ ACCEPTED = [
     "x{3}",
     "x{2,}?",
     "nested(group(inner)+)*",
-    "\\u0041bc",
     "\\x41bc",
     "tab\\there",
+    "[\\x41-\\x5a]",
 ]
 
 REJECTED = [
@@ -64,6 +64,11 @@ REJECTED = [
     r"\p{L}+",  # absent from Python re (the DELETE_WHERE twin)
     "(?U)x",  # Unicode-case in Java, ungreedy in RE2
     "[a&&b]",  # class intersection in Java, literal '&'s in RE2/Python
+    "\\u0041bc",  # \uXXXX absent from RE2
+    "[\\u0041]",  # same, inside a class
+    "a\\vb",  # \v: single char in RE2/Python, whitespace CLASS in Java 8+
+    "price{",  # stray '{': literal in RE2/Python, Java 'Illegal repetition'
+    "a{,3}",  # not a valid quantifier anywhere; Java rejects outright
     "",
 ]
 
