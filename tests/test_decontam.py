@@ -147,6 +147,42 @@ def test_chunk_documents_windows_and_overlap(spark):
         chunk_documents(docs, chunk_tokens=0)
 
 
+def test_chunk_documents_matches_python_model(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from chroma_spark.operators.textstats import chunk_documents
+
+    def model(toks, chunk, overlap):
+        if not toks:
+            return []
+        stride = chunk - overlap
+        n_chunks = (max(len(toks) - overlap, 1) - 1) // stride + 1
+        return [
+            (i, " ".join(toks[i * stride : i * stride + chunk]), len(toks[i * stride : i * stride + chunk]))
+            for i in range(n_chunks)
+        ]
+
+    @settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        n_toks=st.integers(min_value=0, max_value=25),
+        chunk=st.integers(min_value=1, max_value=8),
+        overlap=st.integers(min_value=0, max_value=7),
+    )
+    def check(n_toks, chunk, overlap):
+        if overlap >= chunk:
+            return
+        toks = [f"w{i}" for i in range(n_toks)]
+        df = spark.createDataFrame([("d", " ".join(toks))], "id STRING, document STRING")
+        got = sorted(
+            (r.chunk_idx, r.chunk, r.n_tokens)
+            for r in chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+        )
+        assert got == model(toks, chunk, overlap), (n_toks, chunk, overlap)
+
+    check()
+
+
 def test_contamination_filter_composes(spark):
     """The intended pipeline: anti-join contaminated ids out of the corpus."""
     train = _df(
