@@ -713,6 +713,50 @@ def test_sq4_index_lifecycle_and_incremental_maintenance(client):
         col.build_vector_index(quantized="pq")
 
 
+def test_incremental_maintenance_soak_many_cycles(client, spark):
+    """Five add/update/delete/re-add + compact cycles against one trained
+    index: every cycle's full-probe query must equal exact brute force over
+    the snapshot (repeated tombstone + re-add of the SAME id across epochs
+    is where epoch MVCC could slip), and k-means must never retrain."""
+    import random
+
+    from chroma_spark.operators.knn import exact_knn
+
+    col = client.create_collection("vsoak", dimension=4, space="l2")
+    rnd = random.Random(5)
+    ids = [f"r{i}" for i in range(24)]
+    col.add(ids=ids, embeddings=[[rnd.random() for _ in range(4)] for _ in ids])
+    trained = col.build_vector_index(n_lists=3)["trained_version"]
+
+    victim = "r0"  # deleted and re-added every cycle
+    for cycle in range(5):
+        col.delete(ids=[victim])
+        col.add(ids=[victim], embeddings=[[float(cycle), 0.5, 0.5, 0.5]])
+        col.update(ids=["r1"], embeddings=[[0.5, float(cycle), 0.5, 0.5]])
+        col.compact()
+        vi = col._store.meta.vector_index
+        assert vi["trained_version"] == trained, f"cycle {cycle} retrained"
+        assert vi["version"] == col.version
+        q = [float(cycle), 0.5, 0.5, 0.5]
+        qdf = spark.createDataFrame([(0, q)], "query_id INT, embedding ARRAY<FLOAT>")
+        got = col.query([q], n_results=6)["ids"][0]
+        exact = exact_knn(
+            col.snapshot().filter("embedding is not null"), qdf, k=6, space="l2"
+        )
+        assert got == [r.id for r in exact.orderBy("rank").collect()], f"cycle {cycle}"
+        assert got[0] == victim
+        # exactly one live posting per id despite 5 generations of appends
+        live = col._load_vector_index()[1].groupBy("id").count()
+        over = live.filter(F_col_count_gt(2)).collect()  # replicas=2 per id max
+        assert over == [], over
+
+
+def F_col_count_gt(n):
+    from pyspark.sql import functions as F
+
+    return F.col("count") > n
+
+
 def test_quantized_index_incremental_append_uses_trained_pivot(client, spark):
     col = client.create_collection("vincq", dimension=4, space="l2")
     import random
