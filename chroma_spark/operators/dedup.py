@@ -625,3 +625,72 @@ def embedding_neardup_ivf(
         )
         .filter(F.col("dist") <= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """``(id, canonical)`` for every id in ``pairs``: canonical = the MIN id
+    of the id's connected component — the step that turns near-dup PAIRS
+    into dedup DECISIONS (keep rows where id == canonical, or audit the
+    rest). Iterative min-label propagation: each round every vertex adopts
+    the smallest label among itself and its neighbors, converging in
+    diameter rounds (near-dup components are shallow — duplicates of a
+    common source). The driver only sees a per-round convergence COUNT;
+    labels stay distributed, and ``localCheckpoint`` cuts the join lineage
+    so plans don't grow exponentially. At planetary graph sizes swap in the
+    alternating large-star/small-star formulation; the fixpoint (and
+    therefore the output) is identical.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                labels.id,
+                F.least(labels.label, F.coalesce(F.col("nb_min"), labels.label)).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("canonical"))
+
+
+def connected_components_sql(pairs_sql: str, id_a: str = "id_a", id_b: str = "id_b") -> str:
+    """Transitive-closure oracle: reachability via a recursive CTE, then
+    canonical = min over the reachable set (including self)."""
+    return f"""
+WITH RECURSIVE __p AS (SELECT * FROM ({pairs_sql})),
+__e AS (
+  SELECT "{id_a}" AS a, "{id_b}" AS b FROM __p
+  UNION
+  SELECT "{id_b}", "{id_a}" FROM __p
+),
+reach(src, dst) AS (
+  SELECT a, a FROM __e
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN __e e ON r.dst = e.a
+)
+SELECT src AS id, min(dst) AS canonical FROM reach GROUP BY src"""

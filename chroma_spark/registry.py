@@ -962,6 +962,16 @@ def _register_dedup() -> None:
         lambda spark, sf_dir: D.minhash_dedup_pairs(_docs_df(spark, sf_dir), 0.5),
         D.minhash_dedup_pairs_sql(_DOCS_SQL, 0.5),
     )
+    # pairs -> decisions: connected components with min-id canonicalization
+    # (iterative label propagation vs a transitive-closure recursive CTE)
+    QUERIES["dedup_clusters"] = Query(
+        lambda spark, sf_dir: D.connected_components(
+            D.minhash_dedup_pairs(_docs_df(spark, sf_dir), 0.5).select("id_a", "id_b")
+        ),
+        D.connected_components_sql(
+            f"SELECT id_a, id_b FROM ({D.minhash_dedup_pairs_sql(_DOCS_SQL, 0.5)})"
+        ),
+    )
     # registered form = bit-band LSH candidates (no CartesianProduct);
     # banding with bands > max_hamming is EXACT (pigeonhole), so the
     # all-pairs SQL remains a valid oracle
@@ -1898,6 +1908,7 @@ _MEASURE_LAST = [
     "top_customers",  # non-reference bench anchor (BENCH measures it)
     "knn_l2_exact",  # l2 measured end-to-end by the ann_*_fixed oracles
     "doc_fingerprint",  # md5 fingerprint machinery measured via dedup_exact_prefix
+    "embed_bm25_doc_vectors",  # EF weights pytest-pinned vs inline bm25_topk (measured)
 ]
 
 

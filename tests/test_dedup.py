@@ -111,3 +111,27 @@ def test_banded_dedup_plans_have_no_cartesian_product(spark):
         plan = QUERIES[name].fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_connected_components_chains_stars_and_isolation(spark):
+    """Min-label propagation: a 4-chain, a star, and an isolated pair each
+    collapse to their min id; ids never in pairs don't appear."""
+    from chroma_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            (3, 7), (7, 9), (9, 12),          # chain: {3,7,9,12} -> 3
+            (20, 21), (20, 22), (20, 23),     # star: -> 20
+            (40, 41),                          # pair -> 40
+        ],
+        "id_a LONG, id_b LONG",
+    )
+    got = {r.id: r.canonical for r in connected_components(pairs).collect()}
+    assert got == {
+        3: 3, 7: 3, 9: 3, 12: 3,
+        20: 20, 21: 20, 22: 20, 23: 20,
+        40: 40, 41: 40,
+    }
+    # dedup decision: keep canonical rows only
+    keep = {i for i, c in got.items() if i == c}
+    assert keep == {3, 20, 40}
