@@ -236,7 +236,7 @@ class Collection:
         T.FloatType,
     )
 
-    def add_records(self, records: DataFrame, op: str = "ADD") -> int:
+    def add_records(self, records: DataFrame, op: str = "ADD", order_by=None) -> int:
         """Distributed bulk ingest: append a whole DataFrame of records to
         the WAL with NO driver-side row materialization — the 100-TB ingest
         path (``add()`` mirrors the reference's list-based client API; this
@@ -256,7 +256,15 @@ class Collection:
         ``monotonically_increasing_id`` offset by the log cursor (unique
         and order-stable per partition — pagination order WITHIN one bulk
         batch follows partition order), one parquet append, one MAX
-        aggregate over the written fragment to advance the cursor."""
+        aggregate over the written fragment to advance the cursor.
+
+        Duplicate ids WITHIN one batch are rejected for every op unless
+        ``order_by`` (a column name or list of names) is given: with it,
+        rows are hash-repartitioned by id and sorted by ``(id, *order_by)``
+        within partitions before seq ids are assigned, so the LAST row in
+        ``order_by`` order deterministically wins the per-id WAL fold —
+        reproducible across runs and cluster sizes (without it, which
+        duplicate won would depend on partition layout)."""
         if op not in ("ADD", "UPDATE", "UPSERT"):
             raise CollectionError(f"add_records op must be ADD/UPDATE/UPSERT, got {op!r}")
         if "id" not in records.columns:
@@ -287,13 +295,26 @@ class Collection:
                 raise CollectionError(
                     f"unsupported metadata column type {t.simpleString()} for key {f.name!r}"
                 )
-        if op == "ADD":
+        if order_by is not None and op != "ADD":
+            order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+            missing = [c for c in order_cols if c not in df.columns]
+            if missing:
+                raise CollectionError(f"order_by columns not in records: {missing}")
+            # All rows of an id land in one partition, sorted by order_by, so
+            # per-partition-ascending monotonically_increasing_id makes the
+            # order_by-last row the per-id seq winner — deterministically.
+            df = df.repartition(F.col("id")).sortWithinPartitions("id", *order_cols)
+        else:
             dup_in = [
                 r["id"]
                 for r in df.groupBy("id").count().filter(F.col("count") > 1).limit(5).collect()
             ]
             if dup_in:
-                raise CollectionError(f"duplicate ids within add_records batch: {sorted(dup_in)}")
+                raise CollectionError(
+                    f"duplicate ids within add_records batch: {sorted(dup_in)} "
+                    "(pass order_by=<col> to resolve duplicates deterministically)"
+                )
+        if op == "ADD":
             snap = self.snapshot()
             if snap is not None:
                 dup = [
@@ -1615,20 +1636,33 @@ class CollectionTransaction:
                 f" -> v{meta.version})"
             )
         if meta.log_position != self._begin_pos:
-            log = store.read_log()
-            touched = {
-                r["id"]
-                for r in log.filter(F.col("seq_id") >= self._begin_pos)
-                .select("id")
-                .distinct()
-                .collect()
-            }
-            if touched & write_ids:
-                raise ConditionalWriteConflictError(
-                    f"concurrent write to {sorted(touched & write_ids)[:5]}"
+            # Distributed conflict check: the log tail since begin_pos may be
+            # arbitrarily large under concurrent bulk ingest, so it is NEVER
+            # collected — the txn's own (bounded, list-API-sized) read/write
+            # id sets are broadcast against it and only <=5 exemplar ids per
+            # conflict kind reach the driver (same shape as add()'s dup
+            # check). Write conflicts take precedence via the sort.
+            probe = sorted(write_ids | self._read_ids)
+            if probe:
+                spark = self._coll._client.spark
+                tail = store.read_log().filter(F.col("seq_id") >= self._begin_pos).select("id")
+                ids_df = spark.createDataFrame(
+                    [(i, i in write_ids) for i in probe], "id STRING, is_write BOOLEAN"
                 )
-            if touched & self._read_ids:
-                raise StaleReadError(f"read set modified: {sorted(touched & self._read_ids)[:5]}")
+                hits = (
+                    tail.join(F.broadcast(ids_df), "id")
+                    .select("id", "is_write")
+                    .distinct()
+                    .orderBy(F.col("is_write").desc(), "id")
+                    .limit(6)
+                    .collect()
+                )
+                w_hits = [r["id"] for r in hits if r["is_write"]][:5]
+                if w_hits:
+                    raise ConditionalWriteConflictError(f"concurrent write to {w_hits}")
+                r_hits = [r["id"] for r in hits if not r["is_write"]][:5]
+                if r_hits:
+                    raise StaleReadError(f"read set modified: {r_hits}")
         first_offset = meta.log_position
         for op, (ids, *payload) in self._buffer:
             if op == "delete":

@@ -26,6 +26,14 @@ def tokens_sql(text: str) -> str:
     return f"list_filter(string_split_regex(lower(coalesce({text}, ''))," r" '\s+'), t -> t != '')"
 
 
+def sql_lit(s: str) -> str:
+    """Single-quoted ANSI SQL string literal with ``''`` escaping — every
+    user string interpolated into an oracle SQL twin must go through this,
+    or a value containing a quote breaks cross-engine parity (the Spark
+    side takes strings verbatim; only the SQL text needs escaping)."""
+    return "'" + str(s).replace("'", "''") + "'"
+
+
 def md5_long(s: Column) -> Column:
     """Deterministic 60-bit positive hash of a string, identical across engines."""
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")

@@ -638,12 +638,19 @@ def connected_components(
     into dedup DECISIONS (keep rows where id == canonical, or audit the
     rest). Iterative min-label propagation: each round every vertex adopts
     the smallest label among itself and its neighbors, converging in
-    diameter rounds (near-dup components are shallow — duplicates of a
-    common source). The driver only sees a per-round convergence COUNT;
-    labels stay distributed, and ``localCheckpoint`` cuts the join lineage
-    so plans don't grow exponentially. At planetary graph sizes swap in the
-    alternating large-star/small-star formulation; the fixpoint (and
-    therefore the output) is identical.
+    O(log chain-length) rounds: after adopting the neighborhood minimum,
+    each vertex additionally follows ONE HOP through the previous label
+    table (pointer jumping — ``label(x) <= x`` and stays in-component, so
+    ``least`` over the hop is safe), doubling label-propagation distance
+    per round; a duplicate chain of length L converges in O(log L) rounds,
+    so ``max_iter=50`` covers chains up to ~2**50. The per-round
+    convergence count is FOLDED into the checkpointed frame as a ``chg``
+    flag (one cheap local aggregate — no old-vs-new join). The driver only
+    sees that COUNT; labels stay distributed, and ``localCheckpoint`` cuts
+    the join lineage so plans don't grow exponentially. At planetary graph
+    sizes swap in the alternating large-star/small-star formulation; the
+    fixpoint (and therefore the output) is identical. Warns — never
+    silently splits a component — if the cap is somehow exhausted.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -652,29 +659,42 @@ def connected_components(
     )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     labels = labels.localCheckpoint(eager=True)
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nb_min"))
         )
+        stepped = labels.join(neighbor_min, labels.id == neighbor_min.src, "left").select(
+            labels.id,
+            labels.label.alias("old"),
+            F.least(labels.label, F.coalesce(F.col("nb_min"), labels.label)).alias("mid"),
+        )
+        hop = labels.select(F.col("id").alias("hid"), F.col("label").alias("hlabel"))
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            stepped.join(hop, stepped.mid == hop.hid, "left")
             .select(
-                labels.id,
-                F.least(labels.label, F.coalesce(F.col("nb_min"), labels.label)).alias("label"),
+                stepped.id,
+                F.least(F.col("mid"), F.coalesce(F.col("hlabel"), F.col("mid"))).alias("label"),
+                (F.col("mid") != F.col("old")).cast("int").alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.agg(F.sum("chg")).first()[0] or 0
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
+    if changed:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: max_iter={max_iter} exhausted with {changed} "
+            "labels still changing; output may split a component across several "
+            "canonical ids — raise max_iter (rounds are O(log chain-length))",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("id", F.col("label").alias("canonical"))
 
 

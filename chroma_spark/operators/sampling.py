@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import md5_long, md5_long_sql
+from ..functions.text import md5_long, md5_long_sql, sql_lit
 
 _M = 1_000_000  # rate resolution: 1e-6
 
@@ -71,8 +71,8 @@ def hash_sample_sql(
     else:
         r = repr(float(default_rate))
         for g, gr in sorted(rates_by_group.items()):
-            r = f"CASE WHEN \"{group_col}\" = '{g}' THEN {float(gr)!r} ELSE {r} END"
-    h = md5_long_sql(f"'{salt}' || CAST(\"{id_col}\" AS VARCHAR)")
+            r = f'CASE WHEN "{group_col}" = {sql_lit(g)} THEN {float(gr)!r} ELSE {r} END'
+    h = md5_long_sql(f'{sql_lit(salt)} || CAST("{id_col}" AS VARCHAR)')
     return (
         f"SELECT * FROM ({src_sql}) "
         f"WHERE {h} % {_M} < CAST(round(CAST(({r}) AS DOUBLE) * {_M}) AS BIGINT)"

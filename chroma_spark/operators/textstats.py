@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import BPE_TOKEN_RE, md5_long, md5_long_sql, tokens, tokens_sql
+from ..functions.text import BPE_TOKEN_RE, md5_long, md5_long_sql, sql_lit, tokens, tokens_sql
 
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 _LANG_MARKERS = {
@@ -22,7 +22,7 @@ _LANG_MARKERS = {
 
 
 def _sql_set(vals) -> str:
-    return ", ".join("'" + v + "'" for v in vals)
+    return ", ".join(sql_lit(v) for v in vals)
 
 
 def text_stats(docs: DataFrame, text_col: str = "document", id_col: str = "id") -> DataFrame:
@@ -136,7 +136,7 @@ def token_counts_by_group(
 def token_counts_by_group_sql(docs_sql: str, group_col: str, text_col: str = "document") -> str:
     return f"""
 SELECT "{group_col}" AS grp, CAST(sum(n) AS BIGINT) AS total_tokens FROM (
-  SELECT "{group_col}", len(regexp_extract_all(lower(coalesce("{text_col}", '')), '{BPE_TOKEN_RE}')) AS n
+  SELECT "{group_col}", len(regexp_extract_all(lower(coalesce("{text_col}", '')), {sql_lit(BPE_TOKEN_RE)})) AS n
   FROM ({docs_sql})
 ) GROUP BY grp"""
 
@@ -192,8 +192,8 @@ def redact_sql(
     doc = f"coalesce(\"{text_col}\", '')"
     return f"""
 SELECT "{id_col}" AS id,
-       CAST(len(regexp_extract_all({doc}, '{pattern}')) AS INT) AS n_redacted,
-       regexp_replace({doc}, '{pattern}', '{replacement}', 'g') AS redacted
+       CAST(len(regexp_extract_all({doc}, {sql_lit(pattern)})) AS INT) AS n_redacted,
+       regexp_replace({doc}, {sql_lit(pattern)}, {sql_lit(replacement)}, 'g') AS redacted
 FROM ({docs_sql})"""
 
 

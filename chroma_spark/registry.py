@@ -1032,6 +1032,7 @@ _register_textstats()
 
 def _register_decontam() -> None:
     from .operators.decontam import ngram_contamination, ngram_contamination_sql
+    from .functions.text import sql_lit
     from .operators.textstats import redact, redact_sql
 
     n = 5  # testdata docs are ~50-token synthetic strings; 5-grams give a
@@ -1051,8 +1052,8 @@ def _register_decontam() -> None:
     QUERIES["decontaminate_ngram"] = Query(
         contam_fn,
         ngram_contamination_sql(
-            f"SELECT doc_id AS id, text AS document FROM documents WHERE source != '{eval_src}'",
-            f"SELECT text AS document FROM documents WHERE source = '{eval_src}'",
+            f"SELECT doc_id AS id, text AS document FROM documents WHERE source != {sql_lit(eval_src)}",
+            f"SELECT text AS document FROM documents WHERE source = {sql_lit(eval_src)}",
             n=n,
         ),
     )
@@ -1888,8 +1889,6 @@ _MEASURE_FIRST = [
     "revision_history_events",
     "record_counter_by_source",
     "embed_jl_knn",
-    "ann_ivf_topk",
-    "ann_quantized_topk",
 ]
 _MEASURE_LAST = [
     "where_ne_absent_key",  # variant of where_ne_missing_key
@@ -1909,6 +1908,12 @@ _MEASURE_LAST = [
     "knn_l2_exact",  # l2 measured end-to-end by the ann_*_fixed oracles
     "doc_fingerprint",  # md5 fingerprint machinery measured via dedup_exact_prefix
     "embed_bm25_doc_vectors",  # EF weights pytest-pinned vs inline bm25_topk (measured)
+    # Trained-ANN forms: k-means is not SQL-expressible, so the driver can only
+    # record a weaker no-oracle row for these. Recall >= 0.95 is pytest-enforced
+    # (tests/test_ann.py); the oracle-backed ann_*_fixed_* twins above cover the
+    # same plans, so these go last rather than occupying measured slots.
+    "ann_ivf_topk",
+    "ann_quantized_topk",
 ]
 
 

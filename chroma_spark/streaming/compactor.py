@@ -143,7 +143,15 @@ def ivf_index_builder(
         prev_centroids_dir = f"{path.rsplit('_v', 1)[0]}_v{version - 1}/centroids"
         centroids = None
         if version % max(1, retrain_every) != 0 and os.path.isdir(prev_centroids_dir):
-            centroids = spark.read.parquet(prev_centroids_dir)
+            # Validate before reuse: a reconfigured builder (n_lists changed)
+            # or a corrupt/partial previous write must trigger a fresh train,
+            # not silently serve centroids with the wrong list count.
+            try:
+                prev = spark.read.parquet(prev_centroids_dir)
+                if prev.count() == n_lists:
+                    centroids = prev
+            except Exception:
+                centroids = None
         if centroids is None:
             centroids, postings = build_ivf(records, n_lists=n_lists, replicas=replicas)
         else:

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import sql_lit
+
 
 def statistics(records: DataFrame, keys: list[str]) -> DataFrame:
     """Metadata value frequencies: ``(key, value, n)`` for each key in
@@ -33,7 +35,9 @@ def statistics(records: DataFrame, keys: list[str]) -> DataFrame:
     (key, value) — uniformly distributed unless one value dominates, which
     AQE skew-split handles.
     """
-    stack_expr = ", ".join(f"'{k}', CAST(`{k}` AS STRING)" for k in keys)
+    stack_expr = ", ".join(
+        "'" + k.replace("'", "\\'") + f"', CAST(`{k}` AS STRING)" for k in keys
+    )
     unpivoted = records.select(
         F.expr(f"stack({len(keys)}, {stack_expr}) AS (key, value)")
     ).select("key", F.coalesce(F.col("value"), F.lit("__null__")).alias("value"))
@@ -42,7 +46,7 @@ def statistics(records: DataFrame, keys: list[str]) -> DataFrame:
 
 def statistics_sql(records_sql: str, keys: list[str]) -> str:
     arms = "\nUNION ALL\n".join(
-        f"SELECT '{k}' AS key, coalesce(CAST(\"{k}\" AS VARCHAR), '__null__') AS value FROM __rec"
+        f"SELECT {sql_lit(k)} AS key, coalesce(CAST(\"{k}\" AS VARCHAR), '__null__') AS value FROM __rec"
         for k in keys
     )
     return f"""

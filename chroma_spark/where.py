@@ -381,7 +381,16 @@ def validate_regex(pattern: str) -> None:
         parse(pattern)
     except RegexDialectError as e:
         raise WhereError(str(e)) from e
+    import warnings
+
     try:
-        re.compile(pattern)
+        with warnings.catch_warnings():
+            # Patterns like [[\]] trip Python's "possible nested set"
+            # FutureWarning; the dialect parser above already vets class
+            # syntax, so silence the advisory here (it would become an
+            # error-by-default in a future Python and break validation
+            # of patterns that are in fact valid in all three engines).
+            warnings.simplefilter("ignore", FutureWarning)
+            re.compile(pattern)
     except re.error as e:
         raise WhereError(f"invalid regex: {e}") from e

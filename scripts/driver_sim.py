@@ -51,8 +51,11 @@ def main() -> int:
           f"({time.time() - t0:.1f}s)")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    only = [s for s in os.environ.get("DRIVER_SIM_ONLY", "").split(",") if s]
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
+        if only and not any(s in name for s in only):
+            continue
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)

@@ -165,6 +165,36 @@ def test_delete_records_bulk_and_decontam_composition(client, spark):
         col.delete_records(eval_set.drop("id"))
 
 
+def test_add_records_duplicate_ids_need_order_by(client, spark):
+    """Duplicate ids within one UPDATE/UPSERT batch are rejected unless an
+    order_by column makes the winner deterministic; with order_by the LAST
+    row in sort order wins the WAL fold — reproducible across partition
+    layouts (ADVICE r4: monotonically_increasing_id alone made it
+    layout-dependent)."""
+    col = client.create_collection("bulkdup", dimension=2)
+    col.add_records(
+        spark.createDataFrame(
+            [("a", [1.0, 0.0], "v0")], "id STRING, embedding ARRAY<FLOAT>, document STRING"
+        )
+    )
+    dup = spark.createDataFrame(
+        [("a", None, "v1", 1), ("a", None, "v3", 3), ("a", None, "v2", 2)],
+        "id STRING, embedding ARRAY<FLOAT>, document STRING, rev LONG",
+    ).repartition(3)
+    with pytest.raises(CollectionError, match="order_by"):
+        col.add_records(dup, op="UPSERT")
+    with pytest.raises(CollectionError, match="order_by columns"):
+        col.add_records(dup, op="UPSERT", order_by="nope")
+    assert col.add_records(dup, op="UPSERT", order_by="rev") == 3
+    got = {r["id"]: r for r in col.get()}
+    assert got["a"]["document"] == "v3" and got["a"]["rev"] == 3
+    # order_by never legalizes duplicates in an ADD batch
+    with pytest.raises(CollectionError, match="duplicate"):
+        client.create_collection("bulkdup2", dimension=2).add_records(
+            dup.select("id", "embedding", "document", "rev"), order_by="rev"
+        )
+
+
 def test_add_records_auto_embeds_with_attached_ef(client, spark):
     col = client.create_collection(
         "bulkef", embedding_function="hashing", embedding_function_kwargs={"dim": 16}

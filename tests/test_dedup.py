@@ -135,3 +135,23 @@ def test_connected_components_chains_stars_and_isolation(spark):
     # dedup decision: keep canonical rows only
     keep = {i for i, c in got.items() if i == c}
     assert keep == {3, 20, 40}
+
+
+def test_connected_components_long_chain_converges_logarithmically(spark):
+    """Pointer jumping doubles propagation distance per round: a 33-node
+    chain (diameter 32) must converge well under 32 rounds — and the
+    max_iter-exhausted path warns instead of silently splitting."""
+    import warnings
+
+    from chroma_spark.operators.dedup import connected_components
+
+    n = 33
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a LONG, id_b LONG"
+    )
+    got = {r.id: r.canonical for r in connected_components(pairs, max_iter=8).collect()}
+    assert got == {i: 0 for i in range(n)}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(pairs, max_iter=1).collect()
+    assert any("max_iter" in str(x.message) for x in w)
