@@ -197,6 +197,9 @@ def write_ivf(centroids: DataFrame, postings: DataFrame, path: str) -> None:
     scan as partition filters, so unprobed lists are never read."""
     postings.write.mode("overwrite").partitionBy("centroid_id").parquet(f"{path}/postings")
     centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    from ..layout import stamp_layout
+
+    stamp_layout(path, "ivf")
 
 
 def read_ivf(spark, path: str) -> tuple[DataFrame, DataFrame]:

@@ -28,6 +28,7 @@ from .sources.collection import (
     CollectionError,
     CollectionMeta,
     CollectionStore,
+    StaleReadError,
 )
 from .schema import Schema
 from .sources.log import materialize
@@ -920,8 +921,11 @@ class Collection:
         pinned version — shared files, no copies."""
         import os as _os
 
+        from .layout import check_layout
+
         spark = self._client.spark
         vi = self._store.meta.vector_index
+        check_layout(vi["path"], "ivf")
         centroids = spark.read.parquet(_os.path.join(vi["path"], "centroids"))
         postings = spark.read.parquet(_os.path.join(vi["path"], "postings"))
         if "__epoch" in postings.columns and vi.get("epoch") is not None:
@@ -1021,13 +1025,14 @@ class Collection:
         shape matches what the search operators and tail union expect."""
         import os as _os
 
-        import os as _os
+        from .layout import check_layout
 
         spark = self._client.spark
         # incremental layouts keep postings/ + tombstones/ as siblings (a
         # tombstone dir inside a partitioned tree breaks discovery); plain
         # layouts (pre-incremental / offline caches) are the bare dir
         root = si["path"]
+        check_layout(root, "sparse")
         postings_dir = _os.path.join(root, "postings")
         postings = spark.read.parquet(postings_dir if _os.path.isdir(postings_dir) else root)
         if "__epoch" in postings.columns and si.get("epoch") is not None:
@@ -1077,6 +1082,9 @@ class Collection:
             self._store.catalog.root, self._store.name, f"index_sparse_{key}", f"v{meta.version}"
         )
         write_sparse_index(postings, _os.path.join(path, "postings"), n_buckets=n_buckets)
+        from .layout import stamp_layout
+
+        stamp_layout(path, "sparse")
         n_docs = float(postings.select("id").distinct().count())
         meta.sparse_indexes = {
             **(meta.sparse_indexes or {}),
@@ -1180,23 +1188,29 @@ class Collection:
         return self._store.list_base_versions()
 
     def gc(self, keep_last: int = 1) -> list[int]:
-        """Remove old base versions (`rust/garbage_collector/` analog);
-        returns the versions deleted.
+        """Remove old base versions, stale index layouts, and orphaned WAL
+        batch dirs (`rust/garbage_collector/` analog); returns the base
+        versions deleted.
 
-        Never removes: the current version, the ``keep_last`` most recent,
-        or any version referenced by another collection's meta (fork
-        lineage — a shallow-cloned child points at the parent's files).
-        Local-FS implementation; a production deployment delegates to the
-        table format's VACUUM with the same referenced-set rule.
+        Ref-counted against EVERY collection in the catalog, so fork
+        lineage pins shared state: a shallow-cloned child's meta references
+        the parent's base part files, log batches, and index layouts by
+        path, and anything referenced survives. Never removes the current
+        version or the ``keep_last`` most recent. Reads at a pruned version
+        fail with :class:`StaleReadError`. Local-FS implementation; a
+        production deployment delegates to the table format's VACUUM with
+        the same referenced-set rule.
         """
         import os
         import shutil
 
         referenced: set[str] = set()
+        log_referenced: set[str] = set()
         index_referenced: set[str] = set()
         for cname in self._store.catalog.list():
             m = self._store.catalog.get(cname)
             referenced.update(m.base_paths)
+            log_referenced.update(m.log_paths)
             if m.vector_index:
                 index_referenced.add(m.vector_index["path"])
             for si in (m.sparse_indexes or {}).values():
@@ -1209,6 +1223,11 @@ class Collection:
             if v not in keep and path not in referenced:
                 shutil.rmtree(path)
                 deleted.append(v)
+        # WAL batch dirs left behind by compaction (compact() resets
+        # log_paths but keeps files for forks that still reference them)
+        for p in self._store.list_log_batch_dirs():
+            if p not in log_referenced:
+                shutil.rmtree(p)
         # stale per-version index layouts (not referenced by any
         # collection's current descriptors — fork children may point at a
         # parent's old index)
@@ -1560,10 +1579,6 @@ class Collection:
         """Begin a read-set-validated optimistic transaction
         (`chromadb/api/__init__.py:320-450`)."""
         return CollectionTransaction(self)
-
-
-class StaleReadError(CollectionError):
-    """A record read inside the transaction was modified before commit."""
 
 
 class ConditionalWriteConflictError(CollectionError):

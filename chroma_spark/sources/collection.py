@@ -45,6 +45,11 @@ class CollectionError(ValueError):
     pass
 
 
+class StaleReadError(CollectionError):
+    """A read targeted state that no longer exists (modified during a
+    transaction, or a version pruned by :meth:`Collection.gc`)."""
+
+
 @dataclass
 class CollectionMeta:
     name: str
@@ -65,8 +70,35 @@ class CollectionMeta:
     sparse_indexes: dict[str, dict] = field(default_factory=dict)
 
 
+CATALOG_FORMAT_VERSION = 1
+
+
+def _migrate_catalog_v0(data: dict[str, dict]) -> dict[str, dict]:
+    """v0 -> v1: drop meta keys this build's CollectionMeta doesn't know
+    (pre-versioning catalogs could carry fields from experimental builds;
+    dataclass construction would otherwise crash on them)."""
+    import dataclasses
+
+    known = {f.name for f in dataclasses.fields(CollectionMeta)}
+    return {
+        name: {k: v for k, v in meta.items() if k in known} for name, meta in data.items()
+    }
+
+
+_CATALOG_MIGRATIONS = {0: _migrate_catalog_v0}
+
+
 class Catalog:
-    """JSON-file sysdb with optimistic version checks."""
+    """JSON-file sysdb with optimistic version checks.
+
+    The file carries a ``__format__`` stamp; opening a catalog written by
+    a NEWER engine refuses cleanly (never misreads), and older stamped
+    versions migrate stepwise through ``_CATALOG_MIGRATIONS`` (the
+    reference's cross-version-persist upgrade contract,
+    ``chromadb/test/property/test_cross_version_persist.py``). A file with
+    no stamp is a pre-versioning catalog from an earlier build of this
+    engine and reads as the current format.
+    """
 
     def __init__(self, root: str) -> None:
         self.root = root
@@ -77,12 +109,28 @@ class Catalog:
         if not os.path.exists(self.path):
             return {}
         with open(self.path) as f:
-            return json.load(f)
+            data = json.load(f)
+        fmt = data.pop("__format__", None)
+        v = int(fmt.get("version", CATALOG_FORMAT_VERSION)) if fmt else CATALOG_FORMAT_VERSION
+        if v > CATALOG_FORMAT_VERSION:
+            raise CollectionError(
+                f"catalog {self.path} was written by a newer engine (format v{v}; "
+                f"this build reads <= v{CATALOG_FORMAT_VERSION}) — upgrade the engine"
+            )
+        while v < CATALOG_FORMAT_VERSION:
+            if v not in _CATALOG_MIGRATIONS:
+                raise CollectionError(
+                    f"catalog {self.path} has format v{v} with no migration path; "
+                    "refusing to open"
+                )
+            data = _CATALOG_MIGRATIONS[v](data)
+            v += 1
+        return data
 
     def _write(self, data: dict[str, dict]) -> None:
         tmp = self.path + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
-            json.dump(data, f, indent=1)
+            json.dump({"__format__": {"version": CATALOG_FORMAT_VERSION}, **data}, f, indent=1)
         os.replace(tmp, self.path)
 
     def list(self) -> list[str]:
@@ -238,11 +286,19 @@ class CollectionStore:
     def read_base_version(self, version: int) -> DataFrame:
         path = self._dir("base", version)
         if not os.path.isdir(path):
-            raise CollectionError(
+            raise StaleReadError(
                 f"version {version} of {self.name!r} is not on disk "
-                f"(available: {self.list_base_versions()})"
+                f"(pruned by gc or never compacted; available: "
+                f"{self.list_base_versions()})"
             )
         return self.spark.read.parquet(path)
+
+    def list_log_batch_dirs(self) -> list[str]:
+        """Every WAL batch dir on disk (referenced or not — gc's input)."""
+        d = self._dir("log")
+        if not os.path.isdir(d):
+            return []
+        return sorted(os.path.join(d, s) for s in os.listdir(d) if s.startswith("batch-"))
 
 
 def align_columns(dfs: list[DataFrame]) -> list[DataFrame]:

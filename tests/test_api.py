@@ -8,7 +8,7 @@ from __future__ import annotations
 import pytest
 
 from chroma_spark.api import Client
-from chroma_spark.sources.collection import CollectionError
+from chroma_spark.sources.collection import CollectionError, StaleReadError
 
 
 @pytest.fixture()
@@ -449,7 +449,7 @@ def test_version_time_travel_and_gc(client, spark):
 
     deleted = col.gc(keep_last=1)
     assert deleted == [1, 2] and col.list_versions() == [3]
-    with pytest.raises(CollectionError, match="not on disk"):
+    with pytest.raises(StaleReadError, match="not on disk"):
         col.snapshot_at(1)
     assert col.count() == 3  # current state untouched
 
@@ -488,6 +488,39 @@ def test_gc_preserves_fork_referenced_versions(client):
     deleted = col.gc(keep_last=1)
     assert deleted == []  # v1 is the fork's base: must survive
     assert fork.count() == 3
+
+
+def test_gc_preserves_fork_pinned_index_layout_and_prunes_orphan_logs(client):
+    """Fork ref-counting across ALL artifact kinds: a fork pins the
+    parent's index layout and WAL batches by path, so the parent's gc must
+    keep them even after the parent rebuilds its own index — while WAL
+    batch dirs referenced by nobody are pruned from disk (compact() resets
+    log_paths but leaves the files for exactly this fork case)."""
+    import os
+
+    col = client.create_collection("gcfork", dimension=2)
+    col.add(ids=["a", "b"], embeddings=[[1.0, 0.0], [0.0, 1.0]])
+    col.build_vector_index(n_lists=1)  # v1 layout
+    col.add(ids=["c"], embeddings=[[0.5, 0.5]])  # un-compacted WAL batch
+    fork = col.fork("gcfork_child")  # pins v1 layout + the live WAL batch
+
+    col.add(ids=["d"], embeddings=[[0.2, 0.8]])
+    col.build_vector_index(n_lists=1)  # parent now on a newer layout
+    n_logs_before = len(col._store.list_log_batch_dirs())
+    col.gc(keep_last=1)
+
+    idx_root = os.path.join(client.catalog.root, col._store.name, "index_vector")
+    assert os.path.isdir(os.path.join(idx_root, "v1"))  # fork-pinned layout survives
+    # fork still queries through the pinned layout and sees its WAL tail
+    assert fork.query([[0.5, 0.5]], n_results=1)["ids"][0] == ["c"]
+    assert fork.count() == 3
+    # the parent's own compactions folded every batch it references, so the
+    # only batch dirs left are the fork-pinned ones
+    remaining = set(col._store.list_log_batch_dirs())
+    assert remaining == set(fork._store.meta.log_paths)
+    assert len(remaining) < n_logs_before
+    # parent unaffected throughout
+    assert col.count() == 4
 
 
 def test_attached_embedding_function_auto_embed_and_query_texts(client):
