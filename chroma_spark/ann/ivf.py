@@ -40,6 +40,7 @@ def _train_centroids_numpy(
     seed: int,
     max_iter: int,
     max_sample: int,
+    restarts: int = 4,
 ) -> "list[list[float]]":
     """Driver-side seeded k-means over a bounded sample.
 
@@ -63,26 +64,38 @@ def _train_centroids_numpy(
     # Arrow-batched transfer (columnar), not the pickled RDD collect path
     x = np.stack(sample.toPandas().iloc[:, 0].to_numpy()).astype(np.float64)
     k = min(n_lists, len(x))
+    # ||x||^2 precomputed once: both seeding and Lloyd's use the BLAS form
+    # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 (k=1024 over a 128k-row sample is
+    # a GEMM, not a Python loop — this is what keeps a SIFT1M-scale build in
+    # seconds-per-iteration driver-side).
+    x2 = np.einsum("ij,ij->i", x, x)
+
+    def _mean_update(assign, centers):
+        # per-cluster mean via bincount per dimension (vectorized over k)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        sums = np.empty_like(centers)
+        for j in range(x.shape[1]):
+            sums[:, j] = np.bincount(assign, weights=x[:, j], minlength=k)
+        empty = counts == 0
+        counts[empty] = 1.0
+        new = sums / counts[:, None]
+        new[empty] = centers[empty]  # empty cluster keeps its old centroid
+        return new
 
     def _one_run(run_seed: int):
         rng = np.random.default_rng(run_seed)
         # k-means++ style seeding: first centroid uniform, rest D^2-weighted
         idx = [int(rng.integers(len(x)))]
-        d2 = np.sum((x - x[idx[0]]) ** 2, axis=1)
+        d2 = np.maximum(x2 - 2.0 * (x @ x[idx[0]]) + x2[idx[0]], 0.0)
         for _ in range(1, k):
             p = d2 / d2.sum() if d2.sum() > 0 else None
             idx.append(int(rng.choice(len(x), p=p)))
-            d2 = np.minimum(d2, np.sum((x - x[idx[-1]]) ** 2, axis=1))
+            c = x[idx[-1]]
+            d2 = np.minimum(d2, np.maximum(x2 - 2.0 * (x @ c) + x2[idx[-1]], 0.0))
         centers = x[idx].copy()
         for _ in range(max_iter):
-            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c drops ||x||^2
             assign = np.argmin(x @ centers.T * -2.0 + np.sum(centers**2, axis=1), axis=1)
-            new = np.array(
-                [
-                    x[assign == j].mean(axis=0) if np.any(assign == j) else centers[j]
-                    for j in range(k)
-                ]
-            )
+            new = _mean_update(assign, centers)
             if np.allclose(new, centers, atol=1e-7):
                 centers = new
                 break
@@ -95,7 +108,7 @@ def _train_centroids_numpy(
     # discipline) — driver-side cost only, and what recovers the quality of
     # MLlib's kmeans|| initialization
     best, best_inertia = None, float("inf")
-    for i in range(4):
+    for i in range(max(1, restarts)):
         centers, inertia = _one_run(seed + i)
         if inertia < best_inertia:
             best, best_inertia = centers, inertia
@@ -114,6 +127,8 @@ def build_ivf(
     train_partitions: int | None = 8,
     trainer: str = "numpy",
     max_train_sample: int = 262_144,
+    restarts: int = 4,
+    assign_method: str = "expr",
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(centroids, postings)``.
 
@@ -132,7 +147,7 @@ def build_ivf(
     """
     if trainer == "numpy":
         centers = _train_centroids_numpy(
-            records, n_lists, vec_col, seed, max_iter, max_train_sample
+            records, n_lists, vec_col, seed, max_iter, max_train_sample, restarts
         )
     else:  # MLlib path for samples too large to collect driver-side
         from pyspark.ml.clustering import KMeans
@@ -154,7 +169,9 @@ def build_ivf(
         [(i, c) for i, c in enumerate(centers)],
         "centroid_id INT, centroid ARRAY<FLOAT>",
     )
-    postings = assign_to_centroids(records, centroids, replicas, id_col=id_col, vec_col=vec_col)
+    postings = assign_to_centroids(
+        records, centroids, replicas, id_col=id_col, vec_col=vec_col, method=assign_method
+    )
     return centroids, postings
 
 
@@ -164,21 +181,79 @@ def assign_to_centroids(
     replicas: int = 2,
     id_col: str = "id",
     vec_col: str = "embedding",
+    method: str = "expr",
 ) -> DataFrame:
-    """Tag each record with its ``replicas`` nearest posting lists — one
-    broadcast join + local window, no record-side shuffle before the final
-    repartition-by-list. This is both the build-time assignment pass and the
-    incremental-insert pass (SPANN appends new vectors to existing heads,
-    ``rust/index/src/spann/types.rs``; retraining is a separate decision)."""
-    cdist = distance(F.col(vec_col), F.col("centroid"), "l2")
-    assigned = topk_per_group(
-        records.crossJoin(F.broadcast(centroids)).withColumn("__cdist", cdist),
-        [id_col],
-        [F.col("__cdist").asc(), F.col("centroid_id").asc()],
-        max(1, replicas),
-        two_stage=False,  # per-record group: n_lists rows, local window
-    ).drop("__cdist", "centroid")
+    """Tag each record with its ``replicas`` nearest posting lists. This is
+    both the build-time assignment pass and the incremental-insert pass
+    (SPANN appends new vectors to existing heads,
+    ``rust/index/src/spann/types.rs``; retraining is a separate decision).
+
+    ``method="expr"`` (default): broadcast crossJoin + local window — pure
+    Catalyst expressions, bit-identical to the DuckDB oracle twins.
+
+    ``method="arrow"``: Arrow-batched numpy GEMM argmin — each executor
+    batch computes ``X @ C.T`` against the (tiny, task-local) centroid
+    matrix. The expression form evaluates n_lists array-lambda distances
+    per record (O(N * n_lists * dim) interpreted element ops — measured
+    ~2.8 h extrapolated for 1M x 128-d x 1024 lists); the GEMM form is the
+    same arithmetic as one BLAS call per batch (~tens of seconds). Use it
+    for bulk builds at SIFT1M-and-up scale; ordering ties between the two
+    forms can differ in the last float ulp, which is why the oracle-checked
+    paths keep ``expr``."""
+    if method == "arrow":
+        assigned = _assign_arrow(records, centroids, replicas, id_col, vec_col)
+    else:
+        cdist = distance(F.col(vec_col), F.col("centroid"), "l2")
+        assigned = topk_per_group(
+            records.crossJoin(F.broadcast(centroids)).withColumn("__cdist", cdist),
+            [id_col],
+            [F.col("__cdist").asc(), F.col("centroid_id").asc()],
+            max(1, replicas),
+            two_stage=False,  # per-record group: n_lists rows, local window
+        ).drop("__cdist", "centroid")
     return assigned.repartition("centroid_id")
+
+
+def _assign_arrow(
+    records: DataFrame,
+    centroids: DataFrame,
+    replicas: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """GEMM assignment: one ``mapInPandas`` pass, centroid matrix shipped in
+    the closure (n_lists x dim floats — a few MB at most), 1 -> replicas row
+    fan-out, no shuffle. Ties resolved (dist asc, centroid_id asc) like the
+    expression path."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cent = centroids.select("centroid_id", "centroid").orderBy("centroid_id").collect()
+    c_mat = np.array([r["centroid"] for r in cent], dtype=np.float64)
+    c_ids = np.array([r["centroid_id"] for r in cent], dtype=np.int64)
+    c2 = np.einsum("ij,ij->i", c_mat, c_mat)
+    r = max(1, min(replicas, len(c_ids)))
+    pool = min(r + 8, len(c_ids))  # tie-resolution margin before lexsort
+
+    out_schema = StructType(records.schema.fields + [StructField("centroid_id", IntegerType(), False)])
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # ||x-c||^2 - ||x||^2 = -2 x.c + ||c||^2: same argmin, one GEMM
+            d = x @ c_mat.T * -2.0 + c2
+            part = np.argpartition(d, pool - 1, axis=1)[:, :pool]
+            dp = np.take_along_axis(d, part, axis=1)
+            ip = c_ids[part]
+            order = np.lexsort((ip, dp), axis=1)[:, :r]
+            chosen = np.take_along_axis(ip, order, axis=1)
+            out = pdf.loc[pdf.index.repeat(r)].reset_index(drop=True)
+            out["centroid_id"] = chosen.ravel().astype("int32")
+            yield out
+
+    return records.mapInPandas(assign, out_schema)
 
 
 def append_ivf_postings(postings: DataFrame, path: str) -> None:

@@ -190,3 +190,19 @@ def test_persisted_ivf_partition_pruning(spark, tmp_path):
     mem = ivf_search(centroids, postings, queries, k=10, nprobe=4)
     disk = ivf_search(c2, p2, queries, k=10, nprobe=4)
     assert sorted(map(tuple, mem.collect())) == sorted(map(tuple, disk.collect()))
+
+
+def test_assign_arrow_matches_expr(spark):
+    """The GEMM (Arrow) assignment path must agree with the Catalyst
+    expression path on real data — same (id, centroid_id) multiset. Ties
+    could differ in the last ulp in principle; on continuous embeddings they
+    must not occur."""
+    from chroma_spark.ann.ivf import assign_to_centroids
+
+    records = _records(spark)
+    centroids, _ = build_ivf(records, n_lists=16)
+    a = assign_to_centroids(records, centroids, replicas=2, method="expr")
+    b = assign_to_centroids(records, centroids, replicas=2, method="arrow")
+    rows_a = sorted((r["id"], r["centroid_id"]) for r in a.select("id", "centroid_id").collect())
+    rows_b = sorted((r["id"], r["centroid_id"]) for r in b.select("id", "centroid_id").collect())
+    assert rows_a == rows_b
