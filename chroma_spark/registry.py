@@ -1845,6 +1845,112 @@ SELECT query_id, id, dist, rank FROM (
 QUERIES["ann_sq4_fixed_ranges"].oracle = _ann_sq4_fixed_oracle()
 
 
+_PQ_VALS = (-0.3, -0.1, 0.1, 0.3)  # constant-vector codes, inside testdata range
+_PQ_M, _PQ_K, _PQ_DSUB = 8, 4, 8  # 8 subspaces x 8 dims over the 64-d embeddings
+
+
+@register("ann_pq_fixed_codebooks", None)  # oracle attached below
+def ann_pq_fixed_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-quantization tier (ADC-LUT prefilter + exact re-rank,
+    ann/pq.py; reference parity: the multi-bit end of
+    rust/index/src/quantization/mod.rs's code spectrum) made
+    oracle-checkable: FIXED constant-vector codebooks instead of trained
+    k-means, so both engines agree on every code assignment, ADC value, and
+    tie. The Spark side runs the REAL machinery (encode_pq Arrow GEMM +
+    pq_search's LUT aggregate)."""
+    from .ann.pq import encode_pq, pq_search
+
+    emb = _emb_records(spark, sf_dir).select("id", "embedding")
+    books = [[[v] * _PQ_DSUB for v in _PQ_VALS] for _ in range(_PQ_M)]
+    coded = encode_pq(emb, books)
+    queries = emb.filter(F.col("id") < 5).select(F.col("id").alias("query_id"), "embedding")
+    return pq_search(coded, queries, books, k=10, rerank_factor=4, space="l2")
+
+
+def _ann_pq_fixed_oracle() -> str:
+    import numpy as np
+
+    from .functions.distance import l2_sql
+
+    # a_j / b2_j literals computed exactly the way encode_pq's GEMM does
+    # (score_j = -2 * sum(x_i) * v_j + sum_i v_j^2; the x^2 term drops out
+    # of the argmin)
+    b = np.array([[v] * _PQ_DSUB for v in _PQ_VALS], dtype=np.float64)
+    b2 = np.einsum("ij,ij->i", b, b)
+    a = [-2.0 * v for v in _PQ_VALS]
+
+    def s1(col: str, mi: int) -> str:
+        lo, hi = mi * _PQ_DSUB + 1, (mi + 1) * _PQ_DSUB + 1
+        return (
+            f"list_sum(list_transform(range({lo}, {hi}), "
+            f"i -> CAST({col}[i] AS DOUBLE)))"
+        )
+
+    def s2(col: str, mi: int) -> str:
+        lo, hi = mi * _PQ_DSUB + 1, (mi + 1) * _PQ_DSUB + 1
+        return (
+            f"list_sum(list_transform(range({lo}, {hi}), "
+            f"i -> CAST({col}[i] AS DOUBLE) * CAST({col}[i] AS DOUBLE)))"
+        )
+
+    sums = ", ".join(
+        f"{s1('r.embedding', mi)} AS s1_{mi}" for mi in range(_PQ_M)
+    )
+    qsums = ", ".join(
+        [f"{s1('q.embedding', mi)} AS t1_{mi}" for mi in range(_PQ_M)]
+        + [f"{s2('q.embedding', mi)} AS t2_{mi}" for mi in range(_PQ_M)]
+    )
+
+    def code_case(mi: int) -> str:
+        f = [f"(({a[j]!r}) * s1_{mi} + ({b2[j]!r}))" for j in range(_PQ_K)]
+        return (
+            f"CASE WHEN {f[0]} <= {f[1]} AND {f[0]} <= {f[2]} AND {f[0]} <= {f[3]} THEN 0 "
+            f"WHEN {f[1]} <= {f[2]} AND {f[1]} <= {f[3]} THEN 1 "
+            f"WHEN {f[2]} <= {f[3]} THEN 2 ELSE 3 END"
+        )
+
+    codes = ", ".join(f"{code_case(mi)} AS c_{mi}" for mi in range(_PQ_M))
+
+    def lut_case(mi: int) -> str:
+        branches = " ".join(
+            f"WHEN {j} THEN greatest(t2_{mi} + ({a[j]!r}) * t1_{mi} + ({b2[j]!r}), 0.0)"
+            for j in range(_PQ_K)
+        )
+        return f"CASE c_{mi} {branches} END"
+
+    adc = " + ".join(lut_case(mi) for mi in range(_PQ_M))
+    d = l2_sql("c.embedding", "c.qvec")
+    return f"""
+WITH __pair AS (
+  SELECT q.vec_id AS query_id, q.embedding AS qvec, r.vec_id AS id, r.embedding,
+         {sums}, {qsums}
+  FROM embeddings r
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+),
+__code AS (
+  SELECT *, {codes} FROM __pair
+),
+__adc AS (
+  SELECT query_id, qvec, id, embedding, (round({adc}, 6) + 0.0) AS adc FROM __code
+),
+__cand AS (
+  SELECT query_id, qvec, id, embedding FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, id ASC) AS rn
+    FROM __adc
+  ) WHERE rn <= 40
+),
+__d AS (
+  SELECT c.query_id, c.id, (round({d}, 6) + 0.0) AS dist FROM __cand c
+)
+SELECT query_id, id, dist, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, id ASC) AS rank
+  FROM __d
+) WHERE rank <= 10"""
+
+
+QUERIES["ann_pq_fixed_codebooks"].oracle = _ann_pq_fixed_oracle()
+
+
 @register("ann_ivf_topk", None)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ann.ivf import ivf_search
@@ -1882,6 +1988,7 @@ _MEASURE_FIRST = [
     "ann_ivf_fixed_centroids",
     "ann_quantized_fixed_pivot",
     "ann_sq4_fixed_ranges",
+    "ann_pq_fixed_codebooks",
     "multimodal_decode_meta",
     "multimodal_resize_plan",
     "multimodal_frame_sample",

@@ -206,3 +206,62 @@ def test_assign_arrow_matches_expr(spark):
     rows_a = sorted((r["id"], r["centroid_id"]) for r in a.select("id", "centroid_id").collect())
     rows_b = sorted((r["id"], r["centroid_id"]) for r in b.select("id", "centroid_id").collect())
     assert rows_a == rows_b
+
+
+# ---------------------------------------------------------------------------
+# PQ (product quantization ADC prefilter + re-rank, ann/pq.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_recall(spark):
+    from chroma_spark.ann.pq import encode_pq, pq_search, train_pq
+
+    records, queries = _records(spark), _queries(spark)
+    books = train_pq(records, m=8, k_codes=256)
+    coded = encode_pq(records, books)
+    exact = exact_knn(records, queries, k=10, space="l2")
+    approx = pq_search(coded, queries, books, k=10, rerank_factor=8, space="l2")
+    r = recall_at_k(approx, exact)
+    assert r >= 0.95, f"recall@10 = {r}"
+
+
+def test_ivf_pq_recall(spark):
+    from chroma_spark.ann.pq import encode_pq, ivf_pq_search, train_pq
+
+    records, queries = _records(spark), _queries(spark)
+    centroids, postings = build_ivf(records, n_lists=16)
+    books = train_pq(records, m=8, k_codes=256)
+    coded = encode_pq(postings, books)
+    exact = exact_knn(records, queries, k=10, space="l2")
+    approx = ivf_pq_search(centroids, coded, queries, books, k=10, nprobe=8, rerank_factor=8)
+    r = recall_at_k(approx, exact)
+    assert r >= 0.9, f"recall@10 = {r}"
+
+
+def test_pq_adc_equals_reconstruction_distance(spark):
+    """The LUT aggregate must equal l2(query, decode(code)) — ADC's
+    defining identity — for every (query, candidate) pair checked."""
+    import numpy as np
+
+    from chroma_spark.ann.pq import encode_pq, pq_adc_expr, train_pq, _with_lut
+
+    records = _records(spark).limit(50)
+    queries = _queries(spark, n=3)
+    books = train_pq(records, m=8, k_codes=4)
+    coded = encode_pq(records, books)
+    q = _with_lut(
+        queries.select(F.col("query_id"), F.col("embedding").alias("qvec")), books, "qvec"
+    )
+    rows = (
+        coded.crossJoin(F.broadcast(q))
+        .select(
+            "id", "query_id", "pq_code", "qvec",
+            pq_adc_expr("pq_code", "__lut", 8, 4).alias("adc"),
+        )
+        .collect()
+    )
+    b = [np.array(bb) for bb in books]
+    for r in rows:
+        recon = np.concatenate([b[mi][r["pq_code"][mi]] for mi in range(8)])
+        expect = float(np.sum((np.array(r["qvec"], dtype=np.float64) - recon) ** 2))
+        assert abs(r["adc"] - expect) < 1e-9, (r["id"], r["query_id"])
