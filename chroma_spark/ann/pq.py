@@ -200,26 +200,31 @@ def pq_search(
         codebooks,
         "__qvec",
     )
+    from .rerank import hydrate_rerank
+
     adc = pq_adc_expr(code_col, "__lut", m, k_codes)
     if round_decimals is not None:
         adc = F.round(adc, round_decimals) + F.lit(0.0)
-    candidates = topk_per_group(
-        coded_records.crossJoin(F.broadcast(q)).select(
-            "__qid", "__qvec", F.col(id_col), F.col(vec_col).alias("__vec"), adc.alias("__adc")
+    # narrow prefilter: the LUT rides the broadcast query side; candidate
+    # rows carry only (qid, id, adc) into the top-k shuffle (see rerank.py)
+    survivors = topk_per_group(
+        coded_records.crossJoin(F.broadcast(q.select("__qid", "__lut"))).select(
+            "__qid", F.col(id_col), adc.alias("__adc")
         ),
         ["__qid"],
         [F.col("__adc").asc(), F.col(id_col).asc()],
         rerank_factor * k,
-    )
-    d = distance(F.col("__vec"), F.col("__qvec"), space)
-    if round_decimals is not None:
-        d = F.round(d, round_decimals) + F.lit(0.0)
-    return topk_per_group(
-        candidates.select(F.col("__qid").alias(query_id_col), F.col(id_col), d.alias("dist")),
-        [query_id_col],
-        [F.col("dist").asc(), F.col(id_col).asc()],
+    ).select("__qid", id_col)
+    return hydrate_rerank(
+        survivors,
+        coded_records,
+        q.select("__qid", "__qvec"),
         k,
-        rank_col="rank",
+        space,
+        id_col,
+        vec_col,
+        query_id_col,
+        round_decimals,
     )
 
 
@@ -268,36 +273,32 @@ def ivf_pq_search(
         probed_src = probed_src.join(allowed_ids.select(F.col(id_col)), id_col, "semi")
     if excluded_ids is not None:
         probed_src = probed_src.join(excluded_ids.select(F.col(id_col)), id_col, "anti")
+    from .rerank import hydrate_rerank
+
     adc = pq_adc_expr(code_col, "__lut", m, k_codes)
     if round_decimals is not None:
         adc = F.round(adc, round_decimals) + F.lit(0.0)
-    pruned = topk_per_group(
-        probed_src.join(F.broadcast(probes), "centroid_id")
-        .select(
-            "__qid",
-            "__qvec",
-            F.col(id_col),
-            F.col(vec_col).alias("__vec"),
-            adc.alias("__adc"),
-        )
-        # replicas may surface a record from several probed lists
+    # narrow prefilter: (qid, id, adc); replicas collapse via min
+    survivors = topk_per_group(
+        probed_src.join(F.broadcast(probes.drop("__qvec")), "centroid_id")
+        .select("__qid", F.col(id_col), adc.alias("__adc"))
         .groupBy("__qid", id_col)
-        .agg(
-            F.first("__qvec").alias("__qvec"),
-            F.first("__vec").alias("__vec"),
-            F.min("__adc").alias("__adc"),
-        ),
+        .agg(F.min("__adc").alias("__adc")),
         ["__qid"],
         [F.col("__adc").asc(), F.col(id_col).asc()],
         rerank_factor * k,
+    ).select("__qid", id_col)
+    hyd_src = probed_src.join(
+        F.broadcast(probes.select("centroid_id").distinct()), "centroid_id"
     )
-    d = distance(F.col("__vec"), F.col("__qvec"), space)
-    if round_decimals is not None:
-        d = F.round(d, round_decimals) + F.lit(0.0)
-    return topk_per_group(
-        pruned.select(F.col("__qid").alias(query_id_col), F.col(id_col), d.alias("dist")),
-        [query_id_col],
-        [F.col("dist").asc(), F.col(id_col).asc()],
+    return hydrate_rerank(
+        survivors,
+        hyd_src,
+        q.select("__qid", "__qvec"),
         k,
-        rank_col="rank",
+        space,
+        id_col,
+        vec_col,
+        query_id_col,
+        round_decimals,
     )

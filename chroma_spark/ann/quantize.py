@@ -193,6 +193,8 @@ def sq4_search(
     top ``rerank_factor*k``) -> exact re-rank top-k. Output
     ``(query_id, id, dist, rank)``, drop-in interchangeable with the other
     KNN operators. ADC distances round like exact ones so ties are stable."""
+    from .rerank import hydrate_rerank
+
     lo, step = ranges
     q = queries.select(
         F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias("__qvec")
@@ -200,23 +202,18 @@ def sq4_search(
     adc = distance(_unpack4_expr("code4", lo, step), F.col("__qvec"), space)
     if round_decimals is not None:
         adc = F.round(adc, round_decimals) + F.lit(0.0)
-    candidates = topk_per_group(
+    # prefilter emits ONLY (qid, id, adc): the top-k shuffle stays narrow
+    # even with millions of candidates (see rerank.py)
+    survivors = topk_per_group(
         coded_records.crossJoin(F.broadcast(q)).select(
-            "__qid", "__qvec", F.col(id_col), F.col(vec_col).alias("__vec"), adc.alias("__adc")
+            "__qid", F.col(id_col), adc.alias("__adc")
         ),
         ["__qid"],
         [F.col("__adc").asc(), F.col(id_col).asc()],
         rerank_factor * k,
-    )
-    d = distance(F.col("__vec"), F.col("__qvec"), space)
-    if round_decimals is not None:
-        d = F.round(d, round_decimals) + F.lit(0.0)
-    return topk_per_group(
-        candidates.select(F.col("__qid").alias(query_id_col), F.col(id_col), d.alias("dist")),
-        [query_id_col],
-        [F.col("dist").asc(), F.col(id_col).asc()],
-        k,
-        rank_col="rank",
+    ).select("__qid", id_col)
+    return hydrate_rerank(
+        survivors, coded_records, q, k, space, id_col, vec_col, query_id_col, round_decimals
     )
 
 
@@ -258,36 +255,27 @@ def ivf_sq4_search(
         probed_src = probed_src.join(allowed_ids.select(F.col(id_col)), id_col, "semi")
     if excluded_ids is not None:
         probed_src = probed_src.join(excluded_ids.select(F.col(id_col)), id_col, "anti")
+    from .rerank import hydrate_rerank
+
     adc = distance(_unpack4_expr("code4", lo, step), F.col("__qvec"), space)
     if round_decimals is not None:
         adc = F.round(adc, round_decimals) + F.lit(0.0)
-    pruned = topk_per_group(
-        probed_src.join(F.broadcast(probes), "centroid_id").select(
-            "__qid",
-            "__qvec",
-            F.col(id_col),
-            F.col(vec_col).alias("__vec"),
-            adc.alias("__adc"),
-        )
+    # narrow prefilter: (qid, id, adc) only; replicas collapse via min
+    survivors = topk_per_group(
+        probed_src.join(F.broadcast(probes), "centroid_id")
+        .select("__qid", F.col(id_col), adc.alias("__adc"))
         .groupBy("__qid", id_col)
-        .agg(
-            F.first("__qvec").alias("__qvec"),
-            F.first("__vec").alias("__vec"),
-            F.min("__adc").alias("__adc"),
-        ),
+        .agg(F.min("__adc").alias("__adc")),
         ["__qid"],
         [F.col("__adc").asc(), F.col(id_col).asc()],
         rerank_factor * k,
+    ).select("__qid", id_col)
+    # hydration scan stays partition-pruned to the probed lists
+    hyd_src = probed_src.join(
+        F.broadcast(probes.select("centroid_id").distinct()), "centroid_id"
     )
-    d = distance(F.col("__vec"), F.col("__qvec"), space)
-    if round_decimals is not None:
-        d = F.round(d, round_decimals) + F.lit(0.0)
-    return topk_per_group(
-        pruned.select(F.col("__qid").alias(query_id_col), F.col(id_col), d.alias("dist")),
-        [query_id_col],
-        [F.col("dist").asc(), F.col(id_col).asc()],
-        k,
-        rank_col="rank",
+    return hydrate_rerank(
+        survivors, hyd_src, q, k, space, id_col, vec_col, query_id_col, round_decimals
     )
 
 
@@ -309,29 +297,33 @@ def quantized_search(
     Output ``(query_id, id, dist, rank)`` — drop-in interchangeable with
     exact_knn / ivf_search, recall-tested the same way.
     """
+    from .rerank import hydrate_rerank
+
     q = queries.select(
         F.col(query_id_col).alias("__qid"),
         F.col(query_vec_col).alias("__qvec"),
         _pack_expr(query_vec_col, means).alias("__qcode"),
     )
     ham = hamming(F.col("code"), F.col("__qcode"))
-    candidates = topk_per_group(
-        coded_records.crossJoin(F.broadcast(q)).select(
-            "__qid", "__qvec", F.col(id_col), F.col(vec_col).alias("__vec"), ham.alias("__ham")
+    # narrow prefilter: (qid, id, ham) only (see rerank.py)
+    survivors = topk_per_group(
+        coded_records.crossJoin(F.broadcast(q.select("__qid", "__qcode"))).select(
+            "__qid", F.col(id_col), ham.alias("__ham")
         ),
         ["__qid"],
         [F.col("__ham").asc(), F.col(id_col).asc()],
         rerank_factor * k,
-    )
-    d = distance(F.col("__vec"), F.col("__qvec"), space)
-    if round_decimals is not None:
-        d = F.round(d, round_decimals) + F.lit(0.0)
-    return topk_per_group(
-        candidates.select(F.col("__qid").alias(query_id_col), F.col(id_col), d.alias("dist")),
-        [query_id_col],
-        [F.col("dist").asc(), F.col(id_col).asc()],
+    ).select("__qid", id_col)
+    return hydrate_rerank(
+        survivors,
+        coded_records,
+        q.select("__qid", "__qvec"),
         k,
-        rank_col="rank",
+        space,
+        id_col,
+        vec_col,
+        query_id_col,
+        round_decimals,
     )
 
 
@@ -377,33 +369,30 @@ def ivf_quantized_search(
         probed_src = probed_src.join(allowed_ids.select(F.col(id_col)), id_col, "semi")
     if excluded_ids is not None:
         probed_src = probed_src.join(excluded_ids.select(F.col(id_col)), id_col, "anti")
+    from .rerank import hydrate_rerank
+
     ham = hamming(F.col("code"), F.col("__qcode"))
-    pruned = topk_per_group(
-        probed_src.join(F.broadcast(probes), "centroid_id").select(
-            "__qid",
-            "__qvec",
-            F.col(id_col),
-            F.col(vec_col).alias("__vec"),
-            ham.alias("__ham"),
-        )
-        # replicas may surface a record from several probed lists
+    # narrow prefilter: (qid, id, ham); replicas collapse via min
+    survivors = topk_per_group(
+        probed_src.join(F.broadcast(probes.drop("__qvec")), "centroid_id")
+        .select("__qid", F.col(id_col), ham.alias("__ham"))
         .groupBy("__qid", id_col)
-        .agg(
-            F.first("__qvec").alias("__qvec"),
-            F.first("__vec").alias("__vec"),
-            F.min("__ham").alias("__ham"),
-        ),
+        .agg(F.min("__ham").alias("__ham")),
         ["__qid"],
         [F.col("__ham").asc(), F.col(id_col).asc()],
         rerank_factor * k,
+    ).select("__qid", id_col)
+    hyd_src = probed_src.join(
+        F.broadcast(probes.select("centroid_id").distinct()), "centroid_id"
     )
-    d = distance(F.col("__vec"), F.col("__qvec"), space)
-    if round_decimals is not None:
-        d = F.round(d, round_decimals) + F.lit(0.0)
-    return topk_per_group(
-        pruned.select(F.col("__qid").alias(query_id_col), F.col(id_col), d.alias("dist")),
-        [query_id_col],
-        [F.col("dist").asc(), F.col(id_col).asc()],
+    return hydrate_rerank(
+        survivors,
+        hyd_src,
+        q.select("__qid", "__qvec"),
         k,
-        rank_col="rank",
+        space,
+        id_col,
+        vec_col,
+        query_id_col,
+        round_decimals,
     )

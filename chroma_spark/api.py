@@ -790,7 +790,11 @@ class Collection:
             quantized = "sign"
         if quantized not in (False, "sign", "sq4"):
             raise CollectionError(f"unknown quantization tier {quantized!r}; use 'sign' or 'sq4'")
-        centroids, postings = build_ivf(records, n_lists=n_lists, replicas=replicas)
+        # bulk build: GEMM assignment (ivf._assign_arrow) — the expression
+        # form is O(N * n_lists) interpreted array distances, hours at SIFT1M+
+        centroids, postings = build_ivf(
+            records, n_lists=n_lists, replicas=replicas, assign_method="arrow"
+        )
         path = _os.path.join(
             self._store.catalog.root, self._store.name, "index_vector", f"v{meta.version}"
         )
@@ -888,7 +892,9 @@ class Collection:
                 .select("id", "embedding")
             )
             centroids = spark.read.parquet(_os.path.join(vi["path"], "centroids"))
-            assigned = assign_to_centroids(delta, centroids, replicas=int(vi.get("replicas", 2)))
+            assigned = assign_to_centroids(
+                delta, centroids, replicas=int(vi.get("replicas", 2)), method="arrow"
+            )
             if vi.get("means") is not None:
                 from .ann.quantize import build_codes
 

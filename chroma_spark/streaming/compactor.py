@@ -153,9 +153,13 @@ def ivf_index_builder(
             except Exception:
                 centroids = None
         if centroids is None:
-            centroids, postings = build_ivf(records, n_lists=n_lists, replicas=replicas)
+            centroids, postings = build_ivf(
+                records, n_lists=n_lists, replicas=replicas, assign_method="arrow"
+            )
         else:
-            postings = assign_to_centroids(records, centroids, replicas, id_col=id_col, vec_col=vec_col)
+            postings = assign_to_centroids(
+                records, centroids, replicas, id_col=id_col, vec_col=vec_col, method="arrow"
+            )
         write_ivf(centroids, postings, path)
 
     return build

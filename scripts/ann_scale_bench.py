@@ -40,7 +40,10 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=100)
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--skip-exact", action="store_true")
+    ap.add_argument("--tiers", default="ivf,signbit,sq4,pq",
+                    help="comma list of tiers to sweep")
     args = ap.parse_args()
+    tiers = set(args.tiers.split(","))
 
     from chroma_spark.ann.benchdata import gen_corpus, gen_queries, ground_truth, recall_against_gt
     from chroma_spark.session import get_spark
@@ -76,7 +79,10 @@ def main() -> None:
 
     # ---- build ---------------------------------------------------------
     from chroma_spark.ann.ivf import build_ivf, ivf_search, read_ivf
+    from chroma_spark.ann.pq import encode_pq, train_pq
     from chroma_spark.ann.quantize import build_codes, build_codes4, dim_means, dim_ranges
+
+    pq_m = args.dim // 8  # 8-dim subspaces -> m bytes/vector at k_codes=256
 
     layout_marker = os.path.join(index_dir, "_DONE")
     if not os.path.exists(layout_marker):
@@ -90,8 +96,10 @@ def main() -> None:
         t0 = time.time()
         means = dim_means(records)
         ranges = dim_ranges(records)
+        books = train_pq(records, m=pq_m, k_codes=256, seed=args.seed)
         coded, _ = build_codes(postings, means)
         coded, _ = build_codes4(coded, ranges)
+        coded = encode_pq(coded, books)
         coded.write.mode("overwrite").partitionBy("centroid_id").parquet(
             os.path.join(index_dir, "postings")
         )
@@ -99,7 +107,7 @@ def main() -> None:
             os.path.join(index_dir, "centroids")
         )
         with open(os.path.join(index_dir, "quant.json"), "w") as f:
-            json.dump({"means": means, "lo": ranges[0], "step": ranges[1]}, f)
+            json.dump({"means": means, "lo": ranges[0], "step": ranges[1], "pq": books}, f)
         results["timings"]["build_encode_write_s"] = round(time.time() - t0, 1)
         with open(layout_marker, "w") as f:
             f.write("ok")
@@ -107,11 +115,26 @@ def main() -> None:
               f"encode+write {results['timings']['build_encode_write_s']}s", flush=True)
 
     centroids, coded_postings = read_ivf(spark, index_dir)
-    centroids = centroids.cache()
-    centroids.count()
     with open(os.path.join(index_dir, "quant.json")) as f:
         quant = json.load(f)
-    means, ranges = quant["means"], (quant["lo"], quant["step"])
+    if "pq" not in quant:  # migrate a layout built before the PQ tier
+        quant["pq"] = train_pq(records, m=pq_m, k_codes=256, seed=args.seed)
+        t0 = time.time()
+        tmp = os.path.join(index_dir, "postings_pq")
+        encode_pq(coded_postings, quant["pq"]).write.mode("overwrite").partitionBy(
+            "centroid_id"
+        ).parquet(tmp)
+        import shutil
+
+        shutil.rmtree(os.path.join(index_dir, "postings"))
+        os.rename(tmp, os.path.join(index_dir, "postings"))
+        with open(os.path.join(index_dir, "quant.json"), "w") as f:
+            json.dump(quant, f)
+        results["timings"]["pq_encode_migrate_s"] = round(time.time() - t0, 1)
+        centroids, coded_postings = read_ivf(spark, index_dir)
+    centroids = centroids.cache()
+    centroids.count()
+    means, ranges, books = quant["means"], (quant["lo"], quant["step"]), quant["pq"]
 
     def run(label: str, fn) -> dict:
         t0 = time.time()
@@ -143,20 +166,31 @@ def main() -> None:
     # ---- grid ----------------------------------------------------------
     from chroma_spark.ann.quantize import ivf_quantized_search, ivf_sq4_search
 
-    for nprobe in (4, 8, 16, 32, 64):
-        run(f"ivf nprobe={nprobe}",
-            lambda np_=nprobe: ivf_search(centroids, coded_postings, grid_q,
-                                          k=args.k, nprobe=np_))
-    for nprobe, rf in ((16, 16), (32, 8), (32, 16), (32, 32), (64, 16), (64, 32)):
-        run(f"signbit nprobe={nprobe} rerank={rf}",
-            lambda np_=nprobe, rf_=rf: ivf_quantized_search(
-                centroids, coded_postings, grid_q, means,
-                k=args.k, nprobe=np_, rerank_factor=rf_))
-    for nprobe, rf in ((16, 2), (16, 4), (32, 2), (32, 4), (64, 4)):
-        run(f"sq4 nprobe={nprobe} rerank={rf}",
-            lambda np_=nprobe, rf_=rf: ivf_sq4_search(
-                centroids, coded_postings, grid_q, ranges,
-                k=args.k, nprobe=np_, rerank_factor=rf_))
+    if "ivf" in tiers:
+        for nprobe in (4, 8, 16, 32, 64):
+            run(f"ivf nprobe={nprobe}",
+                lambda np_=nprobe: ivf_search(centroids, coded_postings, grid_q,
+                                              k=args.k, nprobe=np_))
+    if "signbit" in tiers:
+        for nprobe, rf in ((16, 16), (32, 8), (32, 16), (32, 32), (64, 16), (64, 32)):
+            run(f"signbit nprobe={nprobe} rerank={rf}",
+                lambda np_=nprobe, rf_=rf: ivf_quantized_search(
+                    centroids, coded_postings, grid_q, means,
+                    k=args.k, nprobe=np_, rerank_factor=rf_))
+    if "sq4" in tiers:
+        for nprobe, rf in ((16, 2), (16, 4), (32, 2), (32, 4), (64, 4)):
+            run(f"sq4 nprobe={nprobe} rerank={rf}",
+                lambda np_=nprobe, rf_=rf: ivf_sq4_search(
+                    centroids, coded_postings, grid_q, ranges,
+                    k=args.k, nprobe=np_, rerank_factor=rf_))
+    if "pq" in tiers:
+        from chroma_spark.ann.pq import ivf_pq_search
+
+        for nprobe, rf in ((8, 4), (8, 8), (16, 4), (16, 8), (32, 8)):
+            run(f"pq nprobe={nprobe} rerank={rf}",
+                lambda np_=nprobe, rf_=rf: ivf_pq_search(
+                    centroids, coded_postings, grid_q, books,
+                    k=args.k, nprobe=np_, rerank_factor=rf_))
 
     # ---- single-query latency at a standard operating point ------------
     one_q = queries_all.filter(F.col("query_id") == 0)
@@ -168,6 +202,12 @@ def main() -> None:
     print(f"single-query ivf nprobe=32: {t_one:.2f}s", flush=True)
 
     out = os.path.join(BASE, f"results_{tag}.json")
+    if os.path.exists(out):  # merge with a prior partial sweep
+        with open(out) as f:
+            prior = json.load(f)
+        seen = {r["config"] for r in results["grid"]}
+        results["grid"] = [r for r in prior.get("grid", []) if r["config"] not in seen] + results["grid"]
+        results["timings"] = {**prior.get("timings", {}), **results["timings"]}
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"\nwrote {out}\n")
