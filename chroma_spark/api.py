@@ -761,13 +761,15 @@ class Collection:
         brute-forces only the WAL tail written after the build
         (merged via knn_merge, ``operators/knn_merge.rs:43``).
 
-        ``quantized`` picks the code tier, mirroring the reference's 1-bit
-        + 4-bit RaBitQ pair (rust/index/src/quantization/mod.rs):
-        ``"sign"``/``True`` packs sign-bit codes (Hamming prefilter;
-        rerank_factor defaults to 24), ``"sq4"`` packs 4-bit scalar codes
-        with per-dim corrective (lo, step) (ADC prefilter; rerank_factor
-        defaults to 4 — the tighter prefilter needs far fewer re-rank
-        candidates at the same recall bar)."""
+        ``quantized`` picks the code tier, mirroring the reference's
+        1-bit..multi-bit RaBitQ spectrum (rust/index/src/quantization/
+        mod.rs): ``"sign"``/``True`` packs sign-bit codes (Hamming
+        prefilter; rerank_factor defaults to 24), ``"sq4"`` packs 4-bit
+        scalar codes with per-dim corrective (lo, step) (ADC prefilter;
+        rerank_factor defaults to 4), ``"pq"`` trains product-quantization
+        codebooks (dim/8 subspaces, 256 codes each — m bytes/vector; LUT
+        ADC prefilter; rerank_factor defaults to 8). PQ codebooks persist
+        beside the layout (``pq_books.json``), not in the catalog."""
         import os as _os
 
         from .ann.ivf import build_ivf, write_ivf
@@ -788,8 +790,10 @@ class Collection:
             quantized = cfg.get("quantized", False)
         if quantized is True:
             quantized = "sign"
-        if quantized not in (False, "sign", "sq4"):
-            raise CollectionError(f"unknown quantization tier {quantized!r}; use 'sign' or 'sq4'")
+        if quantized not in (False, "sign", "sq4", "pq"):
+            raise CollectionError(
+                f"unknown quantization tier {quantized!r}; use 'sign', 'sq4' or 'pq'"
+            )
         # bulk build: GEMM assignment (ivf._assign_arrow) — the expression
         # form is O(N * n_lists) interpreted array distances, hours at SIFT1M+
         centroids, postings = build_ivf(
@@ -826,6 +830,21 @@ class Collection:
             desc["sq4_lo"] = [float(x) for x in lo]
             desc["sq4_step"] = [float(x) for x in step]
             desc["rerank_factor"] = int(rerank_factor or 4)
+        elif quantized == "pq":
+            import json as _json
+
+            from .ann.pq import encode_pq, train_pq
+
+            dim = len(records.select("embedding").first()["embedding"])
+            if dim % 8 != 0:
+                raise CollectionError(f"pq tier needs dim divisible by 8, got {dim}")
+            books = train_pq(records, m=dim // 8, k_codes=256)
+            postings = encode_pq(postings, books)
+            _os.makedirs(path, exist_ok=True)
+            with open(_os.path.join(path, "pq_books.json"), "w") as f:
+                _json.dump(books, f)
+            desc["pq"] = {"m": dim // 8, "k_codes": 256}
+            desc["rerank_factor"] = int(rerank_factor or 8)
         postings = postings.withColumn("__epoch", F.lit(meta.version).cast("long"))
         write_ivf(centroids, postings, path)
         meta.vector_index = desc
@@ -860,6 +879,8 @@ class Collection:
                 tier = "sign"
             elif vi is not None and vi.get("sq4_lo") is not None:
                 tier = "sq4"
+            elif vi is not None and vi.get("pq") is not None:
+                tier = "pq"
             return self.build_vector_index(
                 n_lists=vi.get("n_lists") if vi else None,
                 quantized=tier,
@@ -905,6 +926,8 @@ class Collection:
                 assigned, _ = build_codes4(
                     assigned, ranges=(list(vi["sq4_lo"]), list(vi["sq4_step"]))
                 )
+            elif vi.get("pq") is not None:
+                assigned = self._encode_pq_delta(assigned, vi)
             assigned = assigned.withColumn("__epoch", F.lit(meta.version).cast("long"))
             append_ivf_postings(assigned, vi["path"])
         meta.vector_index = {
@@ -915,6 +938,20 @@ class Collection:
         }
         self._store.catalog.update(meta)
         return meta.vector_index
+
+    def _pq_books(self, vi: dict) -> "list":
+        """Codebooks persisted beside the layout (too big for the catalog
+        JSON; the delta encoder and the query LUT both need them)."""
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(vi["path"], "pq_books.json")) as f:
+            return _json.load(f)
+
+    def _encode_pq_delta(self, assigned: DataFrame, vi: dict) -> DataFrame:
+        from .ann.pq import encode_pq
+
+        return encode_pq(assigned, self._pq_books(vi))
 
     def _load_vector_index(self) -> tuple[DataFrame, DataFrame]:
         """(centroids, live postings) for the registered vector index.
@@ -1505,6 +1542,21 @@ class Collection:
                 k=k,
                 nprobe=probes,
                 rerank_factor=int(vi.get("rerank_factor", 4)),
+                space=vi.get("space", meta.space),
+                allowed_ids=allowed,
+                excluded_ids=touched,
+            )
+        elif vi.get("pq") is not None:
+            from .ann.pq import ivf_pq_search
+
+            index_top = ivf_pq_search(
+                centroids,
+                postings,
+                qdf,
+                self._pq_books(vi),
+                k=k,
+                nprobe=probes,
+                rerank_factor=int(vi.get("rerank_factor", 8)),
                 space=vi.get("space", meta.space),
                 allowed_ids=allowed,
                 excluded_ids=touched,

@@ -773,7 +773,45 @@ def test_sq4_index_lifecycle_and_incremental_maintenance(client):
     assert col.query([embs[7]], n_results=1)["ids"][0] == ["s7"]
 
     with pytest.raises(CollectionError, match="quantization tier"):
-        col.build_vector_index(quantized="pq")
+        col.build_vector_index(quantized="rabitq")
+
+
+def test_pq_index_lifecycle_and_incremental_maintenance(client):
+    """quantized='pq' registers the product-quantization tier: codebooks
+    persist beside the layout (not the catalog), queries serve via LUT-ADC
+    + re-rank, and compaction appends deltas encoded with the TRAINED
+    codebooks."""
+    import os
+    import random
+
+    col = client.create_collection("vpq", dimension=8, space="l2")
+    rnd = random.Random(29)
+    ids = [f"p{i}" for i in range(40)]
+    embs = [[rnd.random() for _ in range(8)] for _ in ids]
+    col.add(ids=ids, embeddings=embs)
+    vi = col.build_vector_index(n_lists=3, quantized="pq")
+    assert vi["rerank_factor"] == 8 and vi["pq"]["m"] == 1
+    assert "means" not in vi and "sq4_lo" not in vi
+    assert os.path.exists(os.path.join(vi["path"], "pq_books.json"))
+    assert col.query([embs[7]], n_results=1)["ids"][0] == ["p7"]
+
+    # WAL tail merges; then compaction appends with the trained codebooks
+    col.add(ids=["zz"], embeddings=[[2.0] * 8])
+    assert col.query([[2.0] * 8], n_results=1)["ids"][0] == ["zz"]
+    col.compact()
+    vi2 = col._store.meta.vector_index
+    assert vi2["trained_version"] == vi["trained_version"]
+    assert col.query([[2.0] * 8], n_results=1)["ids"][0] == ["zz"]
+    assert col.query([embs[7]], n_results=1)["ids"][0] == ["p7"]
+    # appended delta rows carry pq codes (encoded with trained books)
+    postings = col._load_vector_index()[1]
+    assert postings.filter("pq_code is null").count() == 0
+
+    # dim not divisible by 8 -> clean refusal
+    col8 = client.create_collection("vpq_dim", dimension=4, space="l2")
+    col8.add(ids=["a"], embeddings=[[0.1, 0.2, 0.3, 0.4]])
+    with pytest.raises(CollectionError, match="divisible by 8"):
+        col8.build_vector_index(quantized="pq")
 
 
 def test_incremental_maintenance_soak_many_cycles(client, spark):
