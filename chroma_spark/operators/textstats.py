@@ -10,7 +10,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import BPE_TOKEN_RE, md5_long, md5_long_sql, sql_lit, tokens, tokens_sql
+from ..functions.text import (
+    BPE_TOKEN_RE,
+    md5_long,
+    md5_long_sql,
+    sql_lit,
+    tokens,
+    tokens_sql,
+    word_ngrams,
+)
 
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 _LANG_MARKERS = {
@@ -263,3 +271,260 @@ SELECT id, CAST(chunk_idx AS INT) AS chunk_idx,
        array_to_string(list_slice(toks, chunk_idx * {stride} + 1, chunk_idx * {stride} + {chunk_tokens}), ' ') AS chunk,
        CAST(len(list_slice(toks, chunk_idx * {stride} + 1, chunk_idx * {stride} + {chunk_tokens})) AS INT) AS n_tokens
 FROM __c"""
+
+
+# ---------------------------------------------------------------------------
+# Repetition stats + Gopher-style quality gate (public filters from Rae et
+# al. 2021 "Scaling Language Models", Appendix A — the standard pre-train
+# corpus hygiene rules). Repetition works in long format (explode ->
+# groupBy(id, unit)) so the shuffles are keyed by (doc, unit) — no per-doc
+# quadratic expressions, no skew beyond single-document size; scale-safe at
+# 100 TB. The quality gate is pure column expressions.
+# ---------------------------------------------------------------------------
+
+
+def _lines(text_col: str) -> F.Column:
+    return F.filter(F.split(F.col(text_col), "\n"), lambda l: l != F.lit(""))
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "document",
+    id_col: str = "id",
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Per-doc repetition signals:
+
+    - ``dup_line_frac`` / ``dup_line_char_frac``: fraction of (non-empty)
+      lines, and of their characters, belonging to a line that occurs more
+      than once in the document.
+    - ``top_ngram_char_frac``: characters covered by the single most
+      frequent word ``top_n``-gram (ties: lexicographically smallest) over
+      all ``top_n``-gram characters.
+    - ``dup_ngram_char_frac``: characters in word ``dup_n``-grams occurring
+      more than once, over all ``dup_n``-gram characters.
+
+    Docs with no lines / too few tokens report 0.0 for that signal.
+    """
+    base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+
+    lines = base.select("id", F.explode(_lines("__text")).alias("line"))
+    lc = lines.groupBy("id", "line").agg(F.count("*").alias("c"))
+    dup = F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))
+    lagg = lc.groupBy("id").agg(
+        F.sum("c").alias("__n"),
+        F.sum(F.col("c") * F.length("line")).alias("__tc"),
+        F.sum(dup).alias("__dn"),
+        F.sum(dup * F.length("line")).alias("__dc"),
+    )
+
+    def gram_agg(n: int, top: bool):
+        grams = base.select(
+            "id", F.explode(word_ngrams(tokens(F.col("__text")), n)).alias("g")
+        )
+        gc = grams.groupBy("id", "g").agg(F.count("*").alias("c"))
+        total = F.sum(F.col("c") * F.length("g")).alias("__gt")
+        if top:
+            # top gram by (count desc, gram asc): min of (-count, gram)
+            best = F.min(F.struct((-F.col("c")).alias("nc"), F.col("g").alias("g"))).alias("__b")
+            agg = gc.groupBy("id").agg(total, best)
+            val = (-F.col("__b.nc")).cast("double") * F.length("__b.g") / F.col("__gt")
+            return agg.select("id", val.alias("__topf"))
+        gdup = F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))
+        agg = gc.groupBy("id").agg(total, F.sum(gdup * F.length("g")).alias("__gd"))
+        return agg.select("id", (F.col("__gd").cast("double") / F.col("__gt")).alias("__dupf"))
+
+    r = lambda c: F.round(F.coalesce(c, F.lit(0.0)), 6) + F.lit(0.0)  # noqa: E731
+    return (
+        base.select("id")
+        .join(lagg, "id", "left")
+        .join(gram_agg(top_n, True), "id", "left")
+        .join(gram_agg(dup_n, False), "id", "left")
+        .select(
+            "id",
+            r(F.col("__dn").cast("double") / F.col("__n")).alias("dup_line_frac"),
+            r(F.col("__dc").cast("double") / F.col("__tc")).alias("dup_line_char_frac"),
+            r(F.col("__topf")).alias("top_ngram_char_frac"),
+            r(F.col("__dupf")).alias("dup_ngram_char_frac"),
+        )
+    )
+
+
+def repetition_stats_sql(
+    docs_sql: str,
+    text_col: str = "document",
+    id_col: str = "id",
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> str:
+    from ..functions.text import word_ngrams_sql
+
+    toks = tokens_sql("__text")
+    return f"""
+WITH __base AS (
+  SELECT "{id_col}" AS id, "{text_col}" AS __text FROM ({docs_sql})
+),
+__lines AS (
+  SELECT id, unnest(list_filter(string_split(__text, chr(10)), l -> l != '')) AS line
+  FROM __base
+),
+__lc AS (SELECT id, line, count(*) AS c FROM __lines GROUP BY id, line),
+__lagg AS (
+  SELECT id, sum(c) AS n, sum(c * length(line)) AS tc,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dn,
+         sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dc
+  FROM __lc GROUP BY id
+),
+__tg AS (
+  SELECT id, unnest({word_ngrams_sql(toks, top_n)}) AS g FROM __base
+),
+__tgc AS (SELECT id, g, count(*) AS c FROM __tg GROUP BY id, g),
+__tgr AS (
+  SELECT id, g, c, row_number() OVER (PARTITION BY id ORDER BY c DESC, g ASC) AS rn
+  FROM __tgc
+),
+__tga AS (
+  SELECT s.id, s.gt, w.topcov
+  FROM (SELECT id, sum(c * length(g)) AS gt FROM __tgc GROUP BY id) s
+  JOIN (SELECT id, CAST(c AS DOUBLE) * length(g) AS topcov FROM __tgr WHERE rn = 1) w
+    ON s.id = w.id
+),
+__dg AS (
+  SELECT id, unnest({word_ngrams_sql(toks, dup_n)}) AS g FROM __base
+),
+__dgc AS (SELECT id, g, count(*) AS c FROM __dg GROUP BY id, g),
+__dga AS (
+  SELECT id, sum(c * length(g)) AS gt,
+         sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS gd
+  FROM __dgc GROUP BY id
+)
+SELECT b.id,
+       (round(coalesce(CAST(l.dn AS DOUBLE) / l.n, 0.0), 6) + 0.0) AS dup_line_frac,
+       (round(coalesce(CAST(l.dc AS DOUBLE) / l.tc, 0.0), 6) + 0.0) AS dup_line_char_frac,
+       (round(coalesce(t.topcov / t.gt, 0.0), 6) + 0.0) AS top_ngram_char_frac,
+       (round(coalesce(CAST(d.gd AS DOUBLE) / d.gt, 0.0), 6) + 0.0) AS dup_ngram_char_frac
+FROM __base b
+LEFT JOIN __lagg l ON b.id = l.id
+LEFT JOIN __tga t ON b.id = t.id
+LEFT JOIN __dga d ON b.id = d.id"""
+
+
+def gopher_quality(
+    docs: DataFrame,
+    text_col: str = "document",
+    id_col: str = "id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style quality gate (Rae et al. 2021 Appendix A rules, the
+    public pre-train filter set): per-doc signals + a single ``passes``
+    verdict. Pure column expressions — no shuffle, no Python.
+
+    Signals: word count bounds, mean word length in [3, 10], symbol-to-word
+    ratio (# and ... ) < 0.1, < 90% of lines bullet-led, < 30% of lines
+    ellipsis-ended, > 80% of words contain an alphabetic character, and at
+    least 2 distinct common stopwords present.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    nd = n.cast("double")
+    mean_len = (
+        F.aggregate(F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x)
+        .cast("double") / nd
+    )
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ell = (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / F.lit(3)
+    symbol_ratio = (n_hash + n_ell).cast("double") / nd
+    lines = _lines(text_col)
+    n_lines = F.size(lines)
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.trim(l).startswith("-")
+                | F.trim(l).startswith("*")
+                | F.trim(l).startswith("•"),
+            )
+        ).cast("double") / n_lines.cast("double")
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: F.trim(l).endswith("..."))).cast("double")
+        / n_lines.cast("double")
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / nd
+    )
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in EN_STOPWORDS])))
+    passes = (
+        (n >= min_words)
+        & (n <= max_words)
+        & (mean_len >= 3.0)
+        & (mean_len <= 10.0)
+        & (symbol_ratio < 0.1)
+        & (F.coalesce(bullet_frac, F.lit(0.0)) < 0.9)
+        & (F.coalesce(ellipsis_frac, F.lit(0.0)) < 0.3)
+        & (alpha_frac > 0.8)
+        & (n_stop >= 2)
+    )
+    r = lambda c: F.round(F.coalesce(c, F.lit(0.0)), 6) + F.lit(0.0)  # noqa: E731
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n.cast("bigint").alias("n_words"),
+        r(mean_len).alias("mean_word_len"),
+        r(symbol_ratio).alias("symbol_ratio"),
+        r(bullet_frac).alias("bullet_frac"),
+        r(ellipsis_frac).alias("ellipsis_frac"),
+        r(alpha_frac).alias("alpha_frac"),
+        n_stop.cast("bigint").alias("n_stopwords"),
+        passes.alias("passes"),
+    )
+
+
+def gopher_quality_sql(
+    docs_sql: str,
+    text_col: str = "document",
+    id_col: str = "id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> str:
+    toks = tokens_sql(f'"{text_col}"')
+    stop = _sql_set(EN_STOPWORDS)
+    text = f'coalesce("{text_col}", \'\')'
+    lines = f"list_filter(string_split({text}, chr(10)), l -> l != '')"
+    return f"""
+WITH __g AS (
+  SELECT "{id_col}" AS id,
+         len({toks}) AS n,
+         CAST(list_sum(list_transform({toks}, t -> length(t))) AS DOUBLE)
+           / len({toks}) AS mean_len,
+         CAST((length({text}) - length(replace({text}, '#', '')))
+              + (length({text}) - length(replace({text}, '...', ''))) / 3
+              AS DOUBLE) / len({toks}) AS symbol_ratio,
+         CAST(len(list_filter({lines},
+              l -> starts_with(trim(l), '-') OR starts_with(trim(l), '*')
+                   OR starts_with(trim(l), chr(8226)))) AS DOUBLE)
+           / len({lines}) AS bullet_frac,
+         CAST(len(list_filter({lines}, l -> ends_with(trim(l), '...'))) AS DOUBLE)
+           / len({lines}) AS ellipsis_frac,
+         CAST(len(list_filter({toks}, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+           / len({toks}) AS alpha_frac,
+         len(list_intersect(list_distinct({toks}), [{stop}])) AS n_stop
+  FROM ({docs_sql})
+)
+SELECT id,
+       CAST(n AS BIGINT) AS n_words,
+       (round(coalesce(mean_len, 0.0), 6) + 0.0) AS mean_word_len,
+       (round(coalesce(symbol_ratio, 0.0), 6) + 0.0) AS symbol_ratio,
+       (round(coalesce(bullet_frac, 0.0), 6) + 0.0) AS bullet_frac,
+       (round(coalesce(ellipsis_frac, 0.0), 6) + 0.0) AS ellipsis_frac,
+       (round(coalesce(alpha_frac, 0.0), 6) + 0.0) AS alpha_frac,
+       CAST(n_stop AS BIGINT) AS n_stopwords,
+       (n >= {min_words} AND n <= {max_words}
+        AND mean_len >= 3.0 AND mean_len <= 10.0
+        AND symbol_ratio < 0.1
+        AND coalesce(bullet_frac, 0.0) < 0.9
+        AND coalesce(ellipsis_frac, 0.0) < 0.3
+        AND alpha_frac > 0.8 AND n_stop >= 2) AS passes
+FROM __g"""

@@ -1021,6 +1021,14 @@ def _register_textstats() -> None:
         lambda spark, sf_dir: T.fingerprints(_docs_df(spark, sf_dir)),
         T.fingerprints_sql(_DOCS_SQL),
     )
+    QUERIES["text_repetition"] = Query(
+        lambda spark, sf_dir: T.repetition_stats(_docs_df(spark, sf_dir)),
+        T.repetition_stats_sql(_DOCS_SQL),
+    )
+    QUERIES["text_gopher_quality"] = Query(
+        lambda spark, sf_dir: T.gopher_quality(_docs_df(spark, sf_dir)),
+        T.gopher_quality_sql(_DOCS_SQL),
+    )
 
 
 _register_textstats()

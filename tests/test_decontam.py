@@ -193,3 +193,46 @@ def test_contamination_filter_composes(spark):
     contaminated = ngram_contamination(train, eval_set, n=4)
     clean = train.join(contaminated, "id", "anti")
     assert [r.id for r in clean.collect()] == ["t2"]
+
+
+def test_repetition_stats_known_values(spark):
+    """Handcrafted docs with known duplicate structure pin the semantics."""
+    from chroma_spark.operators.textstats import repetition_stats
+
+    doc = "aa bb\naa bb\ncc dd ee"  # line 'aa bb' twice (5 chars), 'cc dd ee' once (8)
+    df = spark.createDataFrame(
+        [("d1", doc), ("d2", "one two three four five six"), ("d3", ""), ("d4", None)],
+        "id STRING, document STRING",
+    )
+    rows = {r.id: r for r in repetition_stats(df, dup_n=2).collect()}
+    r1 = rows["d1"]
+    assert r1.dup_line_frac == round(2 / 3, 6)
+    assert r1.dup_line_char_frac == round(10 / 18, 6)
+    # 2-grams of [aa bb aa bb cc dd ee]: 'aa bb' x2, 'bb aa', 'bb cc', 'cc dd', 'dd ee'
+    # top gram 'aa bb': 2*5 chars of total 2*5+5+5+5+5 = 30
+    assert r1.top_ngram_char_frac == round(10 / 30, 6)
+    assert r1.dup_ngram_char_frac == round(10 / 30, 6)
+    r2 = rows["d2"]  # no repetition at all
+    assert r2.dup_line_frac == 0.0 and r2.dup_ngram_char_frac == 0.0
+    assert r2.top_ngram_char_frac > 0  # some gram is the top one
+    # empty / null docs report zeros, not nulls or missing rows
+    for d in ("d3", "d4"):
+        r = rows[d]
+        assert (r.dup_line_frac, r.top_ngram_char_frac, r.dup_ngram_char_frac) == (0.0, 0.0, 0.0)
+
+
+def test_gopher_quality_gate(spark):
+    from chroma_spark.operators.textstats import gopher_quality
+
+    good = "the quick brown fox jumps over it and the dog is in a field of grass " * 5
+    bullets = "\n".join("- item " + str(i) for i in range(20))
+    symbols = "#tag " * 80
+    df = spark.createDataFrame(
+        [("good", good), ("bullets", bullets), ("symbols", symbols), ("short", "too short")],
+        "id STRING, document STRING",
+    )
+    rows = {r.id: r for r in gopher_quality(df, min_words=20).collect()}
+    assert rows["good"].passes
+    assert not rows["bullets"].passes and rows["bullets"].bullet_frac == 1.0
+    assert not rows["symbols"].passes and rows["symbols"].symbol_ratio >= 0.1
+    assert not rows["short"].passes and rows["short"].n_words == 2
