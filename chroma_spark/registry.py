@@ -2023,6 +2023,7 @@ _MEASURE_LAST = [
     "knn_l2_exact",  # l2 measured end-to-end by the ann_*_fixed oracles
     "doc_fingerprint",  # md5 fingerprint machinery measured via dedup_exact_prefix
     "embed_bm25_doc_vectors",  # EF weights pytest-pinned vs inline bm25_topk (measured)
+    "embed_hash_knn",  # EF+knn capability measured via embed_jl_knn (and BENCH times it)
     # Trained-ANN forms: k-means is not SQL-expressible, so the driver can only
     # record a weaker no-oracle row for these. Recall >= 0.95 is pytest-enforced
     # (tests/test_ann.py); the oracle-backed ann_*_fixed_* twins above cover the
