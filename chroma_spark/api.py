@@ -30,6 +30,7 @@ from .sources.collection import (
     CollectionStore,
     StaleReadError,
 )
+from .quota import Action, AllowAllQuotaEnforcer, QuotaPayload
 from .schema import Schema
 from .sources.log import materialize
 from .where import where_doc_to_column, where_to_column
@@ -57,10 +58,16 @@ class Client:
         root: str,
         tenant: str = DEFAULT_TENANT,
         database: str = DEFAULT_DATABASE,
+        quota_enforcer=None,
+        rate_limiter=None,
     ) -> None:
         self.spark = spark
         self.catalog = Catalog(root)
         self.tenant, self.database = tenant, database
+        # frontend admission control (quota.py; rust/frontend/src/quota):
+        # rate check first, then usage measurement — default allows all
+        self.quota_enforcer = quota_enforcer or AllowAllQuotaEnforcer()
+        self.rate_limiter = rate_limiter
         if tenant == DEFAULT_TENANT:
             self.catalog.create_tenant(tenant, get_or_create=True)
             if database == DEFAULT_DATABASE:
@@ -68,12 +75,24 @@ class Client:
         if not self.catalog.has_database(tenant, database):
             raise CollectionError(f"database {database!r} in tenant {tenant!r} does not exist")
 
+    def _enforce(self, action: Action, **fields) -> None:
+        """Admission control for one API call: rate bucket, then quota
+        measurement (quota/mod.rs:465-474 enforce; server middleware order)."""
+        if self.rate_limiter is not None:
+            self.rate_limiter.check(self.tenant, action)
+        self.quota_enforcer.enforce(QuotaPayload(action=action, tenant=self.tenant, **fields))
+
     # -- admin surface -------------------------------------------------
 
     def create_tenant(self, name: str) -> None:
         self.catalog.create_tenant(name)
 
     def create_database(self, name: str, tenant: str | None = None) -> None:
+        self._enforce(
+            Action.CREATE_DATABASE,
+            collection_name=name,
+            num_databases=len(self.catalog.list_databases(tenant or self.tenant)) + 1,
+        )
         self.catalog.create_database(tenant or self.tenant, name)
 
     def list_tenants(self) -> list[str]:
@@ -101,6 +120,15 @@ class Client:
         reference stores the EF name in configuration_json) — when set,
         ``add``/``upsert`` auto-embed documents and ``query`` accepts
         ``query_texts``."""
+        self._enforce(
+            Action.CREATE_COLLECTION,
+            collection_name=name,
+            metadatas=[metadata] if metadata else None,
+            num_collections=sum(
+                1 for n in self.catalog.list() if n.startswith(f"{self.tenant}/{self.database}/")
+            )
+            + 1,
+        )
         md = dict(metadata or {})
         if embedding_function is not None:
             from .functions.embedding import get_embedding_function
@@ -132,6 +160,7 @@ class Client:
         self.catalog.drop(self._scoped(name))
 
     def list_collections(self) -> list[str]:
+        self._enforce(Action.LIST_COLLECTIONS)
         prefix = f"{self.tenant}/{self.database}/"
         return [n[len(prefix):] for n in self.catalog.list() if n.startswith(prefix)]
 
@@ -160,6 +189,11 @@ class Collection:
     def modify(self, name: str | None = None, metadata: dict | None = None) -> None:
         """Rename and/or replace collection metadata
         (Collection.modify in the reference client)."""
+        self._client._enforce(
+            Action.UPDATE_COLLECTION,
+            collection_name=name,
+            metadatas=[metadata] if metadata else None,
+        )
         meta = self._store.meta
         if metadata is not None:
             meta.metadata = dict(metadata)
@@ -212,6 +246,10 @@ class Collection:
         The dup check is a broadcast semi-join of the incoming id batch
         against the snapshot — only the (<= 5) offending ids ever reach the
         driver, so add() scales to any collection size."""
+        self._client._enforce(
+            Action.ADD, ids=ids, embeddings=embeddings, documents=documents,
+            uris=uris, metadatas=metadatas,
+        )
         snap = self.snapshot()
         if snap is not None:
             ids_df = self._client.spark.createDataFrame(
@@ -387,9 +425,17 @@ class Collection:
         return int(row["n"])
 
     def update(self, ids, embeddings=None, documents=None, uris=None, metadatas=None) -> None:
+        self._client._enforce(
+            Action.UPDATE, ids=ids, embeddings=embeddings, documents=documents,
+            uris=uris, metadatas=metadatas,
+        )
         self._append("UPDATE", ids, self._auto_embed(embeddings, documents), documents, uris, metadatas)
 
     def upsert(self, ids, embeddings=None, documents=None, uris=None, metadatas=None) -> None:
+        self._client._enforce(
+            Action.UPSERT, ids=ids, embeddings=embeddings, documents=documents,
+            uris=uris, metadatas=metadatas,
+        )
         self._append("UPSERT", ids, self._auto_embed(embeddings, documents), documents, uris, metadatas)
 
     def delete(self, ids=None, where=None, where_document=None) -> None:
@@ -403,6 +449,9 @@ class Collection:
         id collection at any collection size."""
         if ids is None and where is None and where_document is None:
             raise CollectionError("delete() requires ids, where, or where_document")
+        self._client._enforce(
+            Action.DELETE, ids=ids, where=where, where_document=where_document
+        )
         if where is None and where_document is None:
             self._append("DELETE", ids, None, None, None, None)
             return
@@ -1288,6 +1337,18 @@ class Collection:
         """Zero-copy clone at the current version (Collection.py:329):
         the child references the parent's part files; new writes diverge."""
         parent = self._store.meta
+        # NumForks (quota/mod.rs:311): forks share the root's base part
+        # files, so count live collections referencing any of them
+        shared = set(parent.base_paths)
+        num_forks = sum(
+            1
+            for other in self._store.catalog.list()
+            if other != self._store.name
+            and shared & set(self._store.catalog.get(other).base_paths)
+        )
+        self._client._enforce(
+            Action.FORK_COLLECTION, collection_name=name, num_forks=num_forks + 1
+        )
         child = CollectionMeta(
             name=self._client._scoped(name),
             id=uuid.uuid4().hex,
@@ -1328,6 +1389,10 @@ class Collection:
         include: Sequence[str] = ("documents", "metadatas"),
         read_level: str = "index_and_wal",
     ) -> list[dict]:
+        self._client._enforce(
+            Action.GET, query_ids=ids, where=where, where_document=where_document,
+            limit=limit,
+        )
         self._validate_indexed(where, where_document)
         snap = self.snapshot(read_level)
         if snap is None:
@@ -1389,6 +1454,10 @@ class Collection:
         knn_log + knn_hnsw -> knn_merge pipeline, SURVEY §3.2). Falls back
         to the exact scan when no fresh index exists or predicate deletes
         are pending in the tail."""
+        self._client._enforce(
+            Action.QUERY, query_embeddings=query_embeddings, query_ids=ids,
+            where=where, where_document=where_document, n_results=n_results,
+        )
         if query_embeddings is None:
             if query_texts is None:
                 raise CollectionError("one of query_embeddings / query_texts is required")
@@ -1588,6 +1657,15 @@ class Collection:
 
     def search(self, read_level: str = "index_and_wal", **payload) -> DataFrame:
         """Hybrid search (Search payload of SURVEY §3.2) as a DataFrame."""
+        self._client._enforce(
+            Action.SEARCH,
+            where=payload.get("where"),
+            where_document=payload.get("where_document"),
+            rank=payload.get("rank"),
+            limit=(payload.get("limit") or {}).get("limit")
+            if isinstance(payload.get("limit"), dict)
+            else payload.get("limit"),
+        )
         self._validate_indexed(payload.get("where"), payload.get("where_document"))
         payload = dict(payload)
         if payload.get("rank") is not None:
