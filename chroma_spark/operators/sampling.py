@@ -77,3 +77,82 @@ def hash_sample_sql(
         f"SELECT * FROM ({src_sql}) "
         f"WHERE {h} % {_M} < CAST(round(CAST(({r}) AS DOUBLE) * {_M}) AS BIGINT)"
     )
+
+
+def mix_to_proportions(
+    df: DataFrame,
+    proportions: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "id",
+    salt: str = "",
+) -> DataFrame:
+    """Resample listed groups to target mixing proportions, keeping the
+    largest corpus the targets allow.
+
+    ``proportions`` maps group value -> target weight (ratios matter, not
+    the absolute scale). With per-group counts ``n_g``, the max total obeying
+    the targets is ``T = min_g(n_g / w_g)`` (the binding group is kept
+    whole); each group keeps a deterministic md5-hash sample at rate
+    ``(T * w_g) / n_g``. Groups not listed are dropped.
+
+    Per-group counts are a single partial-aggregated count over the scan —
+    ``len(proportions)`` rows reach the driver (a config-sized, bounded
+    collect), the rates become plan literals, and the big side is then one
+    shuffle-free hash-filter scan (same shape as :func:`hash_sample`).
+    Rates are computed as ``(T * w) / n`` on IEEE doubles in both engines,
+    so the md5-threshold decision is bit-identical to the SQL twin."""
+    if not proportions:
+        raise ValueError("proportions must be non-empty")
+    keys = sorted(proportions)
+    counts = {
+        r[group_col]: r["n"]
+        for r in df.filter(F.col(group_col).isin(keys))
+        .groupBy(group_col)
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    present = [g for g in keys if counts.get(g)]
+    if not present:
+        return df.filter(F.lit(False))
+    t = min(float(counts[g]) / float(proportions[g]) for g in present)
+    rates = {g: (t * float(proportions[g])) / float(counts[g]) for g in present}
+    return hash_sample(
+        df,
+        rates_by_group=rates,
+        default_rate=0.0,
+        group_col=group_col,
+        id_col=id_col,
+        salt=salt,
+    )
+
+
+def mix_to_proportions_sql(
+    src_sql: str,
+    proportions: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "id",
+    salt: str = "",
+) -> str:
+    """Standalone SQL twin: derives counts, T, and per-group rates inside
+    the query with the same double-precision expression order."""
+    if not proportions:
+        raise ValueError("proportions must be non-empty")
+    weights = ", ".join(
+        f"({sql_lit(g)}, {float(w)!r})" for g, w in sorted(proportions.items())
+    )
+    h = md5_long_sql(f'{sql_lit(salt)} || CAST("{id_col}" AS VARCHAR)')
+    return f"""
+WITH __w(g, w) AS (VALUES {weights}),
+__n AS (
+  SELECT "{group_col}" AS g, CAST(count(*) AS DOUBLE) AS n
+  FROM ({src_sql}) WHERE "{group_col}" IN (SELECT g FROM __w)
+  GROUP BY "{group_col}"
+),
+__t AS (SELECT min(__n.n / __w.w) AS t FROM __n JOIN __w ON __n.g = __w.g),
+__r AS (
+  SELECT __n.g, ((SELECT t FROM __t) * __w.w) / __n.n AS rate
+  FROM __n JOIN __w ON __n.g = __w.g
+)
+SELECT s.* FROM ({src_sql}) s
+JOIN __r ON s."{group_col}" = __r.g
+WHERE {h} % {_M} < CAST(round(rate * {_M}) AS BIGINT)"""

@@ -18,6 +18,7 @@ from ..functions.text import (
     tokens,
     tokens_sql,
     word_ngrams,
+    word_ngrams_sql,
 )
 
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
@@ -528,3 +529,54 @@ SELECT id,
         AND coalesce(ellipsis_frac, 0.0) < 0.3
         AND alpha_frac > 0.8 AND n_stop >= 2) AS passes
 FROM __g"""
+
+
+def ngram_topk(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 50,
+    text_col: str = "document",
+    id_col: str = "id",
+) -> DataFrame:
+    """Corpus-level n-gram heavy hitters: the ``k`` most frequent word
+    n-grams, with total occurrence count and document frequency.
+
+    The standard corpus-analysis pass before boilerplate stripping /
+    dup-ngram filtering: the head of this list is what repetition filters
+    should be tuned against. One shuffle on the n-gram key with map-side
+    partial aggregation; the global top-k is a ``TakeOrdered`` over the
+    already-aggregated (distinct-ngram-sized) frame, so the full corpus is
+    scanned once and never re-sorted. Ordering is total
+    (count desc, doc_freq desc, ngram asc) so the cut is deterministic
+    across engines and cluster layouts."""
+    grams = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_ngrams(tokens(F.col(text_col)), n)).alias("ngram"),
+    )
+    agg = grams.groupBy("ngram").agg(
+        F.count("*").alias("cnt"),
+        F.count_distinct("__id").alias("doc_freq"),
+    )
+    return agg.orderBy(F.col("cnt").desc(), F.col("doc_freq").desc(), F.col("ngram")).limit(k)
+
+
+def ngram_topk_sql(
+    docs_sql: str,
+    n: int = 3,
+    k: int = 50,
+    text_col: str = "document",
+    id_col: str = "id",
+) -> str:
+    toks = tokens_sql(text_col)
+    return f"""
+WITH __t AS (
+  SELECT {id_col} AS __id, unnest({word_ngrams_sql(toks, n)}) AS ngram
+  FROM ({docs_sql})
+)
+SELECT ngram,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(count(DISTINCT __id) AS BIGINT) AS doc_freq
+FROM __t
+GROUP BY ngram
+ORDER BY cnt DESC, doc_freq DESC, ngram
+LIMIT {int(k)}"""

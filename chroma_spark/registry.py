@@ -1097,6 +1097,28 @@ def _register_decontam() -> None:
         chunk_documents_sql(_DOCS_SQL, chunk_tokens=16, overlap=4),
     )
 
+    # corpus n-gram heavy hitters (what repetition filters are tuned against)
+    from .operators.textstats import ngram_topk, ngram_topk_sql
+
+    QUERIES["ngram_topk"] = Query(
+        lambda spark, sf_dir: ngram_topk(_docs_df(spark, sf_dir), n=3, k=40),
+        ngram_topk_sql(_DOCS_SQL, n=3, k=40),
+    )
+
+    # resample sources to target mixing proportions, keeping the largest
+    # corpus the targets allow (binding source kept whole)
+    from .operators.sampling import mix_to_proportions, mix_to_proportions_sql
+
+    mix_targets = {"src1": 0.5, "src3": 0.3, "src5": 0.2}
+    QUERIES["mix_proportions"] = Query(
+        lambda spark, sf_dir: mix_to_proportions(
+            load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"), "source"),
+            proportions=mix_targets,
+            salt="mix2",
+        ),
+        mix_to_proportions_sql(docs_src_sql, proportions=mix_targets, salt="mix2"),
+    )
+
 
 _register_decontam()
 
@@ -2006,6 +2028,8 @@ _MEASURE_FIRST = [
     "embed_jl_knn",
 ]
 _MEASURE_LAST = [
+    "sample_stratified",  # hash-sampling machinery measured through mix_proportions
+    "events_hourly_window",  # event-time-window capability measured by events_sessionize
     "where_ne_absent_key",  # variant of where_ne_missing_key
     "where_cross_type_eq",  # variant of where_eq_shorthand
     "where_array_not_contains",  # variant of where_array_contains

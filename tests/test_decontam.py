@@ -236,3 +236,61 @@ def test_gopher_quality_gate(spark):
     assert not rows["bullets"].passes and rows["bullets"].bullet_frac == 1.0
     assert not rows["symbols"].passes and rows["symbols"].symbol_ratio >= 0.1
     assert not rows["short"].passes and rows["short"].n_words == 2
+
+
+def test_ngram_topk_counts_and_order(spark):
+    from chroma_spark.operators.textstats import ngram_topk
+
+    df = spark.createDataFrame(
+        [
+            ("d1", "a b c a b c x"),
+            ("d2", "a b c z z z"),
+            ("d3", "q r s"),
+        ],
+        "id STRING, document STRING",
+    )
+    rows = ngram_topk(df, n=3, k=3).collect()
+    # 'a b c' occurs 3 times (twice in d1, once in d2) across 2 docs
+    assert (rows[0].ngram, rows[0].cnt, rows[0].doc_freq) == ("a b c", 3, 2)
+    # remaining single-occurrence grams break ties lexicographically
+    assert [r.ngram for r in rows[1:]] == sorted(r.ngram for r in rows[1:])
+    assert all(r.cnt == 1 for r in rows[1:])
+
+
+def test_mix_to_proportions_targets_and_binding_group(spark):
+    from chroma_spark.operators.sampling import mix_to_proportions
+
+    rows = (
+        [(f"a{i}", "A") for i in range(400)]
+        + [(f"b{i}", "B") for i in range(100)]
+        + [(f"c{i}", "C") for i in range(300)]
+    )
+    df = spark.createDataFrame(rows, "id STRING, source STRING")
+    # B is binding: T = min(400/.5, 100/.25, 300/.25) = 400
+    out = mix_to_proportions(df, {"A": 0.5, "B": 0.25, "C": 0.25}, salt="s")
+    by_src = {r.source: r.n for r in out.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    assert by_src["B"] == 100  # binding group kept whole (rate exactly 1)
+    # others land near their targets (md5-uniform; generous tolerance)
+    assert abs(by_src["A"] - 200) <= 40
+    assert abs(by_src["C"] - 100) <= 30
+    # determinism: exact same subset on re-run
+    again = {r.id for r in mix_to_proportions(df, {"A": 0.5, "B": 0.25, "C": 0.25}, salt="s").collect()}
+    assert again == {r.id for r in out.collect()}
+
+
+def test_mix_to_proportions_drops_unlisted_and_handles_missing(spark):
+    from chroma_spark.operators.sampling import mix_to_proportions
+
+    df = spark.createDataFrame(
+        [("a1", "A"), ("a2", "A"), ("z1", "Z")], "id STRING, source STRING"
+    )
+    out = mix_to_proportions(df, {"A": 1.0}, salt="s").collect()
+    assert {r.source for r in out} == {"A"}  # Z dropped
+    # a listed-but-absent source doesn't zero everything out: it simply has
+    # no rows (matches the SQL twin, whose counts CTE has no row for it)
+    out2 = mix_to_proportions(df, {"A": 0.5, "GONE": 0.5}, salt="s")
+    assert {r.source for r in out2.collect()} <= {"A"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mix_to_proportions(df, {})
