@@ -722,6 +722,69 @@ class Collection:
                 log = log.withColumn(c, F.lit(None).cast(base_types[c]))
         return materialize(base, log, where_ops=where_ops)
 
+    # -- attached functions (reference: chromadb/api/functions.py:21-28,
+    # rust/worker/src/execution/functions/, run piggybacked on compaction
+    # via execute_task.rs) ---------------------------------------------
+
+    def attach_function(self, name: str, kind: str, **params) -> None:
+        """Persistently attach a derived computation; every subsequent
+        ``compact()`` runs it against the new state / log batch and writes
+        its output collection under ``fn_{name}/v{version}``.
+
+        ``kind`` ∈ statistics | record_counter | revision_history
+        (streaming/functions.py ``make_attached_function``); ``params``
+        must be JSON-serializable — they're stored in the collection config
+        exactly as the reference stores the function spec."""
+        from .streaming.functions import make_attached_function
+
+        make_attached_function(name, kind, **params)  # validate kind/params
+        meta = self._store.meta
+        fns = dict(meta.metadata.get("__functions__", {}))
+        self._client._enforce(
+            Action.ATTACH_FUNCTION,
+            collection_name=name,
+            num_functions=len(fns) + (0 if name in fns else 1),
+        )
+        fns[name] = {"kind": kind, "params": params}
+        meta.metadata["__functions__"] = fns
+        self._store.catalog.update(meta)
+
+    def detach_function(self, name: str) -> None:
+        meta = self._store.meta
+        fns = dict(meta.metadata.get("__functions__", {}))
+        if name not in fns:
+            raise CollectionError(f"no attached function named {name!r}")
+        del fns[name]
+        meta.metadata["__functions__"] = fns
+        self._store.catalog.update(meta)
+
+    def list_functions(self) -> dict[str, dict]:
+        return dict(self._store.meta.metadata.get("__functions__", {}))
+
+    def _attached_functions(self) -> list:
+        from .streaming.functions import make_attached_function
+
+        return [
+            make_attached_function(n, spec["kind"], **spec.get("params", {}))
+            for n, spec in sorted(self.list_functions().items())
+        ]
+
+    def read_function_output(self, name: str, version: int | None = None) -> DataFrame:
+        """Latest (or pinned-version) output collection of an attached
+        function."""
+        import os as _os
+
+        base = _os.path.join(self._store.catalog.root, self._store.name, f"fn_{name}")
+        if version is None:
+            versions = [
+                int(d[1:]) for d in (_os.listdir(base) if _os.path.isdir(base) else [])
+                if d.startswith("v") and d[1:].isdigit()
+            ]
+            if not versions:
+                raise CollectionError(f"function {name!r} has no output yet")
+            version = max(versions)
+        return self._client.spark.read.parquet(_os.path.join(base, f"v{version}"))
+
     def compact(self, attached: list | None = None, refresh_indexes: bool = True) -> int:
         """Fold the WAL into a new base version; returns the new version.
 
@@ -742,6 +805,8 @@ class Collection:
             return meta.version
         new_version = meta.version + 1
         path = self._store.write_base(snap, new_version)
+        # persistently-attached functions always run; ad-hoc ones compose
+        attached = [*self._attached_functions(), *(attached or [])]
         if attached:
             state = self._client.spark.read.parquet(path)
             import os as _os

@@ -83,6 +83,7 @@ class UsageType(str, Enum):
     REGEX_PATTERN_LENGTH = "regex_pattern_length"
     NUM_FORKS = "num_forks"
     NUM_RANK_KNN = "num_rank_knn"
+    NUM_FUNCTIONS = "num_functions"
 
 
 _LOGICAL = ("$and", "$or")
@@ -179,6 +180,7 @@ class QuotaPayload:
     num_collections: int | None = None
     num_databases: int | None = None
     num_forks: int | None = None
+    num_functions: int | None = None
 
     def usages(self) -> dict[UsageType, int]:
         """Derive every measurable usage from the payload. Only usages the
@@ -258,6 +260,8 @@ class QuotaPayload:
             u[UsageType.NUM_DATABASES] = self.num_databases
         if self.num_forks is not None:
             u[UsageType.NUM_FORKS] = self.num_forks
+        if self.num_functions is not None:
+            u[UsageType.NUM_FUNCTIONS] = self.num_functions
         return u
 
 

@@ -82,3 +82,53 @@ def revision_history_sql(log_sql: str, id_col: str = "id", seq_col: str = "seq_i
     return f"""
 SELECT *, CAST(row_number() OVER (PARTITION BY "{id_col}" ORDER BY "{seq_col}" ASC) AS BIGINT) AS version
 FROM ({log_sql})"""
+
+
+def make_attached_function(name: str, kind: str, **params):
+    """Build an :class:`~chroma_spark.streaming.compactor.AttachedFunction`
+    from a serializable ``(kind, params)`` spec — the form a collection
+    persists in its config so the compactor can re-create the function on
+    every compaction (the reference's attach stores the function type +
+    params on the collection, `chromadb/api/functions.py:21-28`).
+
+    Kinds:
+    - ``statistics`` (params: ``keys``) — value frequencies over the NEW
+      compacted state.
+    - ``record_counter`` (params: optional ``group_col``) — running counts
+      over the new state.
+    - ``revision_history`` (no params) — per-id version numbering of the
+      raw log batch (append-only pre-image archive).
+    """
+    from .compactor import AttachedFunction
+
+    if kind == "statistics":
+        keys = list(params["keys"])
+
+        def fn(state: DataFrame, batch: DataFrame) -> DataFrame:  # noqa: ARG001
+            return statistics(state, keys)
+
+    elif kind == "record_counter":
+        group_col = params.get("group_col")
+
+        def fn(state: DataFrame, batch: DataFrame) -> DataFrame:  # noqa: ARG001
+            return record_counter(state, group_col)
+
+    elif kind == "revision_history":
+
+        def fn(state: DataFrame, batch: DataFrame) -> DataFrame:  # noqa: ARG001
+            cols = [params.get("id_col", "id"), params.get("seq_col", "seq_id")]
+            missing = [c for c in cols if c not in batch.columns]
+            if missing:
+                raise ValueError(f"revision_history: log batch lacks {missing}")
+            return revision_history(
+                batch,
+                id_col=params.get("id_col", "id"),
+                seq_col=params.get("seq_col", "seq_id"),
+            )
+
+    else:
+        raise ValueError(
+            f"unknown attached-function kind {kind!r}; "
+            "expected statistics | record_counter | revision_history"
+        )
+    return AttachedFunction(name=name, fn=fn)

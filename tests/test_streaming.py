@@ -180,3 +180,60 @@ def test_record_counter_grouped(spark):
     df = spark.createDataFrame([("a",), ("a",), ("b",)], ["g"])
     out = {r.g: r.n_records for r in record_counter(df, "g").collect()}
     assert out == {"a": 2, "b": 1}
+
+
+def test_attach_function_lifecycle(spark, tmp_path):
+    from chroma_spark.api import Client
+
+    client = Client(spark, str(tmp_path / "fn_root"))
+    col = client.create_collection("c", dimension=2)
+    col.attach_function("freq", "statistics", keys=["color"])
+    col.attach_function("hist", "revision_history")
+    assert set(col.list_functions()) == {"freq", "hist"}
+
+    col.add(
+        ids=["a", "b", "c"],
+        embeddings=[[0.0, 1.0]] * 3,
+        metadatas=[{"color": "red"}, {"color": "red"}, {"color": "blue"}],
+    )
+    col.update(ids=["a"], metadatas=[{"color": "blue"}])
+    v = col.compact()
+
+    freq = {(r.key, r.value): r.n for r in col.read_function_output("freq").collect()}
+    assert freq[("color", "blue")] == 2 and freq[("color", "red")] == 1
+
+    hist = col.read_function_output("hist", version=v)
+    by_id = {(r.id, r.version) for r in hist.select("id", "version").collect()}
+    assert ("a", 1) in by_id and ("a", 2) in by_id  # pre-image archived
+    assert ("b", 1) in by_id
+
+    # detach: the next compaction writes no new output version for it
+    col.detach_function("hist")
+    col.add(ids=["d"], embeddings=[[1.0, 0.0]], metadatas=[{"color": "red"}])
+    v2 = col.compact()
+    assert col.read_function_output("freq", version=v2).count() == 2  # still runs
+    import pytest as _p
+    with _p.raises(Exception):
+        col.read_function_output("hist", version=v2).count()
+
+
+def test_attach_function_validates_kind_and_quota(spark, tmp_path):
+    import pytest as _p
+
+    from chroma_spark.api import Client
+    from chroma_spark.quota import QuotaExceededError, StaticQuotaEnforcer, UsageType
+
+    client = Client(
+        spark,
+        str(tmp_path / "fnq_root"),
+        quota_enforcer=StaticQuotaEnforcer(limits={UsageType.NUM_FUNCTIONS: 1}),
+    )
+    col = client.create_collection("c", dimension=2)
+    with _p.raises(ValueError, match="unknown attached-function kind"):
+        col.attach_function("x", "nope")
+    col.attach_function("freq", "statistics", keys=["k"])
+    col.attach_function("freq", "statistics", keys=["k2"])  # re-attach same name ok
+    with _p.raises(QuotaExceededError, match="num_functions"):
+        col.attach_function("more", "record_counter")
+    with _p.raises(Exception, match="no attached function"):
+        col.detach_function("ghost")
