@@ -30,13 +30,14 @@ def exact_knn(
     records: DataFrame,
     queries: DataFrame,
     k: int,
-    space: str = "l2",
+    space: str | list[str] = "l2",
     id_col: str = "id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
     dist_col: str = "dist",
     round_decimals: int | None = ROUND_DECIMALS,
+    query_space_col: str = "space",
 ) -> DataFrame:
     """Top-``k`` records per query by exact distance, ascending.
 
@@ -44,11 +45,31 @@ def exact_knn(
     1-based position, the reference's ``return_rank`` payload). Determinism:
     ordered by (rounded distance, record id) so float summation-order noise
     cannot flip the ordering between runs/engines.
+
+    ``space`` may be a list, in which case each query row picks its own
+    metric via ``query_space_col`` — one records-side scan serves a mixed
+    batch (a multi-space rank expression reads the 100-TB side once instead
+    of once per metric; the per-row CASE picks the one distance branch).
     """
-    q = queries.select(
-        F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias("__qvec")
-    )
-    d = distance(F.col(vec_col), F.col("__qvec"), space)
+    if isinstance(space, (list, tuple)):
+        q = queries.select(
+            F.col(query_id_col).alias("__qid"),
+            F.col(query_vec_col).alias("__qvec"),
+            F.col(query_space_col).alias("__qspace"),
+        )
+        d = None
+        for s in sorted(set(space)):
+            ds = distance(F.col(vec_col), F.col("__qvec"), s)
+            d = (
+                F.when(F.col("__qspace") == s, ds)
+                if d is None
+                else d.when(F.col("__qspace") == s, ds)
+            )
+    else:
+        q = queries.select(
+            F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias("__qvec")
+        )
+        d = distance(F.col(vec_col), F.col("__qvec"), space)
     if round_decimals is not None:
         # + 0.0 canonicalizes IEEE negative zero (cosine self-distance can
         # round to -0.0 in one engine and 0.0 in the other)

@@ -242,9 +242,44 @@ class RankEvaluator:
         spark = self.records.sparkSession
         for (col, use_idf), keyed in by_sparse_col.items():
             self._precompute_sparse(spark, col, keyed, use_idf)
+        # when the default exact_knn serves the terms, mixed-space batches
+        # of the same vector column collapse into ONE records-side scan
+        # (per-query-row metric via the space column) — a multi-space rank
+        # expression (e.g. Rrf over cosine+l2) reads the big side once
+        if self.knn_fn is exact_knn and len(by_space) > 1:
+            merged: dict[str, list[tuple[str, tuple, dict]]] = {}
+            for (space, vcol), keyed in by_space.items():
+                merged.setdefault(vcol, []).extend((space, k_, t) for k_, t in keyed)
+            by_space = {
+                (tuple(sorted({s for s, _, _ in triples})), vcol): [
+                    (k_, t, s) for s, k_, t in triples
+                ]
+                for vcol, triples in merged.items()
+            }
+        else:
+            by_space = {
+                (space, vcol): [(k_, t, space) for k_, t in keyed]
+                for (space, vcol), keyed in by_space.items()
+            }
         for (space, vcol), keyed in by_space.items():
-            qrows = [(i, [float(x) for x in t.get("query")]) for i, (_, t) in enumerate(keyed)]
-            qdf = spark.createDataFrame(qrows, "query_id INT, embedding ARRAY<FLOAT>")
+            multi = isinstance(space, tuple)
+            if multi and len(space) == 1:
+                space, multi = space[0], False
+            if multi:
+                qrows = [
+                    (i, [float(x) for x in t.get("query")], s)
+                    for i, (_, t, s) in enumerate(keyed)
+                ]
+                qdf = spark.createDataFrame(
+                    qrows, "query_id INT, embedding ARRAY<FLOAT>, space STRING"
+                )
+                space = list(space)
+            else:
+                qrows = [
+                    (i, [float(x) for x in t.get("query")]) for i, (_, t, _) in enumerate(keyed)
+                ]
+                qdf = spark.createDataFrame(qrows, "query_id INT, embedding ARRAY<FLOAT>")
+            keyed = [(k_, t) for k_, t, _ in keyed]
             kmax = max(int(t.get("limit", 16)) for _, t in keyed)
             top = self.knn_fn(
                 self.records,
@@ -255,11 +290,11 @@ class RankEvaluator:
                 vec_col=vcol,
                 round_decimals=None,
             )
-            if len(keyed) > 1:
-                # each term slices rank<=limit from this plan; without a
-                # persist the records-side scan would re-run once per term
-                # (kmax * n_terms rows — trivially cacheable)
-                top = top.persist()
+            # each term slices rank<=limit from this shared plan; AQE
+            # exchange reuse dedupes the records-side scan across the term
+            # slices at runtime (an explicit persist() measured SLOWER: the
+            # cache materialization is a barrier, while reused query stages
+            # pipeline)
             for i, (key, t) in enumerate(keyed):
                 limit = int(t.get("limit", 16))
                 rr = bool(t.get("return_rank", False))
