@@ -1720,6 +1720,75 @@ class Collection:
         tail_top = exact_knn(tail, qdf, k=k, space=meta.space)
         return knn_merge([index_top, tail_top], k)
 
+    @staticmethod
+    def _knn_out_schema(qdf: DataFrame) -> T.StructType:
+        """Empty-result schema for query_batch: query_id keeps the caller's
+        type (string ids and long ids both flow through unchanged)."""
+        return T.StructType(
+            [
+                qdf.schema["query_id"],
+                T.StructField("id", T.StringType()),
+                T.StructField("dist", T.DoubleType()),
+                T.StructField("rank", T.IntegerType()),
+            ]
+        )
+
+    def query_batch(
+        self,
+        queries: DataFrame,
+        n_results: int = 10,
+        where: dict | None = None,
+        where_document: dict | None = None,
+        read_level: str = "index_and_wal",
+        nprobe: int | None = None,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Distributed KNN join: a DataFrame of query vectors against the
+        collection, returning ``(query_id, id, dist, rank)`` — the
+        100-TB-side twin of :meth:`query` (which mirrors the reference's
+        list-typed client API). No query row ever reaches the driver, so
+        the batch can be another table (the classic similarity join).
+
+        Served by the fresh vector index when one exists (same
+        nprobe-pruned pipeline + WAL-tail merge as :meth:`query`), else by
+        the exact scan. Predicates restrict the candidate set before the
+        index/exact search (filter-before-ANN, knn_filter.rs).
+
+        Scale note: queries stay distributed through the centroid
+        assignment (centroids are the broadcast side); the probed-list join
+        broadcasts ``queries × nprobe`` rows, so chunk batches beyond ~10M
+        probe pairs (or lower nprobe) rather than raising the broadcast
+        ceiling."""
+        self._client._enforce(Action.QUERY, n_results=n_results, where=where,
+                              where_document=where_document)
+        self._validate_indexed(where, where_document, knn=True)
+        qdf = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("embedding"),
+        )
+        allowed = None
+        if where is not None or where_document is not None:
+            snap_f = self.snapshot(read_level)
+            if snap_f is None:
+                return qdf.sparkSession.createDataFrame([], self._knn_out_schema(qdf))
+            if where is not None:
+                snap_f = snap_f.filter(
+                    where_to_column(where, known_keys=frozenset(snap_f.columns))
+                )
+            if where_document is not None:
+                snap_f = snap_f.filter(where_doc_to_column(where_document))
+            allowed = snap_f.select("id")
+        via_index = self._query_via_index(qdf, n_results, nprobe, read_level, allowed)
+        if via_index is not None:
+            return via_index
+        snap = self.snapshot(read_level)
+        if snap is None:
+            return qdf.sparkSession.createDataFrame([], self._knn_out_schema(qdf))
+        cand = snap.join(allowed, "id", "semi") if allowed is not None else snap
+        cand = cand.filter(F.col("embedding").isNotNull())
+        return exact_knn(cand, qdf, k=n_results, space=self._store.meta.space)
+
     def search(self, read_level: str = "index_and_wal", **payload) -> DataFrame:
         """Hybrid search (Search payload of SURVEY §3.2) as a DataFrame."""
         self._client._enforce(

@@ -1217,3 +1217,54 @@ def test_mixed_numeric_metadata_coerces_to_float(client):
             embeddings=[[1.0, 1], [0, 1.0]],
             metadatas=[{"y": 1}, {"y": "str"}],
         )
+
+
+def test_query_batch_matches_query_exact_and_indexed(spark, tmp_path):
+    import math
+    import random
+
+    from chroma_spark.api import Client
+
+    rnd = random.Random(7)
+    n, dim = 120, 8
+    ids = [f"r{i}" for i in range(n)]
+    vecs = [[rnd.uniform(-1, 1) for _ in range(dim)] for _ in range(n)]
+    client = Client(spark, str(tmp_path / "qb_root"))
+    col = client.create_collection("c", dimension=dim, space="l2")
+    col.add(ids=ids, embeddings=vecs, metadatas=[{"bucket": i % 3} for i in range(n)])
+
+    qdf = spark.createDataFrame(
+        [(i, vecs[i * 10]) for i in range(4)], "query_id INT, embedding ARRAY<FLOAT>"
+    )
+
+    def _collect(df):
+        return {
+            (r.query_id, r.rank): (r.id, round(r.dist, 5))
+            for r in df.collect()
+        }
+
+    # exact path (no index): per-query API agrees with the batch join
+    batch = _collect(col.query_batch(qdf, n_results=5))
+    for qi in range(4):
+        res = col.query(query_embeddings=[vecs[qi * 10]], n_results=5)
+        for rank0, (rid, dist) in enumerate(zip(res["ids"][0], res["distances"][0])):
+            assert batch[(qi, rank0 + 1)][0] == rid
+            assert math.isclose(batch[(qi, rank0 + 1)][1], round(dist, 5), abs_tol=1e-4)
+
+    # filtered batch respects the predicate
+    fb = col.query_batch(qdf, n_results=5, where={"bucket": 1})
+    got_ids = {r.id for r in fb.collect()}
+    allowed = {ids[i] for i in range(n) if i % 3 == 1}
+    assert got_ids <= allowed and fb.count() == 20
+
+    # index-served path returns the same winners
+    col.compact()
+    col.build_vector_index(n_lists=4)
+    ib = _collect(col.query_batch(qdf, n_results=5))
+    assert set(ib) == set(batch)
+    assert {k: v[0] for k, v in ib.items()} == {k: v[0] for k, v in batch.items()}
+
+    # empty collection: empty frame with the caller's query_id type
+    empty_col = client.create_collection("empty", dimension=dim)
+    out = empty_col.query_batch(qdf, n_results=3, where={"x": 1})
+    assert out.count() == 0 and dict(out.dtypes)["query_id"] == "int"
