@@ -1396,6 +1396,19 @@ class Collection:
                 p = os.path.join(coll_dir, sub, vdir)
                 if p not in index_referenced:
                     shutil.rmtree(p)
+        # attached-function outputs: point-in-time outputs (statistics,
+        # record_counter) of pruned versions go with them; revision_history
+        # is the append-only pre-image archive and is always kept (the
+        # reference's history collection is never GCed from under readers)
+        attached = self.list_functions()
+        for sub in os.listdir(coll_dir) if os.path.isdir(coll_dir) else []:
+            if not sub.startswith("fn_"):
+                continue
+            if attached.get(sub[3:], {}).get("kind") == "revision_history":
+                continue
+            for vdir in os.listdir(os.path.join(coll_dir, sub)):
+                if vdir.startswith("v") and vdir[1:].isdigit() and int(vdir[1:]) not in keep:
+                    shutil.rmtree(os.path.join(coll_dir, sub, vdir))
         return deleted
 
     def fork(self, name: str) -> "Collection":

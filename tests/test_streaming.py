@@ -237,3 +237,26 @@ def test_attach_function_validates_kind_and_quota(spark, tmp_path):
         col.attach_function("more", "record_counter")
     with _p.raises(Exception, match="no attached function"):
         col.detach_function("ghost")
+
+
+def test_gc_prunes_point_in_time_function_outputs_keeps_history(spark, tmp_path):
+    import os
+
+    from chroma_spark.api import Client
+
+    client = Client(spark, str(tmp_path / "fngc_root"))
+    col = client.create_collection("c", dimension=2)
+    col.attach_function("freq", "statistics", keys=["k"])
+    col.attach_function("hist", "revision_history")
+    versions = []
+    for i in range(3):
+        col.add(ids=[f"r{i}"], embeddings=[[float(i), 0.0]], metadatas=[{"k": i % 2}])
+        versions.append(col.compact())
+
+    coll_dir = os.path.join(col._store.catalog.root, col._store.name)
+    col.gc(keep_last=1)
+    freq_dirs = sorted(os.listdir(os.path.join(coll_dir, "fn_freq")))
+    hist_dirs = sorted(os.listdir(os.path.join(coll_dir, "fn_hist")))
+    assert freq_dirs == [f"v{versions[-1]}"]  # stale snapshots pruned
+    assert hist_dirs == [f"v{v}" for v in versions]  # archive intact
+    assert col.read_function_output("freq").count() > 0
