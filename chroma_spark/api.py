@@ -1802,6 +1802,72 @@ class Collection:
         cand = cand.filter(F.col("embedding").isNotNull())
         return exact_knn(cand, qdf, k=n_results, space=self._store.meta.space)
 
+    def sparse_query_batch(
+        self,
+        queries: DataFrame,
+        key: str = "sparse",
+        n_results: int = 10,
+        read_level: str = "index_and_wal",
+        idf: bool = True,
+        query_id_col: str = "query_id",
+        query_vec_col: str | None = None,
+        prune_buckets: bool = True,
+    ) -> DataFrame:
+        """Distributed sparse retrieval join: a DataFrame of SparseVector
+        queries against the collection's ``key`` column, returning
+        ``(query_id, id, score)`` top-``n_results`` per query by (optionally
+        IDF-scaled) dot product — the BM25-style twin of
+        :meth:`query_batch` for lexical/learned-sparse retrieval at scale
+        (hard-negative mining, cross-corpus linking).
+
+        Served by the fresh persisted term-bucket index (with WAL-tail
+        postings merged) when one exists, else by inline postings exploded
+        from the snapshot. ``prune_buckets=False`` skips the driver-side
+        distinct-term collect (bounded by the batch's vocabulary) and scans
+        all buckets — the right call for huge query batches whose
+        vocabulary covers the space anyway. Scale note: query postings are
+        the broadcast side of the scoring join; chunk batches whose
+        exploded postings exceed broadcast size."""
+        from .operators.sparse import _dot_topk, explode_postings, sparse_index_topk
+
+        self._client._enforce(Action.QUERY, n_results=n_results)
+        qdf = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col or key).alias("__q"),
+        )
+        specs = self._fresh_sparse_indexes(read_level, keys={key})
+        if key in specs:
+            postings, n_buckets, n_docs = specs[key]
+            return sparse_index_topk(
+                postings,
+                qdf,
+                k=n_results,
+                n_buckets=n_buckets,
+                sparse_col="__q",
+                idf=idf,
+                n_docs=n_docs,
+                query_indices=None if prune_buckets else list(range(n_buckets)),
+            )
+        snap = self.snapshot(read_level)
+        if snap is None or key not in snap.columns:
+            return qdf.sparkSession.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        qdf.schema["query_id"],
+                        T.StructField("id", T.StringType()),
+                        T.StructField("score", T.DoubleType()),
+                    ]
+                ),
+            )
+        postings = explode_postings(snap.filter(F.col(key).isNotNull()), sparse_col=key)
+        qpost = explode_postings(
+            qdf, id_col="query_id", sparse_col="__q"
+        ).withColumnsRenamed({"id": "query_id", "doc_w": "q_w"})
+        return _dot_topk(
+            postings, qpost, n_results, 6, idf_from=postings if idf else None
+        )
+
     def search(self, read_level: str = "index_and_wal", **payload) -> DataFrame:
         """Hybrid search (Search payload of SURVEY §3.2) as a DataFrame."""
         self._client._enforce(

@@ -1268,3 +1268,45 @@ def test_query_batch_matches_query_exact_and_indexed(spark, tmp_path):
     empty_col = client.create_collection("empty", dimension=dim)
     out = empty_col.query_batch(qdf, n_results=3, where={"x": 1})
     assert out.count() == 0 and dict(out.dtypes)["query_id"] == "int"
+
+
+def test_sparse_query_batch_inline_and_indexed(client):
+    """Distributed sparse retrieval join: inline snapshot scoring and the
+    persisted bucket index agree, with and without bucket pruning."""
+    col = client.create_collection("svbatch", dimension=2)
+    col.add(
+        ids=["a", "b", "c"],
+        embeddings=[[1.0, 0], [0, 1.0], [0.5, 0.5]],
+        metadatas=[
+            {"sv": {"indices": [0, 2], "values": [1.0, 2.0]}},
+            {"sv": {"indices": [2, 5], "values": [3.0, 1.0]}},
+            {"sv": {"indices": [7], "values": [4.0]}},
+        ],
+    )
+    spark = col._client.spark
+    qdf = spark.createDataFrame(
+        [
+            (0, {"indices": [0, 2], "values": [1.0, 1.0]}),
+            (1, {"indices": [7], "values": [2.0]}),
+        ],
+        "query_id INT, sv STRUCT<indices: ARRAY<INT>, values: ARRAY<FLOAT>>",
+    )
+
+    def got(df):
+        return {(r.query_id, r.id): r.score for r in df.collect()}
+
+    expected = {(0, "a"): 3.0, (0, "b"): 3.0, (1, "c"): 8.0}
+    inline = got(col.sparse_query_batch(qdf, key="sv", n_results=3, idf=False))
+    assert inline == expected
+
+    col.compact()
+    col.build_sparse_index("sv", n_buckets=4)
+    indexed = got(col.sparse_query_batch(qdf, key="sv", n_results=3, idf=False))
+    assert indexed == expected
+    unpruned = got(
+        col.sparse_query_batch(qdf, key="sv", n_results=3, idf=False, prune_buckets=False)
+    )
+    assert unpruned == expected
+    # idf scaling changes scores but keeps per-query ranking deterministic
+    with_idf = col.sparse_query_batch(qdf, key="sv", n_results=3, idf=True)
+    assert {r.query_id for r in with_idf.collect()} == {0, 1}
