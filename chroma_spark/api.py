@@ -1868,6 +1868,60 @@ class Collection:
             postings, qpost, n_results, 6, idf_from=postings if idf else None
         )
 
+    def hybrid_query_batch(
+        self,
+        dense_queries: DataFrame,
+        sparse_queries: DataFrame,
+        key: str = "sparse",
+        n_results: int = 10,
+        rrf_k: int = 60,
+        per_side_limit: int = 100,
+        read_level: str = "index_and_wal",
+        nprobe: int | None = None,
+        idf: bool = True,
+    ) -> DataFrame:
+        """Reciprocal-rank fusion of the dense and sparse distributed
+        retrieval joins — batch hybrid search with no driver-side query
+        lists. Both query frames carry ``query_id`` (shared id space) plus
+        their vector column; returns ``(query_id, id, score)`` top
+        ``n_results`` per query, reference Rrf semantics
+        (operator.py:1144-1238 desugar): score =
+        −Σ 1/(rrf_k + rank0), a side that missed a record contributes
+        its ``per_side_limit`` default rank, ascending-is-better.
+
+        Each side retrieves its own top ``per_side_limit`` candidates
+        through the index-served batch paths; the fusion join touches only
+        ``n_queries × per_side_limit`` rows per side."""
+        from .operators.topk import topk_per_group
+
+        dense = self.query_batch(
+            dense_queries, n_results=per_side_limit, read_level=read_level, nprobe=nprobe
+        ).select("query_id", "id", (F.col("rank") - 1).cast("double").alias("__d0"))
+        sp = self.sparse_query_batch(
+            sparse_queries, key=key, n_results=per_side_limit,
+            read_level=read_level, idf=idf,
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("id").asc())
+        sp = sp.select(
+            "query_id", "id", (F.row_number().over(w) - 1).cast("double").alias("__s0")
+        )
+        default = float(per_side_limit)
+        fused = dense.join(sp, ["query_id", "id"], "full").select(
+            "query_id",
+            "id",
+            (
+                -(
+                    1.0 / (F.lit(float(rrf_k)) + F.coalesce(F.col("__d0"), F.lit(default)))
+                    + 1.0 / (F.lit(float(rrf_k)) + F.coalesce(F.col("__s0"), F.lit(default)))
+                )
+            ).alias("score"),
+        )
+        return topk_per_group(
+            fused, ["query_id"], [F.col("score").asc(), F.col("id").asc()], n_results
+        )
+
     def search(self, read_level: str = "index_and_wal", **payload) -> DataFrame:
         """Hybrid search (Search payload of SURVEY §3.2) as a DataFrame."""
         self._client._enforce(

@@ -1310,3 +1310,39 @@ def test_sparse_query_batch_inline_and_indexed(client):
     # idf scaling changes scores but keeps per-query ranking deterministic
     with_idf = col.sparse_query_batch(qdf, key="sv", n_results=3, idf=True)
     assert {r.query_id for r in with_idf.collect()} == {0, 1}
+
+
+def test_hybrid_query_batch_rrf_fusion(client):
+    """Batch RRF agrees with hand-computed fusion of the two sides."""
+    col = client.create_collection("hyb", dimension=2, space="l2")
+    col.add(
+        ids=["a", "b", "c"],
+        embeddings=[[1.0, 0.0], [0.0, 1.0], [0.7, 0.7]],
+        metadatas=[
+            {"sv": {"indices": [0], "values": [5.0]}},
+            {"sv": {"indices": [0], "values": [1.0]}},
+            {"sv": {"indices": [1], "values": [2.0]}},
+        ],
+    )
+    spark = col._client.spark
+    dq = spark.createDataFrame([(0, [1.0, 0.0])], "query_id INT, embedding ARRAY<FLOAT>")
+    sq = spark.createDataFrame(
+        [(0, {"indices": [0], "values": [1.0]})],
+        "query_id INT, sv STRUCT<indices: ARRAY<INT>, values: ARRAY<FLOAT>>",
+    )
+    out = {r.id: r.score for r in col.hybrid_query_batch(
+        dq, sq, key="sv", n_results=3, rrf_k=60, per_side_limit=10, idf=False
+    ).collect()}
+    # dense l2 ranks from [1,0]: a(0), c(~0.18), b(2) -> rank0 a=0 c=1 b=2
+    # sparse dot: a=5 (rank0 0), b=1 (rank0 1); c missing -> default 10
+    exp = {
+        "a": -(1 / 60 + 1 / 60),
+        "b": -(1 / 62 + 1 / 61),
+        "c": -(1 / 61 + 1 / 70),
+    }
+    assert set(out) == set(exp)
+    for k in exp:
+        assert abs(out[k] - exp[k]) < 1e-9, (k, out[k], exp[k])
+    # fusion order: a best; b (present in BOTH lists) beats c (dense-only)
+    ordered = sorted(out, key=out.get)
+    assert ordered == ["a", "b", "c"]
