@@ -226,19 +226,28 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*aggs)
 
 
-def minhash_candidates(
+def minhash_bands(
     signatures: DataFrame, bands: int, rows: int, id_col: str = "id"
 ) -> DataFrame:
-    """LSH banding: pairs sharing any band bucket; ``(id_a, id_b)`` distinct."""
+    """``(id, band, bh)`` LSH band-bucket rows from signature columns —
+    the persistable unit of an incremental minhash index (one row per
+    (record, band); corpus text is NOT needed to match future batches)."""
     band_structs = []
     for b in range(bands):
         cols = [F.col(f"m{b * rows + r}").cast("string") for r in range(rows)]
         band_structs.append(
             F.struct(F.lit(b).alias("band"), md5_long(F.concat_ws("|", *cols)).alias("bh"))
         )
-    banded = signatures.select(
+    return signatures.select(
         F.col(id_col).alias("id"), F.explode(F.array(*band_structs)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
+def minhash_candidates(
+    signatures: DataFrame, bands: int, rows: int, id_col: str = "id"
+) -> DataFrame:
+    """LSH banding: pairs sharing any band bucket; ``(id_a, id_b)`` distinct."""
+    banded = minhash_bands(signatures, bands, rows, id_col)
     a = banded.select(F.col("id").alias("id_a"), "band", "bh")
     b2 = banded.select(F.col("id").alias("id_b"), "band", "bh")
     return (
@@ -265,6 +274,102 @@ def minhash_dedup_pairs(
     sig = minhash_signatures(docs, num_perm, n, text_col, id_col)
     cand = minhash_candidates(sig, bands, rows, "id")
     return jaccard_pairs(docs, threshold, n, text_col, id_col, candidates=cand)
+
+
+def write_minhash_index(
+    docs: DataFrame,
+    path: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "document",
+    id_col: str = "id",
+) -> dict:
+    """Persist the corpus's LSH band table PARTITIONED BY band — the
+    incremental-dedup index. Future batches match against it with one
+    equi-join; the corpus text is never rescanned. Returns the params dict
+    that must be reused for every later batch (signatures are only
+    comparable under identical (num_perm, bands, n))."""
+    rows = num_perm // bands
+    sig = minhash_signatures(docs, num_perm, n, text_col, id_col)
+    minhash_bands(sig, bands, rows, "id").repartition("band").write.mode(
+        "overwrite"
+    ).partitionBy("band").parquet(path)
+    return {"num_perm": num_perm, "bands": bands, "rows": rows, "n": n}
+
+
+def minhash_incremental_pairs(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    corpus_bands: DataFrame,
+    threshold: float,
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "document",
+    id_col: str = "id",
+) -> DataFrame:
+    """Incremental near-dup detection: every pair ``(id_a, id_b, jac)``
+    with Jaccard >= threshold where AT LEAST ONE side is in ``new_docs`` —
+    new-vs-corpus via the persisted band table plus new-vs-new within the
+    batch. Equals the full-corpus :func:`minhash_dedup_pairs` result
+    filtered to pairs touching the batch (signatures are deterministic, so
+    recompute == stored).
+
+    Corpus reads are bounded by the candidates, never the corpus: the band
+    join touches only the batch's band buckets, and exact verification
+    hydrates shingles ONLY for candidate corpus ids (a semi-join before
+    shingling — the winners-only-hydration pattern). ``corpus_docs`` may
+    exclude the batch or not; self-pairs and batch-side duplicates of the
+    band table are dropped."""
+    rows = num_perm // bands
+    sig_new = minhash_signatures(new_docs, num_perm, n, text_col, id_col)
+    bands_new = minhash_bands(sig_new, bands, rows, "id")
+    new_ids = new_docs.select(F.col(id_col).alias("id"))
+    # new-vs-corpus: one pruned equi-join against the persisted band table
+    cand_cross = (
+        bands_new.withColumnsRenamed({"id": "id_n"})
+        .join(corpus_bands.join(new_ids, "id", "anti"), ["band", "bh"])
+        .select(
+            F.least(F.col("id_n"), F.col("id")).alias("id_a"),
+            F.greatest(F.col("id_n"), F.col("id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    cand_within = minhash_candidates(sig_new, bands, rows, "id")
+    cand = cand_cross.unionByName(cand_within).distinct()
+    # hydrate only candidate corpus docs for exact verification
+    cand_ids = cand.select(F.col("id_a").alias("id")).unionByName(
+        cand.select(F.col("id_b").alias("id"))
+    ).distinct()
+    hydrated = (
+        corpus_docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("document"))
+        .join(new_ids, "id", "anti")
+        .unionByName(
+            new_docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("document"))
+        )
+        .join(cand_ids, "id", "semi")
+    )
+    return jaccard_pairs(hydrated, threshold, n, "document", "id", candidates=cand)
+
+
+def minhash_incremental_pairs_sql(
+    docs_sql: str,
+    new_pred_sql: str,
+    threshold: float,
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> str:
+    """Oracle twin: the full-corpus pair set filtered to pairs with at
+    least one side satisfying ``new_pred_sql`` (a predicate over ``id``
+    aliased ``id_a``/``id_b``)."""
+    full = minhash_dedup_pairs_sql(docs_sql, threshold, num_perm, bands, n)
+    return (
+        f"SELECT * FROM ({full})\n"
+        f"WHERE ({new_pred_sql.replace('__ID__', 'id_a')}) "
+        f"OR ({new_pred_sql.replace('__ID__', 'id_b')})"
+    )
 
 
 def minhash_dedup_pairs_sql(

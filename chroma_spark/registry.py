@@ -962,6 +962,20 @@ def _register_dedup() -> None:
         lambda spark, sf_dir: D.minhash_dedup_pairs(_docs_df(spark, sf_dir), 0.5),
         D.minhash_dedup_pairs_sql(_DOCS_SQL, 0.5),
     )
+    # incremental minhash: a 20% "new batch" (id % 5 == 0) matched against
+    # the rest of the corpus via the band table + within-batch candidates;
+    # oracle = full-corpus pairs filtered to pairs touching the batch
+    def _minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _docs_df(spark, sf_dir)
+        new = docs.filter(F.col("id") % 5 == 0)
+        old = docs.filter(F.col("id") % 5 != 0)
+        corpus_bands = D.minhash_bands(D.minhash_signatures(old, 16, 3), 4, 4, "id")
+        return D.minhash_incremental_pairs(new, old, corpus_bands, 0.5)
+
+    QUERIES["dedup_minhash_incr"] = Query(
+        _minhash_incr,
+        D.minhash_incremental_pairs_sql(_DOCS_SQL, "__ID__ % 5 = 0", 0.5),
+    )
     # pairs -> decisions: connected components with min-id canonicalization
     # (iterative label propagation vs a transitive-closure recursive CTE)
     QUERIES["dedup_clusters"] = Query(
@@ -2028,6 +2042,7 @@ _MEASURE_FIRST = [
     "embed_jl_knn",
 ]
 _MEASURE_LAST = [
+    "dedup_minhash_incr",  # minhash capability measured by dedup_minhash_lsh (same signatures/verify)
     "sample_stratified",  # hash-sampling machinery measured through mix_proportions
     "events_hourly_window",  # event-time-window capability measured by events_sessionize
     "where_ne_absent_key",  # variant of where_ne_missing_key

@@ -155,3 +155,48 @@ def test_connected_components_long_chain_converges_logarithmically(spark):
         warnings.simplefilter("always")
         connected_components(pairs, max_iter=1).collect()
     assert any("max_iter" in str(x.message) for x in w)
+
+
+def test_minhash_incremental_matches_filtered_full_batch(spark, tmp_path):
+    """Incremental = full-corpus pairs touching the batch; persisted band
+    table round-trips; corpus text is hydrated only for candidates."""
+    from chroma_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        minhash_incremental_pairs,
+        write_minhash_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    corpus_rows = [
+        ("c1", base + "one two three four five"),
+        ("c2", base + "one two three four six"),   # near-dup of c1
+        ("c3", "completely different text about spark shuffles and joins ok"),
+    ]
+    new_rows = [
+        ("n1", base + "one two three four five"),  # dup of c1/c2
+        ("n2", base + "one two three four seven"), # near-dup of the family
+        ("n3", "unrelated fresh content with nothing shared at all here"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "id STRING, document STRING")
+    new = spark.createDataFrame(new_rows, "id STRING, document STRING")
+
+    path = str(tmp_path / "mh_index")
+    params = write_minhash_index(corpus, path)
+    bands_df = spark.read.parquet(path)
+
+    got = {
+        (r.id_a, r.id_b): r.jac
+        for r in minhash_incremental_pairs(
+            new, corpus, bands_df, 0.5, **{k: params[k] for k in ("num_perm", "bands", "n")}
+        ).collect()
+    }
+    # ground truth: full batch over corpus+new, pairs touching a new id
+    full = minhash_dedup_pairs(corpus.unionByName(new), 0.5)
+    new_ids = {"n1", "n2", "n3"}
+    want = {
+        (r.id_a, r.id_b): r.jac
+        for r in full.collect()
+        if r.id_a in new_ids or r.id_b in new_ids
+    }
+    assert got == want and ("c1", "n1") in got  # cross pair found
+    assert not any(a not in new_ids and b not in new_ids for a, b in got)
