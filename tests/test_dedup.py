@@ -107,7 +107,13 @@ def test_jaccard_prefix_candidates_exact(spark):
 def test_banded_dedup_plans_have_no_cartesian_product(spark):
     from chroma_spark.registry import QUERIES
 
-    for name in ("dedup_simhash", "neardup_embedding", "dedup_minhash_lsh", "dedup_jaccard"):
+    for name in (
+        "dedup_simhash",
+        "neardup_embedding",
+        "dedup_minhash_lsh",
+        "dedup_jaccard",
+        "dedup_minhash_incr",
+    ):
         plan = QUERIES[name].fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
