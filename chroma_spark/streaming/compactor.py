@@ -165,6 +165,59 @@ def ivf_index_builder(
     return build
 
 
+def minhash_index_builder(
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "document",
+    id_col: str = "id",
+) -> Callable[[DataFrame, str], None]:
+    """Per-batch maintainer of the incremental-dedup LSH band table
+    (operators/dedup.write_minhash_index layout + a content fingerprint).
+
+    Incremental discipline: band rows carry ``fp = md5(text)``; rows whose
+    ``(id, fp)`` still exists in the new state are KEPT from the previous
+    version (zero recompute), deleted ids drop out, and only new/updated
+    documents are re-shingled — per-batch cost is O(changed docs), not
+    O(corpus). The written ``{path}/bands`` table feeds
+    ``minhash_incremental_pairs`` directly, so a streaming pipeline can
+    dedup each incoming batch against everything compacted so far."""
+
+    def build(state: DataFrame, path: str) -> None:
+        from pyspark.sql import functions as F
+
+        from ..operators.dedup import minhash_bands, minhash_signatures
+
+        records = state.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("document"),
+            F.md5(F.col(text_col)).alias("fp"),
+        )
+        spark = state.sparkSession
+        version = int(path.rsplit("_v", 1)[1]) if "_v" in path else 0
+        prev_dir = f"{path.rsplit('_v', 1)[0]}_v{version - 1}/bands"
+        keep = None
+        todo = records
+        if os.path.isdir(prev_dir):
+            try:
+                prev = spark.read.parquet(prev_dir)
+                live = records.select("id", "fp")
+                keep = prev.join(live, ["id", "fp"], "semi")
+                todo = records.join(prev.select("id", "fp").distinct(), ["id", "fp"], "anti")
+            except Exception:
+                keep, todo = None, records
+        rows = num_perm // bands
+        fresh = minhash_bands(
+            minhash_signatures(todo, num_perm, n, "document", "id"), bands, rows, "id"
+        ).join(todo.select("id", "fp"), "id")
+        out = fresh if keep is None else keep.unionByName(fresh)
+        out.repartition("band").write.mode("overwrite").partitionBy("band").parquet(
+            f"{path}/bands"
+        )
+
+    return build
+
+
 def read_function_output(spark: SparkSession, state_dir: str, name: str) -> DataFrame:
     """Union of an attached function's per-batch outputs (its collection)."""
     return spark.read.parquet(f"{state_dir}/fn_{name}/batch_*")

@@ -260,3 +260,51 @@ def test_gc_prunes_point_in_time_function_outputs_keeps_history(spark, tmp_path)
     assert freq_dirs == [f"v{versions[-1]}"]  # stale snapshots pruned
     assert hist_dirs == [f"v{v}" for v in versions]  # archive intact
     assert col.read_function_output("freq").count() > 0
+
+
+def test_stream_compact_maintains_minhash_band_table(spark, dirs):
+    """minhash_index_builder keeps the LSH band table per version: rows for
+    unchanged (id, fingerprint) pairs carry over, updated docs re-shingle,
+    deletes drop out — and the maintained table drives incremental dedup."""
+    from chroma_spark.operators.dedup import minhash_incremental_pairs
+    from chroma_spark.streaming.compactor import minhash_index_builder, stream_compact
+
+    log_dir, state_dir, ckpt = dirs
+    d1 = "the quick brown fox jumps over the lazy dog one two three"
+    d2 = "completely different content about spark exchanges and shuffles"
+    d3 = "the quick brown fox jumps over the lazy dog one two four"
+    _write_log(spark, [(0, "ADD", "a", d1, 1.0), (1, "ADD", "b", d2, 2.0)], log_dir)
+    builder = minhash_index_builder(num_perm=16, bands=4, n=3)
+    q = stream_compact(spark, log_dir, state_dir, LOG_SCHEMA, ckpt, index_builder=builder)
+    q.awaitTermination(120)
+    _write_log(
+        spark,
+        [(2, "UPDATE", "b", d2 + " updated", 2.0), (3, "UPSERT", "c", d3, 3.0)],
+        log_dir,
+    )
+    q = stream_compact(spark, log_dir, state_dir, LOG_SCHEMA, ckpt, index_builder=builder)
+    q.awaitTermination(120)
+
+    v1 = spark.read.parquet(f"{state_dir}/index_v1/bands")
+    v2 = spark.read.parquet(f"{state_dir}/index_v2/bands")
+    rows1 = {(r.id, r.band, r.bh, r.fp) for r in v1.collect()}
+    rows2 = {(r.id, r.band, r.bh, r.fp) for r in v2.collect()}
+    a1 = {t for t in rows1 if t[0] == "a"}
+    assert a1 and a1 == {t for t in rows2 if t[0] == "a"}  # unchanged: carried over
+    b1_fp = {t[3] for t in rows1 if t[0] == "b"}
+    b2_fp = {t[3] for t in rows2 if t[0] == "b"}
+    assert b1_fp and b2_fp and b1_fp != b2_fp  # updated doc re-fingerprinted
+    assert {t[0] for t in rows2} == {"a", "b", "c"}
+
+    # the maintained table serves incremental dedup of the next batch
+    from chroma_spark.streaming.compactor import read_state
+
+    new_batch = spark.createDataFrame(
+        [("n1", "the quick brown fox jumps over the lazy dog one two five")],
+        "id STRING, document STRING",
+    )
+    state = read_state(spark, state_dir).select("id", "document")
+    pairs = minhash_incremental_pairs(new_batch, state, v2.drop("fp"), 0.5)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert ("a", "n1") in found and ("c", "n1") in found
+    assert all("b" not in p for p in found)
