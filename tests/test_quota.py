@@ -196,3 +196,63 @@ def test_client_rate_limiter_end_to_end(spark, tmp_path):
         col.get()
     # writes draw from the ADD bucket, still fine
     col.update(ids=["a"], embeddings=[[1.0, 1.0]])
+
+
+# ---------------------------------------------------------------- properties
+
+
+def test_quota_measurement_properties():
+    """Hypothesis: measurement is monotone in batch growth, never crashes on
+    odd payloads, and enforcing with limits >= measured values passes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    meta_vals = st.one_of(st.booleans(), st.integers(-5, 5), st.text(max_size=8))
+    payloads = st.builds(
+        QuotaPayload,
+        action=st.just(Action.ADD),
+        tenant=st.text(min_size=1, max_size=5),
+        ids=st.lists(st.text(min_size=1, max_size=12), min_size=1, max_size=8),
+        embeddings=st.lists(
+            st.one_of(st.none(), st.lists(st.floats(-1, 1, allow_nan=False), max_size=6)),
+            max_size=8,
+        ),
+        documents=st.lists(st.one_of(st.none(), st.text(max_size=20)), max_size=8),
+        metadatas=st.lists(
+            st.one_of(st.none(), st.dictionaries(st.text(min_size=1, max_size=6), meta_vals, max_size=4)),
+            max_size=8,
+        ),
+    )
+
+    @given(p=payloads)
+    @settings(max_examples=60, deadline=None)
+    def check(p: QuotaPayload):
+        u = p.usages()
+        assert u[UsageType.NUM_RECORDS] == len(p.ids)
+        for k, v in u.items():
+            assert isinstance(v, int) and v >= 0, (k, v)
+        # exact limits always pass; any limit one below a positive value fails
+        StaticQuotaEnforcer(limits=dict(u)).enforce(p)
+        for k, v in u.items():
+            if v > 0:
+                try:
+                    StaticQuotaEnforcer(limits={k: v - 1}).enforce(p)
+                except QuotaExceededError:
+                    continue
+                raise AssertionError(f"{k}={v} passed under limit {v - 1}")
+
+    check()
+
+
+def test_where_predicate_count_matches_leaf_count():
+    from chroma_spark.quota import _walk_where
+
+    nested = {
+        "$or": [
+            {"$and": [{"a": 1}, {"b": {"$in": [1, 2, 3]}}, {"c": {"$gte": 0}}]},
+            {"d": "x"},
+        ]
+    }
+    preds, max_val = _walk_where(nested)
+    assert preds == 4
+    assert max_val == 1  # longest operand repr is single-char
