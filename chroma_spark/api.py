@@ -858,6 +858,7 @@ class Collection:
                         k: v for k, v in (m.sparse_indexes or {}).items() if k != key
                     }
                     self._store.catalog.update(m)
+            self._maintain_dedup_index()
         return new_version
 
     def build_vector_index(
@@ -1335,6 +1336,138 @@ class Collection:
             out[key] = (postings, int(si["n_buckets"]), float(si["n_docs"]))
         return out
 
+    # -- dedup index (minhash band table as a collection index tier) -----
+
+    def build_dedup_index(
+        self, num_perm: int = 16, bands: int = 4, n: int = 3, text_col: str = "document"
+    ) -> dict:
+        """Build + register the minhash LSH band table over ``text_col`` —
+        near-duplicate detection as a first-class collection index
+        (operators/dedup.write_minhash_index layout + content
+        fingerprints). :meth:`find_near_duplicates` then matches any
+        incoming batch in O(batch); compaction maintains the table
+        incrementally (only changed documents re-shingle)."""
+        import os as _os
+
+        from .layout import stamp_layout
+        from .operators.dedup import minhash_bands, minhash_signatures
+
+        if self._store.meta.log_paths:
+            self.compact(refresh_indexes=False)
+        meta = self._store.meta
+        base = self._store.read_base()
+        if base is None or text_col not in base.columns:
+            raise CollectionError(f"no text column {text_col!r} to index")
+        records = base.filter(F.col(text_col).isNotNull()).select(
+            "id", F.col(text_col).alias("document"), F.md5(F.col(text_col)).alias("fp")
+        )
+        rows = num_perm // bands
+        bdf = minhash_bands(
+            minhash_signatures(records, num_perm, n, "document", "id"), bands, rows, "id"
+        ).join(records.select("id", "fp"), "id")
+        path = _os.path.join(
+            self._store.catalog.root, self._store.name, f"index_dedup_{text_col}", f"v{meta.version}"
+        )
+        bdf.repartition("band").write.mode("overwrite").partitionBy("band").parquet(
+            _os.path.join(path, "bands")
+        )
+        stamp_layout(path, "dedup")
+        desc = {
+            "version": meta.version,
+            "path": path,
+            "num_perm": int(num_perm),
+            "bands": int(bands),
+            "n": int(n),
+            "text_col": text_col,
+        }
+        meta.metadata["__dedup_index__"] = desc
+        self._store.catalog.update(meta)
+        return desc
+
+    def _maintain_dedup_index(self) -> None:
+        """Post-compaction upkeep: carry over band rows whose (id, content
+        fingerprint) survive in the new base, re-shingle only new/updated
+        documents, drop deleted ids — O(changed docs) per compaction."""
+        import os as _os
+
+        from .layout import check_layout, stamp_layout
+        from .operators.dedup import minhash_bands, minhash_signatures
+
+        meta = self._store.meta
+        desc = meta.metadata.get("__dedup_index__")
+        if desc is None or desc["version"] == meta.version:
+            return
+        base = self._store.read_base()
+        text_col = desc["text_col"]
+        if base is None or text_col not in base.columns:
+            meta.metadata.pop("__dedup_index__", None)
+            self._store.catalog.update(meta)
+            return
+        check_layout(desc["path"], "dedup")
+        records = base.filter(F.col(text_col).isNotNull()).select(
+            "id", F.col(text_col).alias("document"), F.md5(F.col(text_col)).alias("fp")
+        )
+        prev = self._client.spark.read.parquet(_os.path.join(desc["path"], "bands"))
+        keep = prev.join(records.select("id", "fp"), ["id", "fp"], "semi")
+        todo = records.join(prev.select("id", "fp").distinct(), ["id", "fp"], "anti")
+        rows = desc["num_perm"] // desc["bands"]
+        fresh = minhash_bands(
+            minhash_signatures(todo, desc["num_perm"], desc["n"], "document", "id"),
+            desc["bands"],
+            rows,
+            "id",
+        ).join(todo.select("id", "fp"), "id")
+        path = _os.path.join(
+            self._store.catalog.root, self._store.name, f"index_dedup_{text_col}", f"v{meta.version}"
+        )
+        keep.unionByName(fresh).repartition("band").write.mode("overwrite").partitionBy(
+            "band"
+        ).parquet(_os.path.join(path, "bands"))
+        stamp_layout(path, "dedup")
+        meta.metadata["__dedup_index__"] = {**desc, "version": meta.version, "path": path}
+        self._store.catalog.update(meta)
+
+    def find_near_duplicates(
+        self, new_docs: DataFrame, threshold: float = 0.8,
+        id_col: str = "id", text_col: str | None = None,
+    ) -> DataFrame:
+        """Near-dup pairs ``(id_a, id_b, jac)`` between an incoming batch
+        and the collection (plus within-batch), via the registered dedup
+        index — the pre-ingest gate of a training-data pipeline. Corpus
+        text is hydrated only for candidate ids."""
+        from .layout import check_layout
+        from .operators.dedup import minhash_incremental_pairs
+
+        desc = self._store.meta.metadata.get("__dedup_index__")
+        if desc is None:
+            raise CollectionError("no dedup index; call build_dedup_index() first")
+        if desc["version"] != self._store.meta.version or self._store.meta.log_paths:
+            raise CollectionError(
+                "dedup index is stale (WAL tail pending or version "
+                f"{desc['version']} != {self._store.meta.version}); compact() refreshes it"
+            )
+        check_layout(desc["path"], "dedup")
+        import os as _os
+
+        bands_df = self._client.spark.read.parquet(
+            _os.path.join(desc["path"], "bands")
+        ).drop("fp")
+        base = self._store.read_base()
+        corpus = base.select("id", F.col(desc["text_col"]).alias("document"))
+        batch = new_docs.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col or desc["text_col"]).alias("document"),
+        )
+        return minhash_incremental_pairs(
+            batch,
+            corpus,
+            bands_df,
+            threshold,
+            num_perm=desc["num_perm"],
+            bands=desc["bands"],
+            n=desc["n"],
+        )
+
     def snapshot_at(self, version: int) -> DataFrame:
         """Time travel: the compacted state as of ``version`` (old base
         versions stay on disk until :meth:`gc`; cross_version_persist
@@ -1372,6 +1505,9 @@ class Collection:
                 index_referenced.add(m.vector_index["path"])
             for si in (m.sparse_indexes or {}).values():
                 index_referenced.add(si["path"])
+            di = m.metadata.get("__dedup_index__")
+            if di:
+                index_referenced.add(di["path"])
         keep = set(self.list_versions()[-max(1, keep_last):])
         keep.add(self._store.meta.version)
         deleted = []
@@ -1390,7 +1526,11 @@ class Collection:
         # parent's old index)
         coll_dir = os.path.join(self._store.catalog.root, self._store.name)
         for sub in os.listdir(coll_dir) if os.path.isdir(coll_dir) else []:
-            if not (sub == "index_vector" or sub.startswith("index_sparse_")):
+            if not (
+                sub == "index_vector"
+                or sub.startswith("index_sparse_")
+                or sub.startswith("index_dedup_")
+            ):
                 continue
             for vdir in os.listdir(os.path.join(coll_dir, sub)):
                 p = os.path.join(coll_dir, sub, vdir)

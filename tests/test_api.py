@@ -1346,3 +1346,50 @@ def test_hybrid_query_batch_rrf_fusion(client):
     # fusion order: a best; b (present in BOTH lists) beats c (dense-only)
     ordered = sorted(out, key=out.get)
     assert ordered == ["a", "b", "c"]
+
+
+def test_dedup_index_lifecycle(client):
+    """build_dedup_index -> find_near_duplicates gate -> incremental
+    maintenance at compact (unchanged docs carry over by fingerprint) ->
+    gc keeps only the referenced layout."""
+    import os
+
+    base_txt = "the quick brown fox jumps over the lazy dog one two "
+    col = client.create_collection("dedup", dimension=2)
+    col.add(
+        ids=["a", "b"],
+        embeddings=[[0.0, 1.0]] * 2,
+        documents=[base_txt + "three", "entirely different words about spark plans here"],
+    )
+    desc = col.build_dedup_index(num_perm=16, bands=4, n=3)
+    assert desc["version"] == col.version
+
+    spark = col._client.spark
+    batch = spark.createDataFrame(
+        [("n1", base_txt + "four"), ("n2", "no overlap at all with anything else truly")],
+        "id STRING, document STRING",
+    )
+    pairs = {(r.id_a, r.id_b) for r in col.find_near_duplicates(batch, threshold=0.5).collect()}
+    assert ("a", "n1") in pairs and not any("n2" in p or "b" in p for p in pairs)
+
+    # ingest + compact: maintenance refreshes the index to the new version
+    col.add(ids=["c"], embeddings=[[1.0, 0.0]], documents=[base_txt + "five"])
+    with pytest.raises(Exception, match="stale"):
+        col.find_near_duplicates(batch)
+    v2 = col.compact()
+    desc2 = col._store.meta.metadata["__dedup_index__"]
+    assert desc2["version"] == v2
+    b_new = spark.read.parquet(os.path.join(desc2["path"], "bands"))
+    rows2 = {(r.id, r.band, r.bh) for r in b_new.drop("fp").collect()}
+    b_old = spark.read.parquet(os.path.join(desc["path"], "bands"))
+    rows1 = {(r.id, r.band, r.bh) for r in b_old.drop("fp").collect()}
+    assert {t for t in rows2 if t[0] == "a"} == {t for t in rows1 if t[0] == "a"}
+    assert {t[0] for t in rows2} == {"a", "b", "c"}
+    pairs2 = {(r.id_a, r.id_b) for r in col.find_near_duplicates(batch, threshold=0.5).collect()}
+    assert ("a", "n1") in pairs2 and ("c", "n1") in pairs2
+
+    # gc: the old layout version is pruned, the referenced one survives
+    col.gc(keep_last=1)
+    idx_root = os.path.dirname(desc2["path"])
+    assert sorted(os.listdir(idx_root)) == [f"v{v2}"]
+    assert col.find_near_duplicates(batch, threshold=0.5).count() >= 2
