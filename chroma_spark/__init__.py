@@ -18,9 +18,14 @@ Layout:
   operators/sparse.py    sparse dot-product top-k, BM25 + IDF
   operators/dedup.py     exact / minhash-LSH / simhash / jaccard / embedding
   operators/textstats.py language-id, quality scores, token counts
+  operators/sampling.py  deterministic hash sampling + proportion mixing
+  operators/decontam.py  train/eval n-gram decontamination
+  operators/multimodal.py binary media columns (Arrow-batched codecs)
   sources/collection.py  collection storage (parquet + catalog + WAL log)
   sources/log.py         WAL materialization (CDC net-effect merge)
-  ann/                   IVF (SPANN-style) centroid + postings ANN index
+  ann/                   IVF (SPANN-style) ANN + sign-bit/SQ4/PQ tiers
+  streaming/             Structured Streaming compactor, windows, builders
+  quota.py               frontend quota enforcement + rate limiting
   api.py                 Client / Collection public API
 """
 
