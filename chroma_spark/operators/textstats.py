@@ -580,3 +580,77 @@ FROM __t
 GROUP BY ngram
 ORDER BY cnt DESC, doc_freq DESC, ngram
 LIMIT {int(k)}"""
+
+
+def curate(
+    docs: DataFrame,
+    min_words: int = 10,
+    dedup_prefix_chars: int = 40,
+    sample_rate: float = 1.0,
+    salt: str = "curate",
+    text_col: str = "document",
+    id_col: str = "id",
+) -> DataFrame:
+    """End-to-end curation pipeline over a document table — the composed
+    form of the individual gates a pre-training pipeline chains:
+
+    1. Gopher quality gate (:func:`gopher_quality` ``passes``),
+    2. exact near-dup removal on the md5 of the first
+       ``dedup_prefix_chars`` characters, keeping the lowest id
+       (deterministic keep-first),
+    3. deterministic md5-threshold sampling at ``sample_rate``.
+
+    Returns the surviving ``(id, text)`` rows. Every stage is a pure
+    column expression or a single keyed shuffle (the dedup window on the
+    prefix hash); the whole pipeline is one Spark job with no driver-side
+    state, and the same rows fall out of the SQL twin on any engine."""
+    from pyspark.sql import Window
+
+    from .sampling import hash_sample
+
+    q = gopher_quality(docs, text_col, id_col, min_words=min_words)
+    kept = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("document")).join(
+        q.filter(F.col("passes")).select(F.col(id_col).alias("id")), "id", "semi"
+    )
+    key = F.md5(F.substring(F.col("document"), 1, dedup_prefix_chars))
+    w = Window.partitionBy(key).orderBy(F.col("id").asc())
+    kept = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if sample_rate < 1.0:
+        kept = hash_sample(kept, rate=sample_rate, id_col="id", salt=salt)
+    return kept
+
+
+def curate_sql(
+    docs_sql: str,
+    min_words: int = 10,
+    dedup_prefix_chars: int = 40,
+    sample_rate: float = 1.0,
+    salt: str = "curate",
+    text_col: str = "document",
+    id_col: str = "id",
+) -> str:
+    from .sampling import hash_sample_sql
+
+    gate = gopher_quality_sql(docs_sql, text_col, id_col, min_words=min_words)
+    deduped = f"""
+WITH __kept AS (
+  SELECT d."{id_col}" AS id, d."{text_col}" AS document
+  FROM ({docs_sql}) d
+  JOIN ({gate}) g ON d."{id_col}" = g.{id_col} AND g.passes
+),
+__rn AS (
+  SELECT id, document,
+         row_number() OVER (
+           PARTITION BY md5(substr(document, 1, {int(dedup_prefix_chars)}))
+           ORDER BY id ASC
+         ) AS __rn
+  FROM __kept
+)
+SELECT id, document FROM __rn WHERE __rn = 1"""
+    if sample_rate < 1.0:
+        return hash_sample_sql(deduped, rate=sample_rate, id_col="id", salt=salt)
+    return deduped

@@ -1111,6 +1111,19 @@ def _register_decontam() -> None:
         chunk_documents_sql(_DOCS_SQL, chunk_tokens=16, overlap=4),
     )
 
+    # composed curation pipeline: quality gate -> exact-prefix dedup
+    # keep-first -> deterministic sample, one oracle-checked query
+    from .operators.textstats import curate, curate_sql
+
+    QUERIES["curate_docs"] = Query(
+        lambda spark, sf_dir: curate(
+            _docs_df(spark, sf_dir), min_words=10, dedup_prefix_chars=40,
+            sample_rate=0.6, salt="cur1",
+        ),
+        curate_sql(_DOCS_SQL, min_words=10, dedup_prefix_chars=40,
+                   sample_rate=0.6, salt="cur1"),
+    )
+
     # corpus n-gram heavy hitters (what repetition filters are tuned against)
     from .operators.textstats import ngram_topk, ngram_topk_sql
 
@@ -2042,6 +2055,7 @@ _MEASURE_FIRST = [
     "embed_jl_knn",
 ]
 _MEASURE_LAST = [
+    "curate_docs",  # composition of measured gates (gopher + exact dedup + hash sample)
     "dedup_minhash_incr",  # minhash capability measured by dedup_minhash_lsh (same signatures/verify)
     "sample_stratified",  # hash-sampling machinery measured through mix_proportions
     "events_hourly_window",  # event-time-window capability measured by events_sessionize

@@ -294,3 +294,25 @@ def test_mix_to_proportions_drops_unlisted_and_handles_missing(spark):
 
     with _pytest.raises(ValueError):
         mix_to_proportions(df, {})
+
+
+def test_curate_pipeline_stages(spark):
+    from chroma_spark.operators.textstats import curate
+
+    good = "the quick brown fox jumps over the lazy dog and it is in a field " * 2
+    df = spark.createDataFrame(
+        [
+            ("d1", good + "one"),
+            ("d2", good + "two"),     # same 40-char prefix as d1 -> dropped (keep-first d1)
+            ("d3", "too short"),      # fails the quality gate
+            ("d4", "zz " * 30),       # no stopwords -> fails gate
+        ],
+        "id STRING, document STRING",
+    )
+    out = {r.id for r in curate(df, min_words=10, dedup_prefix_chars=40).collect()}
+    assert out == {"d1"}
+    # sample_rate branches deterministically
+    full = curate(df, min_words=10, dedup_prefix_chars=5, sample_rate=1.0)
+    assert {r.id for r in full.collect()} == {"d1"}  # d1/d2 share even 5-char prefix
+    again = curate(df, min_words=10, dedup_prefix_chars=40, sample_rate=0.99, salt="s")
+    assert {r.id for r in again.collect()} <= {"d1"}
