@@ -82,6 +82,45 @@ class Client:
             self.rate_limiter.check(self.tenant, action)
         self.quota_enforcer.enforce(QuotaPayload(action=action, tenant=self.tenant, **fields))
 
+    # -- utility surface (BaseAPI, chromadb/api/__init__.py:95,480-512) --
+
+    def heartbeat(self) -> int:
+        """Nanoseconds since epoch — liveness probe (BaseAPI.heartbeat)."""
+        import time as _time
+
+        return _time.time_ns()
+
+    def get_version(self) -> str:
+        from . import __version__
+
+        return __version__
+
+    def get_max_batch_size(self) -> int:
+        """Max records per list-typed write call. The reference caps REST
+        payloads; here the cap protects the driver (list-typed args are
+        materialized there — DataFrame ingest via add_records is unbounded).
+        Advisory unless a quota enforcer sets a stricter num_records."""
+        return 100_000
+
+    def count_collections(self) -> int:
+        prefix = f"{self.tenant}/{self.database}/"
+        return sum(1 for n in self.catalog.list() if n.startswith(prefix))
+
+    def reset(self) -> bool:
+        """Delete every collection in this (tenant, database). Destructive;
+        requires opt-in exactly like the reference's ALLOW_RESET setting
+        (BaseAPI.reset) — refuse otherwise."""
+        if not getattr(self, "allow_reset", False):
+            raise CollectionError(
+                "reset() is disabled; construct the Client and set "
+                "client.allow_reset = True to enable (ALLOW_RESET analog)"
+            )
+        prefix = f"{self.tenant}/{self.database}/"
+        for name in list(self.catalog.list()):
+            if name.startswith(prefix):
+                self.catalog.drop(name)
+        return True
+
     # -- admin surface -------------------------------------------------
 
     def create_tenant(self, name: str) -> None:

@@ -1393,3 +1393,23 @@ def test_dedup_index_lifecycle(client):
     idx_root = os.path.dirname(desc2["path"])
     assert sorted(os.listdir(idx_root)) == [f"v{v2}"]
     assert col.find_near_duplicates(batch, threshold=0.5).count() >= 2
+
+
+def test_client_utility_surface(spark, tmp_path):
+    """BaseAPI utility parity: heartbeat, version, max batch size,
+    count_collections, gated reset."""
+    from chroma_spark.api import Client
+
+    client = Client(spark, str(tmp_path / "util_root"))
+    assert client.heartbeat() > 1_700_000_000 * 10**9
+    assert isinstance(client.get_version(), str) and client.get_version()
+    assert client.get_max_batch_size() >= 1
+    client.create_collection("u1")
+    client.create_collection("u2")
+    assert client.count_collections() == 2
+    with pytest.raises(Exception, match="disabled"):
+        client.reset()
+    assert client.count_collections() == 2  # nothing deleted
+    client.allow_reset = True
+    assert client.reset() is True
+    assert client.count_collections() == 0 and client.list_collections() == []
