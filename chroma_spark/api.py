@@ -538,6 +538,15 @@ class Collection:
         meta = self._store.meta
         ids = [str(i) for i in ids]
         n = len(ids)
+        cap = self._client.get_max_batch_size()
+        if n > cap:
+            # list-typed writes materialize on the driver; the reference
+            # raises the same way (utils/batch_utils.py) — DataFrame ingest
+            # via add_records is the unbounded path
+            raise CollectionError(
+                f"batch of {n} exceeds get_max_batch_size()={cap}; "
+                "use add_records(DataFrame) for bulk ingest"
+            )
         if embeddings is not None:
             dims = {len(e) for e in embeddings if e is not None}
             if meta.dimension is None and dims:

@@ -1413,3 +1413,15 @@ def test_client_utility_surface(spark, tmp_path):
     client.allow_reset = True
     assert client.reset() is True
     assert client.count_collections() == 0 and client.list_collections() == []
+
+
+def test_write_batch_cap_enforced(spark, tmp_path, monkeypatch):
+    from chroma_spark.api import Client
+
+    client = Client(spark, str(tmp_path / "cap_root"))
+    col = client.create_collection("capped", dimension=2)
+    monkeypatch.setattr(Client, "get_max_batch_size", lambda self: 2)
+    with pytest.raises(Exception, match="exceeds get_max_batch_size"):
+        col.add(ids=["a", "b", "c"], embeddings=[[0.0, 1.0]] * 3)
+    col.add(ids=["a", "b"], embeddings=[[0.0, 1.0]] * 2)
+    assert col.count() == 2
