@@ -38,6 +38,19 @@ from .where import where_doc_to_column, where_to_column
 _META_SPARK_TYPES = {bool: T.BooleanType(), int: T.LongType(), float: T.DoubleType(), str: T.StringType()}
 
 
+class _LogCursorMoved(Exception):
+    """Internal: a WAL-append CAS found the log cursor advanced by another
+    writer; carries the fresh position so the fragment can be re-based."""
+
+    def __init__(self, fresh_pos: int) -> None:
+        self.fresh_pos = fresh_pos
+
+
+class _TxnCursorMoved(Exception):
+    """Internal: a transactional first append lost its cursor CAS —
+    Transaction.commit re-validates its read/write sets and retries."""
+
+
 DEFAULT_TENANT = "default_tenant"
 DEFAULT_DATABASE = "default_database"
 
@@ -233,10 +246,11 @@ class Collection:
             collection_name=name,
             metadatas=[metadata] if metadata else None,
         )
-        meta = self._store.meta
         if metadata is not None:
-            meta.metadata = dict(metadata)
-            self._store.catalog.update(meta)
+            def _set(m):
+                m.metadata = dict(metadata)
+
+            self._store.catalog.mutate(self._store.name, _set)
         if name is not None and name != self.name:
             new_scoped = self._client._scoped(name)
             self._store.catalog.rename(self._store.name, new_scoped)
@@ -246,9 +260,10 @@ class Collection:
         """Persist a modified index configuration (Schema.create_index /
         delete_index mutate a copy; this registers it, the `register`
         operator analog)."""
-        meta = self._store.meta
-        meta.schema = schema.to_dict()
-        self._store.catalog.update(meta)
+        def _set(m):
+            m.schema = schema.to_dict()
+
+        self._store.catalog.mutate(self._store.name, _set)
 
     def _validate_indexed(self, where, where_document, knn: bool = False, sparse: bool = False) -> None:
         """Frontend index gate (service_based_frontend.rs:2813-2819): reject
@@ -428,9 +443,12 @@ class Collection:
                 raise CollectionError(
                     f"embedding dimension {sorted(dims)} != collection dimension {meta.dimension}"
                 )
-        meta.log_paths = [*meta.log_paths, path]
-        meta.log_position = int(row["m"]) + 1 if row["m"] is not None else meta.log_position
-        self._store.catalog.update(meta)
+        self._commit_log_append(
+            path,
+            base_pos=int(meta.log_position),
+            max_seq=int(row["m"]) if row["m"] is not None else None,
+            dimension_hint=meta.dimension,
+        )
         return int(row["n"])
 
     def delete_records(self, ids: DataFrame) -> int:
@@ -458,9 +476,11 @@ class Collection:
         path = self._store.append_log(log_df)
         written = self._client.spark.read.parquet(path)
         row = written.agg(F.max("seq_id").alias("m"), F.count("*").alias("n")).first()
-        meta.log_paths = [*meta.log_paths, path]
-        meta.log_position = int(row["m"]) + 1 if row["m"] is not None else meta.log_position
-        self._store.catalog.update(meta)
+        self._commit_log_append(
+            path,
+            base_pos=int(meta.log_position),
+            max_seq=int(row["m"]) if row["m"] is not None else None,
+        )
         return int(row["n"])
 
     def update(self, ids, embeddings=None, documents=None, uris=None, metadatas=None) -> None:
@@ -496,6 +516,73 @@ class Collection:
             return
         self._append_delete_where(ids, where, where_document)
 
+    def _commit_log_append(
+        self,
+        path: str,
+        base_pos: int,
+        max_seq: int | None,
+        dimension_hint: int | None = None,
+    ) -> None:
+        """CAS-register a written WAL fragment: append its path and advance
+        the log cursor in ONE catalog commit that re-checks the cursor
+        against FRESH state (wal3's log-position CAS). If another process
+        advanced the cursor since ``base_pos``, this fragment's seq ids
+        could collide with the winner's, so the fragment is rewritten with
+        seqs shifted onto the fresh cursor and the CAS retried — O(batch)
+        per contention round, zero cost uncontended. Seq ranges therefore
+        never overlap across writers and WAL order linearizes with catalog
+        commit order."""
+        expect_pos = getattr(self, "_txn_expect_pos", None)
+        self._txn_expect_pos = None
+        while True:
+            def fn(m):
+                if m.log_position != base_pos or (
+                    expect_pos is not None and m.log_position != expect_pos
+                ):
+                    raise _LogCursorMoved(m.log_position)
+                if dimension_hint is not None:
+                    if m.dimension is None:
+                        m.dimension = dimension_hint
+                    elif m.dimension != dimension_hint:
+                        raise CollectionError(
+                            f"embedding dimension {dimension_hint} != collection "
+                            f"dimension {m.dimension}"
+                        )
+                m.log_paths = [*m.log_paths, path]
+                if max_seq is not None:
+                    m.log_position = max_seq + 1
+
+            try:
+                self._store.catalog.mutate(self._store.name, fn)
+                return
+            except _LogCursorMoved as moved:
+                if expect_pos is not None:
+                    # transactional append: the conflict check validated at
+                    # expect_pos — a moved cursor means unvalidated foreign
+                    # writes; the caller re-validates rather than re-basing
+                    import shutil
+
+                    shutil.rmtree(path, ignore_errors=True)
+                    raise _TxnCursorMoved() from None
+                delta = moved.fresh_pos - base_pos
+                path = self._shift_log_fragment(path, delta)
+                if max_seq is not None:
+                    max_seq += delta
+                base_pos = moved.fresh_pos
+
+    def _shift_log_fragment(self, path: str, delta: int) -> str:
+        """Rewrite one WAL fragment with seq ids shifted by ``delta`` into
+        a new unique dir (append-only stores never rewrite in place); the
+        superseded dir is removed. Cost is one fragment, not the log."""
+        import shutil
+
+        df = self._client.spark.read.parquet(path).withColumn(
+            "seq_id", (F.col("seq_id") + F.lit(int(delta))).cast("long")
+        )
+        new_path = self._store.append_log(df)
+        shutil.rmtree(path, ignore_errors=True)
+        return new_path
+
     def _append_delete_where(self, ids, where, where_document) -> None:
         import json as _json
 
@@ -530,9 +617,7 @@ class Collection:
             [(meta.log_position, "DELETE_WHERE", None, None, None, None, payload)], schema
         )
         path = self._store.append_log(df)
-        meta.log_paths = [*meta.log_paths, path]
-        meta.log_position += 1
-        self._store.catalog.update(meta)
+        self._commit_log_append(path, base_pos=int(meta.log_position), max_seq=int(meta.log_position))
 
     def _append(self, op, ids, embeddings, documents, uris, metadatas) -> None:
         meta = self._store.meta
@@ -676,9 +761,12 @@ class Collection:
                 raise CollectionError(f"unsupported metadata type {t!r} for key {k!r}")
         df = self._client.spark.createDataFrame(rows, T.StructType(fields))
         path = self._store.append_log(df)
-        meta.log_paths = [*meta.log_paths, path]
-        meta.log_position += n
-        self._store.catalog.update(meta)
+        self._commit_log_append(
+            path,
+            base_pos=int(meta.log_position),
+            max_seq=int(meta.log_position) + n - 1 if n else None,
+            dimension_hint=meta.dimension,
+        )
 
     # ------------------------------------------------------------------
     # state assembly (ReadLevels) + compaction
@@ -786,25 +874,29 @@ class Collection:
         from .streaming.functions import make_attached_function
 
         make_attached_function(name, kind, **params)  # validate kind/params
-        meta = self._store.meta
-        fns = dict(meta.metadata.get("__functions__", {}))
+        fns = dict(self._store.meta.metadata.get("__functions__", {}))
         self._client._enforce(
             Action.ATTACH_FUNCTION,
             collection_name=name,
             num_functions=len(fns) + (0 if name in fns else 1),
         )
-        fns[name] = {"kind": kind, "params": params}
-        meta.metadata["__functions__"] = fns
-        self._store.catalog.update(meta)
+
+        def _set(m):
+            cur = dict(m.metadata.get("__functions__", {}))
+            cur[name] = {"kind": kind, "params": params}
+            m.metadata["__functions__"] = cur
+
+        self._store.catalog.mutate(self._store.name, _set)
 
     def detach_function(self, name: str) -> None:
-        meta = self._store.meta
-        fns = dict(meta.metadata.get("__functions__", {}))
-        if name not in fns:
-            raise CollectionError(f"no attached function named {name!r}")
-        del fns[name]
-        meta.metadata["__functions__"] = fns
-        self._store.catalog.update(meta)
+        def _del(m):
+            fns = dict(m.metadata.get("__functions__", {}))
+            if name not in fns:
+                raise CollectionError(f"no attached function named {name!r}")
+            del fns[name]
+            m.metadata["__functions__"] = fns
+
+        self._store.catalog.mutate(self._store.name, _del)
 
     def list_functions(self) -> dict[str, dict]:
         return dict(self._store.meta.metadata.get("__functions__", {}))
@@ -846,9 +938,25 @@ class Collection:
         for the new version (the reference's compaction writes the vector
         segment's index as part of the same flush, SURVEY §3.3), so index
         reads never go stale across compactions."""
+        # pin the fold's inputs ONCE: the fold, the attached functions, and
+        # the register below all see exactly these paths, so a concurrent
+        # writer's fragment is never half-included (it either commits its
+        # path before this read — folded — or survives in the kept tail)
         meta = self._store.meta
-        log_batch = self._store.read_log()
-        snap = self.snapshot()
+        consumed_logs = list(meta.log_paths)
+        spark = self._client.spark
+        base = (
+            spark.read.option("mergeSchema", "true").parquet(*meta.base_paths)
+            if meta.base_paths
+            else None
+        )
+        log_batch = (
+            spark.read.option("mergeSchema", "true").parquet(*consumed_logs)
+            if consumed_logs
+            else None
+        )
+        log, where_ops = self._split_where_ops(log_batch)
+        snap = self._fold(base, log, where_ops)
         if snap is None:
             return meta.version
         new_version = meta.version + 1
@@ -864,10 +972,23 @@ class Collection:
                 out.write.mode("overwrite").parquet(
                     _os.path.join(self._store.catalog.root, self._store.name, f"fn_{af.name}", f"v{new_version}")
                 )
-        meta.version = new_version
-        meta.base_paths = [path]
-        meta.log_paths = []
-        self._store.catalog.update(meta)
+        # register: version CAS against FRESH state — a concurrent
+        # compaction from another process loses cleanly instead of silently
+        # clobbering, and WAL fragments appended since the pin survive in
+        # the kept tail (their seqs are > every folded seq by the append CAS)
+        consumed = set(consumed_logs)
+
+        def _register(m):
+            if m.version != meta.version:
+                raise CollectionError(
+                    f"concurrent compaction: version moved v{meta.version} -> "
+                    f"v{m.version} during compact()"
+                )
+            m.version = new_version
+            m.base_paths = [path]
+            m.log_paths = [p for p in m.log_paths if p not in consumed]
+
+        self._store.catalog.mutate(self._store.name, _register)
         if refresh_indexes:
             base = self._store.read_base()
 
@@ -887,9 +1008,9 @@ class Collection:
                     # deregister rather than crash the k-means build; a
                     # later compaction with vectors re-registers via the
                     # schema path or an explicit build
-                    m = self._store.meta
-                    m.vector_index = None
-                    self._store.catalog.update(m)
+                    self._store.catalog.mutate(
+                        self._store.name, lambda m: setattr(m, "vector_index", None)
+                    )
             elif self.schema is not None:
                 # declarative indexing: an explicit vector_index config in
                 # the schema means "maintain the index at compaction" (the
@@ -901,11 +1022,12 @@ class Collection:
                 if _has_rows(key):
                     self._maintain_sparse_index(key, log_batch)
                 else:
-                    m = self._store.meta
-                    m.sparse_indexes = {
-                        k: v for k, v in (m.sparse_indexes or {}).items() if k != key
-                    }
-                    self._store.catalog.update(m)
+                    def _drop_si(m, key=key):
+                        m.sparse_indexes = {
+                            k: v for k, v in (m.sparse_indexes or {}).items() if k != key
+                        }
+
+                    self._store.catalog.mutate(self._store.name, _drop_si)
             self._maintain_dedup_index()
         return new_version
 
@@ -1010,9 +1132,10 @@ class Collection:
             desc["rerank_factor"] = int(rerank_factor or 8)
         postings = postings.withColumn("__epoch", F.lit(meta.version).cast("long"))
         write_ivf(centroids, postings, path)
-        meta.vector_index = desc
-        self._store.catalog.update(meta)
-        return meta.vector_index
+        self._store.catalog.mutate(
+            self._store.name, lambda m: setattr(m, "vector_index", desc)
+        )
+        return desc
 
     # fraction of the trained corpus that may accumulate as tombstoned/
     # appended deltas before compaction retrains k-means from scratch —
@@ -1093,14 +1216,16 @@ class Collection:
                 assigned = self._encode_pq_delta(assigned, vi)
             assigned = assigned.withColumn("__epoch", F.lit(meta.version).cast("long"))
             append_ivf_postings(assigned, vi["path"])
-        meta.vector_index = {
+        desc = {
             **vi,
             "version": meta.version,
             "epoch": meta.version,
             "n_appended": int(vi.get("n_appended", 0)) + n_touched,
         }
-        self._store.catalog.update(meta)
-        return meta.vector_index
+        self._store.catalog.mutate(
+            self._store.name, lambda m: setattr(m, "vector_index", desc)
+        )
+        return desc
 
     def _pq_books(self, vi: dict) -> "list":
         """Codebooks persisted beside the layout (too big for the catalog
@@ -1212,18 +1337,19 @@ class Collection:
                 _os.path.join(si["path"], "postings")
             )
         n_docs = float(base.filter(F.col(key).isNotNull()).count())
-        meta.sparse_indexes = {
-            **(meta.sparse_indexes or {}),
-            key: {
-                **si,
-                "version": meta.version,
-                "epoch": meta.version,
-                "n_docs": n_docs,
-                "n_appended": int(si.get("n_appended", 0)) + n_touched,
-            },
+        desc = {
+            **si,
+            "version": meta.version,
+            "epoch": meta.version,
+            "n_docs": n_docs,
+            "n_appended": int(si.get("n_appended", 0)) + n_touched,
         }
-        self._store.catalog.update(meta)
-        return meta.sparse_indexes[key]
+
+        def _set_si(m):
+            m.sparse_indexes = {**(m.sparse_indexes or {}), key: desc}
+
+        self._store.catalog.mutate(self._store.name, _set_si)
+        return desc
 
     def _load_sparse_index(self, si: dict) -> DataFrame:
         """Live posting rows for a registered sparse index (epoch MVCC like
@@ -1292,21 +1418,22 @@ class Collection:
 
         stamp_layout(path, "sparse")
         n_docs = float(postings.select("id").distinct().count())
-        meta.sparse_indexes = {
-            **(meta.sparse_indexes or {}),
-            key: {
-                "version": meta.version,
-                "path": path,
-                "n_buckets": int(n_buckets),
-                "n_docs": n_docs,
-                # incremental-maintenance state (same scheme as the vector
-                # index: epoch-stamped rows, tombstones, drift counter)
-                "epoch": meta.version,
-                "n_appended": 0,
-            },
+        desc = {
+            "version": meta.version,
+            "path": path,
+            "n_buckets": int(n_buckets),
+            "n_docs": n_docs,
+            # incremental-maintenance state (same scheme as the vector
+            # index: epoch-stamped rows, tombstones, drift counter)
+            "epoch": meta.version,
+            "n_appended": 0,
         }
-        self._store.catalog.update(meta)
-        return meta.sparse_indexes[key]
+
+        def _set_si(m):
+            m.sparse_indexes = {**(m.sparse_indexes or {}), key: desc}
+
+        self._store.catalog.mutate(self._store.name, _set_si)
+        return desc
 
     @staticmethod
     def _rank_knn_keys(rank) -> dict[str, bool]:
@@ -1428,8 +1555,10 @@ class Collection:
             "n": int(n),
             "text_col": text_col,
         }
-        meta.metadata["__dedup_index__"] = desc
-        self._store.catalog.update(meta)
+        self._store.catalog.mutate(
+            self._store.name,
+            lambda m: m.metadata.__setitem__("__dedup_index__", desc),
+        )
         return desc
 
     def _maintain_dedup_index(self) -> None:
@@ -1448,8 +1577,10 @@ class Collection:
         base = self._store.read_base()
         text_col = desc["text_col"]
         if base is None or text_col not in base.columns:
-            meta.metadata.pop("__dedup_index__", None)
-            self._store.catalog.update(meta)
+            self._store.catalog.mutate(
+                self._store.name,
+                lambda m: m.metadata.pop("__dedup_index__", None) and None,
+            )
             return
         check_layout(desc["path"], "dedup")
         records = base.filter(F.col(text_col).isNotNull()).select(
@@ -1472,8 +1603,11 @@ class Collection:
             "band"
         ).parquet(_os.path.join(path, "bands"))
         stamp_layout(path, "dedup")
-        meta.metadata["__dedup_index__"] = {**desc, "version": meta.version, "path": path}
-        self._store.catalog.update(meta)
+        new_desc = {**desc, "version": meta.version, "path": path}
+        self._store.catalog.mutate(
+            self._store.name,
+            lambda m: m.metadata.__setitem__("__dedup_index__", new_desc),
+        )
 
     def find_near_duplicates(
         self, new_docs: DataFrame, threshold: float = 0.8,
@@ -1525,7 +1659,7 @@ class Collection:
     def list_versions(self) -> list[int]:
         return self._store.list_base_versions()
 
-    def gc(self, keep_last: int = 1) -> list[int]:
+    def gc(self, keep_last: int = 1, grace_seconds: float = 60.0) -> list[int]:
         """Remove old base versions, stale index layouts, and orphaned WAL
         batch dirs (`rust/garbage_collector/` analog); returns the base
         versions deleted.
@@ -1538,9 +1672,24 @@ class Collection:
         fail with :class:`StaleReadError`. Local-FS implementation; a
         production deployment delegates to the table format's VACUUM with
         the same referenced-set rule.
+
+        ``grace_seconds``: unreferenced dirs younger than this survive —
+        another process may have WRITTEN a WAL fragment / index layout but
+        not yet CAS-committed its catalog reference (the standard
+        orphan-grace rule of object-store GC; wal3 keeps a cutoff the same
+        way). Referenced-set deletion has no such window.
         """
         import os
         import shutil
+        import time as _time
+
+        cutoff = _time.time() - max(0.0, grace_seconds)
+
+        def _settled(path: str) -> bool:
+            try:
+                return os.path.getmtime(path) < cutoff
+            except OSError:
+                return False  # vanished concurrently — nothing to delete
 
         referenced: set[str] = set()
         log_referenced: set[str] = set()
@@ -1567,8 +1716,8 @@ class Collection:
         # WAL batch dirs left behind by compaction (compact() resets
         # log_paths but keeps files for forks that still reference them)
         for p in self._store.list_log_batch_dirs():
-            if p not in log_referenced:
-                shutil.rmtree(p)
+            if p not in log_referenced and _settled(p):
+                shutil.rmtree(p, ignore_errors=True)
         # stale per-version index layouts (not referenced by any
         # collection's current descriptors — fork children may point at a
         # parent's old index)
@@ -1582,8 +1731,8 @@ class Collection:
                 continue
             for vdir in os.listdir(os.path.join(coll_dir, sub)):
                 p = os.path.join(coll_dir, sub, vdir)
-                if p not in index_referenced:
-                    shutil.rmtree(p)
+                if p not in index_referenced and _settled(p):
+                    shutil.rmtree(p, ignore_errors=True)
         # attached-function outputs: point-in-time outputs (statistics,
         # record_counter) of pruned versions go with them; revision_history
         # is the append-only pre-image archive and is always kept (the
@@ -2230,8 +2379,42 @@ class CollectionTransaction:
         """Validate and apply; returns ``{first_inserted_record_offset,
         record_count}`` (ConditionalCommitResult shape). Raises
         :class:`StaleReadError` / :class:`ConditionalWriteConflictError` on
-        conflict — callers retry with backoff, as the reference client does."""
+        conflict — callers retry with backoff, as the reference client does.
+
+        Cross-process window: validation pins the fresh log position and the
+        FIRST buffered append CAS-requires it unchanged (strict — no seq
+        re-basing), so any foreign write landing between validation and
+        apply forces a silent re-validate + retry here rather than slipping
+        past the conflict check. Appends between this transaction's own ops
+        re-base normally; a foreign write interleaving exactly there is the
+        one residual (sub-millisecond) unvalidated window."""
         self._check_open()
+        for _ in range(10):
+            meta = self._validate()
+            first_offset = meta.log_position
+            self._coll._txn_expect_pos = int(meta.log_position)
+            try:
+                for op, (ids, *payload) in self._buffer:
+                    if op == "delete":
+                        self._coll.delete(ids)
+                    else:
+                        getattr(self._coll, op)(ids, *payload)
+            except _TxnCursorMoved:
+                continue  # nothing applied; re-validate against the fresh tail
+            finally:
+                self._coll._txn_expect_pos = None
+            self._done = True
+            return {
+                "first_inserted_record_offset": first_offset,
+                "record_count": self._record_count,
+            }
+        raise ConditionalWriteConflictError(
+            "conditional transaction lost its commit race 10 times"
+        )
+
+    def _validate(self) -> "CollectionMeta":
+        """The begin-snapshot conflict checks against fresh state; returns
+        the fresh meta whose log position the apply phase pins."""
         store = self._coll._store
         meta = store.meta
         write_ids = {str(i) for op, (ids, *_) in self._buffer for i in ids}
@@ -2269,14 +2452,4 @@ class CollectionTransaction:
                 r_hits = [r["id"] for r in hits if not r["is_write"]][:5]
                 if r_hits:
                     raise StaleReadError(f"read set modified: {r_hits}")
-        first_offset = meta.log_position
-        for op, (ids, *payload) in self._buffer:
-            if op == "delete":
-                self._coll.delete(ids)
-            else:
-                getattr(self._coll, op)(ids, *payload)
-        self._done = True
-        return {
-            "first_inserted_record_offset": first_offset,
-            "record_count": self._record_count,
-        }
+        return meta

@@ -474,7 +474,7 @@ def test_gc_removes_stale_index_versions(client):
     col.build_vector_index(n_lists=1)  # v2 index; v1's is now unreferenced
     idx_root = os.path.join(client.catalog.root, col._store.name, "index_vector")
     assert sorted(os.listdir(idx_root)) == ["v1", "v2"]
-    col.gc(keep_last=1)
+    col.gc(keep_last=1, grace_seconds=0)
     assert sorted(os.listdir(idx_root)) == ["v2"]
     assert col.query([[1.0, 0]], n_results=1)["ids"][0] == ["a"]
 
@@ -507,7 +507,7 @@ def test_gc_preserves_fork_pinned_index_layout_and_prunes_orphan_logs(client):
     col.add(ids=["d"], embeddings=[[0.2, 0.8]])
     col.build_vector_index(n_lists=1)  # parent now on a newer layout
     n_logs_before = len(col._store.list_log_batch_dirs())
-    col.gc(keep_last=1)
+    col.gc(keep_last=1, grace_seconds=0)
 
     idx_root = os.path.join(client.catalog.root, col._store.name, "index_vector")
     assert os.path.isdir(os.path.join(idx_root, "v1"))  # fork-pinned layout survives
@@ -1389,7 +1389,7 @@ def test_dedup_index_lifecycle(client):
     assert ("a", "n1") in pairs2 and ("c", "n1") in pairs2
 
     # gc: the old layout version is pruned, the referenced one survives
-    col.gc(keep_last=1)
+    col.gc(keep_last=1, grace_seconds=0)
     idx_root = os.path.dirname(desc2["path"])
     assert sorted(os.listdir(idx_root)) == [f"v{v2}"]
     assert col.find_near_duplicates(batch, threshold=0.5).count() >= 2

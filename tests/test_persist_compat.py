@@ -33,6 +33,24 @@ def _mk_store(spark, root):
     return client, col
 
 
+def _latest_commit_path(root):
+    d = os.path.join(root, "_commits")
+    gens = sorted(n for n in os.listdir(d) if n.endswith(".json"))
+    return os.path.join(d, gens[-1])
+
+
+def _to_legacy(root, flat_collections, version):
+    """Rewrite the root as a store an OLD (v<=1, pre-commit-log) engine
+    build would have left behind: single catalog.json, no _commits."""
+    import shutil
+
+    shutil.rmtree(os.path.join(root, "_commits"))
+    data = dict(flat_collections)
+    if version is not None:
+        data["__format__"] = {"version": version}
+    json.dump(data, open(os.path.join(root, "catalog.json"), "w"))
+
+
 def test_reopen_current_format_round_trips(spark, tmp_path):
     root = str(tmp_path / "store")
     _mk_store(spark, root)
@@ -40,14 +58,17 @@ def test_reopen_current_format_round_trips(spark, tmp_path):
     col = Client(spark, root).get_collection("pc")
     assert col.count() == 3
     assert col.query([[1.0, 0.0]], n_results=1)["ids"][0] == ["a"]
+    # both the commit head and the checkpoint carry the current stamp, so
+    # an OLDER engine build (reads <= v1) refuses instead of misreading
+    assert json.load(open(_latest_commit_path(root)))["__format__"]["version"] == 2
     catalog = json.load(open(os.path.join(root, "catalog.json")))
-    assert catalog["__format__"]["version"] == 1
+    assert catalog["__format__"]["version"] == 2
 
 
 def test_newer_catalog_format_refuses_cleanly(spark, tmp_path):
     root = str(tmp_path / "store")
     _mk_store(spark, root)
-    p = os.path.join(root, "catalog.json")
+    p = _latest_commit_path(root)
     data = json.load(open(p))
     data["__format__"] = {"version": 99}
     json.dump(data, open(p, "w"))
@@ -55,16 +76,22 @@ def test_newer_catalog_format_refuses_cleanly(spark, tmp_path):
         Client(spark, root).get_collection("pc")
 
 
+def test_newer_legacy_catalog_refuses_cleanly(spark, tmp_path):
+    root = str(tmp_path / "store")
+    _mk_store(spark, root)
+    colls = json.load(open(_latest_commit_path(root)))["collections"]
+    _to_legacy(root, colls, version=99)
+    with pytest.raises(CollectionError, match="newer engine"):
+        Client(spark, root).get_collection("pc")
+
+
 def test_v0_catalog_migrates_unknown_meta_fields(spark, tmp_path):
     root = str(tmp_path / "store")
     _mk_store(spark, root)
-    p = os.path.join(root, "catalog.json")
-    data = json.load(open(p))
-    data["__format__"] = {"version": 0}
-    for meta in data.values():
-        if isinstance(meta, dict) and "name" in meta:
-            meta["experimental_field_from_old_build"] = {"x": 1}
-    json.dump(data, open(p, "w"))
+    colls = json.load(open(_latest_commit_path(root)))["collections"]
+    for meta in colls.values():
+        meta["experimental_field_from_old_build"] = {"x": 1}
+    _to_legacy(root, colls, version=0)
     col = Client(spark, root).get_collection("pc")  # migrates, no crash
     assert col.count() == 3
 
@@ -72,20 +99,16 @@ def test_v0_catalog_migrates_unknown_meta_fields(spark, tmp_path):
 def test_unstamped_catalog_is_pre_versioning_and_opens(spark, tmp_path):
     root = str(tmp_path / "store")
     _mk_store(spark, root)
-    p = os.path.join(root, "catalog.json")
-    data = json.load(open(p))
-    del data["__format__"]
-    json.dump(data, open(p, "w"))
+    colls = json.load(open(_latest_commit_path(root)))["collections"]
+    _to_legacy(root, colls, version=None)
     assert Client(spark, root).get_collection("pc").count() == 3
 
 
 def test_stale_format_without_migration_refuses(spark, tmp_path):
     root = str(tmp_path / "store")
     _mk_store(spark, root)
-    p = os.path.join(root, "catalog.json")
-    data = json.load(open(p))
-    data["__format__"] = {"version": -1}
-    json.dump(data, open(p, "w"))
+    colls = json.load(open(_latest_commit_path(root)))["collections"]
+    _to_legacy(root, colls, version=-1)
     with pytest.raises(CollectionError, match="no migration path"):
         Client(spark, root).get_collection("pc")
 

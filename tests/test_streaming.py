@@ -254,7 +254,7 @@ def test_gc_prunes_point_in_time_function_outputs_keeps_history(spark, tmp_path)
         versions.append(col.compact())
 
     coll_dir = os.path.join(col._store.catalog.root, col._store.name)
-    col.gc(keep_last=1)
+    col.gc(keep_last=1, grace_seconds=0)
     freq_dirs = sorted(os.listdir(os.path.join(coll_dir, "fn_freq")))
     hist_dirs = sorted(os.listdir(os.path.join(coll_dir, "fn_hist")))
     assert freq_dirs == [f"v{versions[-1]}"]  # stale snapshots pruned
