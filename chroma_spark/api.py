@@ -2148,7 +2148,8 @@ class Collection:
         idf: bool = True,
         query_id_col: str = "query_id",
         query_vec_col: str | None = None,
-        prune_buckets: bool = True,
+        prune_buckets: bool | str = "auto",
+        prune_threshold: int = 1024,
     ) -> DataFrame:
         """Distributed sparse retrieval join: a DataFrame of SparseVector
         queries against the collection's ``key`` column, returning
@@ -2159,12 +2160,16 @@ class Collection:
 
         Served by the fresh persisted term-bucket index (with WAL-tail
         postings merged) when one exists, else by inline postings exploded
-        from the snapshot. ``prune_buckets=False`` skips the driver-side
-        distinct-term collect (bounded by the batch's vocabulary) and scans
-        all buckets — the right call for huge query batches whose
-        vocabulary covers the space anyway. Scale note: query postings are
-        the broadcast side of the scoring join; chunk batches whose
-        exploded postings exceed broadcast size."""
+        from the snapshot. ``prune_buckets`` controls the driver-side
+        distinct-term collect that turns the batch vocabulary into
+        partition filters: ``"auto"`` (default) prunes only when the batch
+        holds <= ``prune_threshold`` queries (checked with a bounded
+        ``limit().count()``, never a full count) — a huge batch's
+        vocabulary approaches the whole term space, so the collect would
+        cost an unbounded driver round-trip to prune nothing. ``True`` /
+        ``False`` force either side. Scale note: query postings are the
+        broadcast side of the scoring join; chunk batches whose exploded
+        postings exceed broadcast size."""
         from .operators.sparse import _dot_topk, explode_postings, sparse_index_topk
 
         self._client._enforce(Action.QUERY, n_results=n_results)
@@ -2175,6 +2180,10 @@ class Collection:
         specs = self._fresh_sparse_indexes(read_level, keys={key})
         if key in specs:
             postings, n_buckets, n_docs = specs[key]
+            if prune_buckets == "auto":
+                prune_buckets = (
+                    qdf.limit(prune_threshold + 1).count() <= prune_threshold
+                )
             return sparse_index_topk(
                 postings,
                 qdf,

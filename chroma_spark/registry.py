@@ -2031,6 +2031,145 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_quantized_search(centroids, coded, queries, means, k=10, nprobe=8, rerank_factor=24)
 
 
+# --- Batch retrieval joins through the Collection API (SURVEY §2.3; the
+# 100-TB twins of query(): no query row reaches the driver) ---
+
+_BATCH_COLL_CACHE: dict[str, object] = {}
+_SV_DIMS = 8  # sparse tier = first 8 embedding dims as explicit postings
+
+
+def _batch_collection(spark: SparkSession, sf_dir: str):
+    """A persisted Collection built from the embeddings table (cached like
+    the index layouts): string ids, cosine space, plus an ``sv``
+    SparseVector column carrying the first ``_SV_DIMS`` embedding dims —
+    deterministic sparse data with a trivially SQL-expressible dot product,
+    so the END-TO-END ``query_batch``/``hybrid_query_batch`` paths get
+    DuckDB twins."""
+    if sf_dir not in _BATCH_COLL_CACHE:
+        import os
+        import shutil
+
+        from .api import Client
+
+        root = _index_dir("batchcoll", sf_dir)
+        meta_file = os.path.join(root, "_index_meta.json")
+        sig = _src_sig(f"{sf_dir}/embeddings.parquet")
+        if _load_index_meta(meta_file, sig) is None:
+            shutil.rmtree(root, ignore_errors=True)
+            client = Client(spark, root)
+            col = client.create_collection("embbatch", space="cosine")
+            emb = load(spark, sf_dir, "embeddings")
+            sv = F.struct(
+                F.sequence(F.lit(0), F.lit(_SV_DIMS - 1)).cast("array<int>").alias("indices"),
+                F.slice("embedding", 1, _SV_DIMS).cast("array<float>").alias("values"),
+                F.lit(None).cast("array<string>").alias("labels"),
+            ).cast(
+                "struct<indices:array<int>,values:array<float>,labels:array<string>>"
+            )
+            col.add_records(
+                emb.select(
+                    F.col("vec_id").cast("string").alias("id"),
+                    "embedding",
+                    sv.alias("sv"),
+                )
+            )
+            col.compact()
+            _save_index_meta(meta_file, {"src_sig": sig})
+        else:
+            client = Client(spark, root)
+        _BATCH_COLL_CACHE[sf_dir] = client.get_collection("embbatch")
+    return _BATCH_COLL_CACHE[sf_dir]
+
+
+_BATCH_REC_SQL = "SELECT CAST(vec_id AS VARCHAR) AS id, embedding FROM embeddings"
+_BATCH_Q_SQL = "SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3"
+
+
+def _knn_join_batch_oracle() -> str:
+    from .operators.knn import exact_knn_sql
+
+    return exact_knn_sql(_BATCH_REC_SQL, _BATCH_Q_SQL, 10, "cosine")
+
+
+@register("knn_join_batch", None)  # oracle attached below
+def knn_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``Collection.query_batch`` end to end: a DataFrame of query vectors
+    KNN-joined against the persisted collection (base read + exact scan;
+    same plan the reference's Knn operator produces for an unindexed
+    segment). String record ids — tie order is the collection's, not the
+    source table's."""
+    emb = load(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    return _batch_collection(spark, sf_dir).query_batch(qdf, n_results=10)
+
+
+QUERIES["knn_join_batch"].oracle = _knn_join_batch_oracle()
+
+
+def _hybrid_batch_rrf_oracle(per_side: int = 20, rrf_k: int = 60, k: int = 10) -> str:
+    from .functions.distance import dot_sql
+    from .operators.knn import exact_knn_sql
+
+    dense = exact_knn_sql(_BATCH_REC_SQL, _BATCH_Q_SQL, per_side, "cosine")
+    dot = dot_sql(f"r.embedding[1:{_SV_DIMS}]", f"q.embedding[1:{_SV_DIMS}]")
+    return f"""
+WITH __dk AS (
+  SELECT query_id, id, CAST(rank - 1 AS DOUBLE) AS d0 FROM ({dense})
+),
+__sp AS (
+  SELECT q.vec_id AS query_id, CAST(r.vec_id AS VARCHAR) AS id,
+         (round({dot}, 6) + 0.0) AS s
+  FROM embeddings r
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q
+),
+__sk AS (
+  SELECT query_id, id, CAST(rn - 1 AS DOUBLE) AS s0 FROM (
+    SELECT query_id, id,
+           row_number() OVER (PARTITION BY query_id ORDER BY s DESC, id ASC) AS rn
+    FROM __sp
+  ) WHERE rn <= {per_side}
+),
+__fused AS (
+  SELECT coalesce(__dk.query_id, __sk.query_id) AS query_id,
+         coalesce(__dk.id, __sk.id) AS id,
+         (round(0.0 - (1.0 / ({rrf_k}.0 + coalesce(d0, {per_side}.0))
+                     + 1.0 / ({rrf_k}.0 + coalesce(s0, {per_side}.0))), 6) + 0.0) AS score
+  FROM __dk FULL OUTER JOIN __sk
+    ON __dk.query_id = __sk.query_id AND __dk.id = __sk.id
+)
+SELECT query_id, id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score ASC, id ASC) AS rn
+  FROM __fused
+) WHERE rn <= {k}"""
+
+
+@register("hybrid_batch_rrf", None)  # oracle attached below
+def hybrid_batch_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``Collection.hybrid_query_batch`` end to end: RRF fusion of the
+    distributed dense KNN join and the distributed sparse retrieval join
+    (reference Rrf desugar semantics, operator.py:1144-1238), all
+    index-serveable paths exercised against the persisted collection."""
+    emb = load(spark, sf_dir, "embeddings")
+    dq = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    sq = dq.select(
+        "query_id",
+        F.struct(
+            F.sequence(F.lit(0), F.lit(_SV_DIMS - 1)).cast("array<int>").alias("indices"),
+            F.slice("embedding", 1, _SV_DIMS).cast("array<float>").alias("values"),
+            F.lit(None).cast("array<string>").alias("labels"),
+        ).alias("sv"),
+    )
+    out = _batch_collection(spark, sf_dir).hybrid_query_batch(
+        dq, sq, key="sv", n_results=10, per_side_limit=20, idf=False
+    )
+    return out.select(
+        "query_id", "id", (F.round(F.col("score"), 6) + F.lit(0.0)).alias("score")
+    )
+
+
+QUERIES["hybrid_batch_rrf"].oracle = _hybrid_batch_rrf_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Driver contract surface
 # ---------------------------------------------------------------------------
@@ -2055,6 +2194,10 @@ _MEASURE_FIRST = [
     "revision_history_events",
     "record_counter_by_source",
     "embed_jl_knn",
+    # the Collection-API batch retrieval joins: the only end-to-end
+    # measurement of query_batch / hybrid_query_batch
+    "knn_join_batch",
+    "hybrid_batch_rrf",
 ]
 # Trained-ANN forms: k-means is not SQL-expressible, so the driver can only
 # record a weaker no-oracle row for these. Recall >= 0.95 is pytest-enforced

@@ -1311,6 +1311,18 @@ def test_sparse_query_batch_inline_and_indexed(client):
     with_idf = col.sparse_query_batch(qdf, key="sv", n_results=3, idf=True)
     assert {r.query_id for r in with_idf.collect()} == {0, 1}
 
+    # adaptive default: a batch over the threshold skips the vocabulary
+    # collect (scans all buckets) yet returns identical results; the
+    # threshold probe itself is a bounded limit().count(), not a full count
+    auto_big = got(
+        col.sparse_query_batch(qdf, key="sv", n_results=3, idf=False, prune_threshold=1)
+    )
+    assert auto_big == expected
+    auto_small = got(
+        col.sparse_query_batch(qdf, key="sv", n_results=3, idf=False, prune_threshold=1024)
+    )
+    assert auto_small == expected
+
 
 def test_hybrid_query_batch_rrf_fusion(client):
     """Batch RRF agrees with hand-computed fusion of the two sides."""
