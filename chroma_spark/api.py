@@ -1537,9 +1537,13 @@ class Collection:
             "id", F.col(text_col).alias("document"), F.md5(F.col(text_col)).alias("fp")
         )
         rows = num_perm // bands
-        bdf = minhash_bands(
-            minhash_signatures(records, num_perm, n, "document", "id"), bands, rows, "id"
-        ).join(records.select("id", "fp"), "id")
+        bdf = (
+            minhash_bands(
+                minhash_signatures(records, num_perm, n, "document", "id"), bands, rows, "id"
+            )
+            .join(records.select("id", "fp"), "id")
+            .withColumn("__epoch", F.lit(meta.version).cast("long"))
+        )
         path = _os.path.join(
             self._store.catalog.root, self._store.name, f"index_dedup_{text_col}", f"v{meta.version}"
         )
@@ -1554,6 +1558,11 @@ class Collection:
             "bands": int(bands),
             "n": int(n),
             "text_col": text_col,
+            # incremental-maintenance state (same epoch/tombstone scheme as
+            # the vector and sparse indexes)
+            "epoch": meta.version,
+            "n_docs": int(records.count()),
+            "n_appended": 0,
         }
         self._store.catalog.mutate(
             self._store.name,
@@ -1561,13 +1570,52 @@ class Collection:
         )
         return desc
 
-    def _maintain_dedup_index(self) -> None:
-        """Post-compaction upkeep: carry over band rows whose (id, content
-        fingerprint) survive in the new base, re-shingle only new/updated
-        documents, drop deleted ids — O(changed docs) per compaction."""
+    def _load_dedup_bands(self, desc: dict) -> DataFrame:
+        """Live band rows for the registered dedup index — epoch MVCC like
+        _load_vector_index/_load_sparse_index: rows with ``__epoch <=
+        version`` not superseded by a tombstone. A legacy (v1, rewritten)
+        layout without epoch columns reads as-is; a fork child filtering at
+        its pinned version never sees the parent's later appends."""
         import os as _os
 
-        from .layout import check_layout, stamp_layout
+        from .layout import check_layout
+
+        check_layout(desc["path"], "dedup")
+        spark = self._client.spark
+        bands = spark.read.parquet(_os.path.join(desc["path"], "bands"))
+        if "__epoch" in bands.columns and desc.get("epoch") is not None:
+            version = int(desc["version"])
+            bands = bands.filter(F.col("__epoch") <= version)
+            tomb_path = _os.path.join(desc["path"], "tombstones")
+            if _os.path.isdir(tomb_path):
+                dead = (
+                    spark.read.parquet(tomb_path)
+                    .filter(F.col("epoch") <= version)
+                    .groupBy("id")
+                    .agg(F.max("epoch").alias("__dead_upto"))
+                )
+                bands = (
+                    bands.join(dead, "id", "left")
+                    .filter(
+                        F.col("__dead_upto").isNull()
+                        | (F.col("__epoch") >= F.col("__dead_upto"))
+                    )
+                    .drop("__dead_upto")
+                )
+            bands = bands.drop("__epoch")
+        return bands
+
+    def _maintain_dedup_index(self) -> None:
+        """Post-compaction upkeep, O(changed docs) in COMPUTE and WRITES:
+        changed/new documents re-shingle and their band rows APPEND into
+        the existing band-partitioned layout at the new epoch; stale ids
+        (deleted, or superseded content fingerprints) get a tombstone row.
+        Files written by earlier epochs are never rewritten — the same
+        append-only MVCC discipline as the vector/sparse indexes. Drift
+        past REINDEX_FRACTION of the indexed corpus rebuilds from scratch
+        into a fresh layout dir."""
+        import os as _os
+
         from .operators.dedup import minhash_bands, minhash_signatures
 
         meta = self._store.meta
@@ -1582,28 +1630,62 @@ class Collection:
                 lambda m: m.metadata.pop("__dedup_index__", None) and None,
             )
             return
-        check_layout(desc["path"], "dedup")
+
+        def _full() -> None:
+            self.build_dedup_index(
+                num_perm=int(desc["num_perm"]),
+                bands=int(desc["bands"]),
+                n=int(desc["n"]),
+                text_col=text_col,
+            )
+
+        own_prefix = _os.path.join(self._store.catalog.root, self._store.name) + _os.sep
+        if desc.get("epoch") is None or not desc["path"].startswith(own_prefix):
+            # legacy (v1) layout, or a fork child diverging from a
+            # parent-owned layout: rebuild once into our own epoch layout
+            return _full()
         records = base.filter(F.col(text_col).isNotNull()).select(
             "id", F.col(text_col).alias("document"), F.md5(F.col(text_col)).alias("fp")
         )
-        prev = self._client.spark.read.parquet(_os.path.join(desc["path"], "bands"))
-        keep = prev.join(records.select("id", "fp"), ["id", "fp"], "semi")
-        todo = records.join(prev.select("id", "fp").distinct(), ["id", "fp"], "anti")
-        rows = desc["num_perm"] // desc["bands"]
-        fresh = minhash_bands(
-            minhash_signatures(todo, desc["num_perm"], desc["n"], "document", "id"),
-            desc["bands"],
-            rows,
-            "id",
-        ).join(todo.select("id", "fp"), "id")
-        path = _os.path.join(
-            self._store.catalog.root, self._store.name, f"index_dedup_{text_col}", f"v{meta.version}"
-        )
-        keep.unionByName(fresh).repartition("band").write.mode("overwrite").partitionBy(
-            "band"
-        ).parquet(_os.path.join(path, "bands"))
-        stamp_layout(path, "dedup")
-        new_desc = {**desc, "version": meta.version, "path": path}
+        live = self._load_dedup_bands(desc).select("id", "fp").distinct()
+        todo = records.join(live, ["id", "fp"], "anti")
+        dead = live.join(records.select("id", "fp"), ["id", "fp"], "anti").select("id").distinct()
+        n_todo, n_dead = int(todo.count()), int(dead.count())
+        n_touched = n_todo + n_dead
+        if desc.get("n_appended", 0) + n_touched > self.REINDEX_FRACTION * max(
+            1, desc.get("n_docs", 0)
+        ):
+            return _full()
+        if n_dead:
+            # a changed id is in dead (its old fingerprint left the base)
+            # AND in todo: one tombstone at the new epoch kills its old
+            # rows, the fresh append (same epoch, kept by the >= dead_upto
+            # filter) replaces them
+            dead.withColumn("epoch", F.lit(meta.version).cast("long")).write.mode(
+                "append"
+            ).parquet(_os.path.join(desc["path"], "tombstones"))
+        if n_todo:
+            rows = desc["num_perm"] // desc["bands"]
+            fresh = (
+                minhash_bands(
+                    minhash_signatures(todo, desc["num_perm"], desc["n"], "document", "id"),
+                    desc["bands"],
+                    rows,
+                    "id",
+                )
+                .join(todo.select("id", "fp"), "id")
+                .withColumn("__epoch", F.lit(meta.version).cast("long"))
+            )
+            fresh.repartition("band").write.mode("append").partitionBy("band").parquet(
+                _os.path.join(desc["path"], "bands")
+            )
+        new_desc = {
+            **desc,
+            "version": meta.version,
+            "epoch": meta.version,
+            "n_docs": int(records.count()),
+            "n_appended": int(desc.get("n_appended", 0)) + n_touched,
+        }
         self._store.catalog.mutate(
             self._store.name,
             lambda m: m.metadata.__setitem__("__dedup_index__", new_desc),
@@ -1617,7 +1699,6 @@ class Collection:
         and the collection (plus within-batch), via the registered dedup
         index — the pre-ingest gate of a training-data pipeline. Corpus
         text is hydrated only for candidate ids."""
-        from .layout import check_layout
         from .operators.dedup import minhash_incremental_pairs
 
         desc = self._store.meta.metadata.get("__dedup_index__")
@@ -1628,12 +1709,7 @@ class Collection:
                 "dedup index is stale (WAL tail pending or version "
                 f"{desc['version']} != {self._store.meta.version}); compact() refreshes it"
             )
-        check_layout(desc["path"], "dedup")
-        import os as _os
-
-        bands_df = self._client.spark.read.parquet(
-            _os.path.join(desc["path"], "bands")
-        ).drop("fp")
+        bands_df = self._load_dedup_bands(desc).drop("fp")
         base = self._store.read_base()
         corpus = base.select("id", F.col(desc["text_col"]).alias("document"))
         batch = new_docs.select(

@@ -20,6 +20,11 @@ import os
 
 LAYOUT_FORMAT_VERSION = 1
 
+# per-kind current format. dedup v2 = epoch-stamped rows + tombstones/
+# sibling (incremental maintenance); v1 was a plain rewritten band table —
+# a v1 reader would see dead rows, so v2 layouts refuse under v1 engines
+KIND_FORMAT_VERSIONS = {"ivf": 1, "sparse": 1, "dedup": 2}
+
 
 class LayoutFormatError(ValueError):
     pass
@@ -28,8 +33,9 @@ class LayoutFormatError(ValueError):
 def stamp_layout(path: str, kind: str) -> None:
     """Write the format stamp into a freshly-written layout dir."""
     os.makedirs(path, exist_ok=True)
+    version = KIND_FORMAT_VERSIONS.get(kind, LAYOUT_FORMAT_VERSION)
     with open(os.path.join(path, "_layout.json"), "w") as f:
-        json.dump({"format_version": LAYOUT_FORMAT_VERSION, "kind": kind}, f)
+        json.dump({"format_version": version, "kind": kind}, f)
 
 
 def check_layout(path: str, kind: str) -> None:
@@ -48,10 +54,11 @@ def check_layout(path: str, kind: str) -> None:
     except (OSError, json.JSONDecodeError) as e:
         raise LayoutFormatError(f"unreadable layout stamp {stamp_path}: {e}") from e
     v = int(stamp.get("format_version", 1))
-    if v > LAYOUT_FORMAT_VERSION:
+    ceiling = KIND_FORMAT_VERSIONS.get(kind, LAYOUT_FORMAT_VERSION)
+    if v > ceiling:
         raise LayoutFormatError(
             f"index layout {path} was written by a newer engine "
-            f"(format v{v}; this build reads <= v{LAYOUT_FORMAT_VERSION}) — "
+            f"(format v{v}; this build reads <= v{ceiling}) — "
             "upgrade the engine or rebuild the index"
         )
     got_kind = stamp.get("kind", kind)

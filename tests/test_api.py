@@ -1368,10 +1368,15 @@ def test_dedup_index_lifecycle(client):
 
     base_txt = "the quick brown fox jumps over the lazy dog one two "
     col = client.create_collection("dedup", dimension=2)
+    fillers = [f"f{i}" for i in range(6)]
     col.add(
-        ids=["a", "b"],
-        embeddings=[[0.0, 1.0]] * 2,
-        documents=[base_txt + "three", "entirely different words about spark plans here"],
+        ids=["a", "b", *fillers],
+        embeddings=[[0.0, 1.0]] * 8,
+        documents=[
+            base_txt + "three",
+            "entirely different words about spark plans here",
+            *[f"unrelated filler document number {i} keeping the drift counter low" for i in range(6)],
+        ],
     )
     desc = col.build_dedup_index(num_perm=16, bands=4, n=3)
     assert desc["version"] == col.version
@@ -1384,6 +1389,22 @@ def test_dedup_index_lifecycle(client):
     pairs = {(r.id_a, r.id_b) for r in col.find_near_duplicates(batch, threshold=0.5).collect()}
     assert ("a", "n1") in pairs and not any("n2" in p or "b" in p for p in pairs)
 
+    # pin every band-table file before the incremental compaction: the
+    # O(changed)-WRITES contract is that maintenance only APPENDS — files
+    # already on disk stay byte-identical (path, size, mtime)
+    def _file_states(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                if f == "_SUCCESS" or f.endswith(".crc"):
+                    continue  # Spark job markers, rewritten by any append
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = _file_states(os.path.join(desc["path"], "bands"))
+
     # ingest + compact: maintenance refreshes the index to the new version
     col.add(ids=["c"], embeddings=[[1.0, 0.0]], documents=[base_txt + "five"])
     with pytest.raises(Exception, match="stale"):
@@ -1391,19 +1412,33 @@ def test_dedup_index_lifecycle(client):
     v2 = col.compact()
     desc2 = col._store.meta.metadata["__dedup_index__"]
     assert desc2["version"] == v2
-    b_new = spark.read.parquet(os.path.join(desc2["path"], "bands"))
-    rows2 = {(r.id, r.band, r.bh) for r in b_new.drop("fp").collect()}
-    b_old = spark.read.parquet(os.path.join(desc["path"], "bands"))
-    rows1 = {(r.id, r.band, r.bh) for r in b_old.drop("fp").collect()}
+    assert desc2["path"] == desc["path"]  # in-place append, no new layout dir
+    after = _file_states(os.path.join(desc2["path"], "bands"))
+    assert {p: after[p] for p in before} == before  # pre-existing files untouched
+    assert set(after) > set(before)  # the changed doc's rows were appended
+    live = col._load_dedup_bands(desc2)
+    rows2 = {(r.id, r.band, r.bh) for r in live.drop("fp").collect()}
+    b_old = spark.read.parquet(os.path.join(desc["path"], "bands")).filter("__epoch = %d" % desc["epoch"])
+    rows1 = {(r.id, r.band, r.bh) for r in b_old.drop("fp", "__epoch").collect()}
     assert {t for t in rows2 if t[0] == "a"} == {t for t in rows1 if t[0] == "a"}
-    assert {t[0] for t in rows2} == {"a", "b", "c"}
+    assert {t[0] for t in rows2} == {"a", "b", "c", *fillers}
     pairs2 = {(r.id_a, r.id_b) for r in col.find_near_duplicates(batch, threshold=0.5).collect()}
     assert ("a", "n1") in pairs2 and ("c", "n1") in pairs2
 
-    # gc: the old layout version is pruned, the referenced one survives
+    # update one doc: its old rows die by tombstone, others stay on disk
+    col.update(ids=["b"], documents=["completely new content replacing b entirely now"])
+    col.compact()
+    desc3 = col._store.meta.metadata["__dedup_index__"]
+    live3 = {(r.id, r.fp) for r in col._load_dedup_bands(desc3).select("id", "fp").distinct().collect()}
+    assert {i for i, _ in live3} == {"a", "b", "c", *fillers}
+    b_fp = {fp for i, fp in live3 if i == "b"}
+    old_b_fp = {fp for i, fp in {(r.id, r.fp) for r in b_old.collect()} if i == "b"}
+    assert b_fp and b_fp.isdisjoint(old_b_fp)  # b re-fingerprinted, old rows dead
+
+    # gc keeps the (still-referenced) layout dir; the index keeps serving
     col.gc(keep_last=1, grace_seconds=0)
-    idx_root = os.path.dirname(desc2["path"])
-    assert sorted(os.listdir(idx_root)) == [f"v{v2}"]
+    idx_root = os.path.dirname(desc3["path"])
+    assert os.path.isdir(desc3["path"]) and sorted(os.listdir(idx_root)) == ["v1"]
     assert col.find_near_duplicates(batch, threshold=0.5).count() >= 2
 
 

@@ -152,7 +152,7 @@ def test_newer_dedup_layout_refuses_cleanly(spark, tmp_path):
     col.build_dedup_index(num_perm=8, bands=2)
     layout_dir = col._store.meta.metadata["__dedup_index__"]["path"]
     stamp_path = os.path.join(layout_dir, "_layout.json")
-    assert json.load(open(stamp_path)) == {"format_version": 1, "kind": "dedup"}
+    assert json.load(open(stamp_path)) == {"format_version": 2, "kind": "dedup"}
     json.dump({"format_version": 99, "kind": "dedup"}, open(stamp_path, "w"))
     batch = spark.createDataFrame([("n1", "alpha beta gamma")], "id STRING, document STRING")
     with pytest.raises(LayoutFormatError, match="newer engine"):
