@@ -229,8 +229,85 @@ class CohereEmbeddingFunction(_UnavailableProvider):
     name, requires = "cohere", "the cohere package and an API key"
 
 
-class ONNXMiniLM_L6_V2(_UnavailableProvider):
-    name, requires = "onnx_mini_lm_l6_v2", "onnxruntime + model download"
+class ONNXMiniLM_L6_V2(EmbeddingFunction):
+    """all-MiniLM-L6-v2 (384-d) through onnxruntime — the reference's
+    default local embedding function
+    (`chromadb/utils/embedding_functions/onnx_mini_lm_l6_v2.py`): tokenize,
+    run the ONNX encoder, attention-masked mean pooling, L2 normalize.
+
+    Activates ONLY when the runtime deps (``onnxruntime`` + ``tokenizers``)
+    and the model files are present — probed lazily, never at import, so
+    configs naming this EF round-trip in environments without them
+    (``available()`` reports which way). No network: ``model_path`` must
+    hold ``model.onnx`` + ``tokenizer.json`` (the contents of the
+    reference's downloaded archive); the reference fetches that archive on
+    first use, which a sandboxed deployment pre-stages instead.
+    """
+
+    name = "onnx_mini_lm_l6_v2"
+
+    def __init__(self, model_path: str | None = None, max_tokens: int = 256, **kwargs):
+        self.model_path = model_path
+        self.max_tokens = max_tokens
+        self.kwargs = kwargs
+        self._session = None
+        self._tokenizer = None
+
+    @staticmethod
+    def available() -> bool:
+        try:
+            import onnxruntime  # noqa: F401
+            import tokenizers  # noqa: F401
+        except ImportError:
+            return False
+        return True
+
+    def _ensure_loaded(self) -> None:
+        if self._session is not None:
+            return
+        import os
+
+        if not self.available():
+            raise NotImplementedError(
+                "embedding function 'onnx_mini_lm_l6_v2' needs onnxruntime + "
+                "tokenizers (not installed in this environment); use 'hashing' "
+                "or 'bm25_sparse' for deterministic local embedding"
+            )
+        import onnxruntime
+        from tokenizers import Tokenizer
+
+        if self.model_path is None or not os.path.isdir(self.model_path):
+            raise NotImplementedError(
+                "embedding function 'onnx_mini_lm_l6_v2' needs model_path "
+                "pointing at a directory with model.onnx + tokenizer.json "
+                "(pre-stage the all-MiniLM-L6-v2 ONNX export; this "
+                "environment has no network to download it)"
+            )
+        self._tokenizer = Tokenizer.from_file(os.path.join(self.model_path, "tokenizer.json"))
+        self._tokenizer.enable_truncation(max_length=self.max_tokens)
+        self._tokenizer.enable_padding(pad_id=0, pad_token="[PAD]")
+        self._session = onnxruntime.InferenceSession(
+            os.path.join(self.model_path, "model.onnx"),
+            providers=["CPUExecutionProvider"],
+        )
+
+    def __call__(self, texts: list[str | None]) -> list[list[float]]:
+        self._ensure_loaded()
+        enc = self._tokenizer.encode_batch([t or "" for t in texts])
+        ids = np.array([e.ids for e in enc], dtype=np.int64)
+        mask = np.array([e.attention_mask for e in enc], dtype=np.int64)
+        (hidden,) = self._session.run(
+            None,
+            {
+                "input_ids": ids,
+                "attention_mask": mask,
+                "token_type_ids": np.zeros_like(ids),
+            },
+        )[:1]
+        m = mask[:, :, None].astype(np.float64)
+        pooled = (hidden * m).sum(axis=1) / np.maximum(m.sum(axis=1), 1e-9)
+        norms = np.maximum(np.linalg.norm(pooled, axis=1, keepdims=True), 1e-12)
+        return (pooled / norms).tolist()
 
 
 class SentenceTransformerEmbeddingFunction(_UnavailableProvider):

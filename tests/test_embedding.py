@@ -164,3 +164,26 @@ def test_sparse_embed_column(spark):
     df = spark.createDataFrame([("1", "a b a")], ["id", "document"])
     row = df.withColumn("sv", ef.embed_column(F.col("document"))).first()
     assert row.sv.indices == sorted(row.sv.indices) and len(row.sv.indices) == 2
+
+
+def test_onnx_minilm_probe_both_ways():
+    """The ONNX MiniLM path activates when its runtime deps + model files
+    exist and refuses cleanly otherwise — green in BOTH environments."""
+    from chroma_spark.functions.embedding import ONNXMiniLM_L6_V2
+
+    ef = ONNXMiniLM_L6_V2(model_path=None)
+    if not ONNXMiniLM_L6_V2.available():
+        with pytest.raises(NotImplementedError, match="onnxruntime"):
+            ef(["hello"])
+        return  # deps absent: clean refusal IS the contract here
+    # deps present but no model files: still a clean, specific refusal
+    with pytest.raises(NotImplementedError, match="model_path"):
+        ef(["hello"])
+    import os
+
+    mp = os.environ.get("SPARK_GRAFT_MINILM_PATH")
+    if not mp:
+        pytest.skip("onnxruntime present but no pre-staged model files")
+    vecs = ONNXMiniLM_L6_V2(model_path=mp)(["hello world", "second text"])
+    assert len(vecs) == 2 and len(vecs[0]) == 384
+    assert abs(sum(x * x for x in vecs[0]) - 1.0) < 1e-6
