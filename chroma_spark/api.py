@@ -73,9 +73,24 @@ class Client:
         database: str = DEFAULT_DATABASE,
         quota_enforcer=None,
         rate_limiter=None,
+        auth_provider=None,
+        authz_provider=None,
+        credentials: dict | None = None,
     ) -> None:
         self.spark = spark
         self.catalog = Catalog(root)
+        # authn happens ONCE at construction (the reference authenticates
+        # per request because each request is a fresh HTTP call; a client
+        # object is the session here), authz per action in _enforce
+        self.user = None
+        self.authz_provider = authz_provider
+        if auth_provider is not None:
+            from .auth import resolve_tenant_scope
+
+            self.user = auth_provider.authenticate_or_raise(credentials or {})
+            tenant, database = resolve_tenant_scope(
+                self.user, tenant, database, DEFAULT_TENANT, DEFAULT_DATABASE
+            )
         self.tenant, self.database = tenant, database
         # frontend admission control (quota.py; rust/frontend/src/quota):
         # rate check first, then usage measurement — default allows all
@@ -89,8 +104,15 @@ class Client:
             raise CollectionError(f"database {database!r} in tenant {tenant!r} does not exist")
 
     def _enforce(self, action: Action, **fields) -> None:
-        """Admission control for one API call: rate bucket, then quota
-        measurement (quota/mod.rs:465-474 enforce; server middleware order)."""
+        """Admission control for one API call, in the reference's
+        middleware order: authorization (chromadb/auth authorize_or_raise),
+        then rate bucket, then quota measurement (quota/mod.rs:465-474)."""
+        if self.authz_provider is not None:
+            from .auth import UserIdentity
+
+            self.authz_provider.authorize_or_raise(
+                self.user or UserIdentity(user_id="anonymous"), action
+            )
         if self.rate_limiter is not None:
             self.rate_limiter.check(self.tenant, action)
         self.quota_enforcer.enforce(QuotaPayload(action=action, tenant=self.tenant, **fields))
