@@ -654,3 +654,123 @@ SELECT id, document FROM __rn WHERE __rn = 1"""
     if sample_rate < 1.0:
         return hash_sample_sql(deduped, rate=sample_rate, id_col="id", salt=salt)
     return deduped
+
+
+def token_entropy(docs: DataFrame, text_col: str = "document", id_col: str = "id") -> DataFrame:
+    """Per-doc Shannon entropy of the token distribution: ``(id, n_tokens,
+    entropy)`` — the classic gibberish/boilerplate signal (low entropy =
+    repetitive or templated text, used alongside the Gopher gates).
+
+    Scale shape: pure per-row array expressions — token counting happens
+    INSIDE the row via higher-order functions (no explode, no shuffle, no
+    UDF), so the operator is a map over the corpus regardless of size.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks).cast("double")
+    counts = F.transform(
+        F.array_distinct(toks), lambda d: F.size(F.filter(toks, lambda t: t == d))
+    )
+    ent = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc - (c.cast("double") / n) * F.log2(c.cast("double") / n),
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n.cast("bigint").alias("n_tokens"),
+        (F.round(ent, 6) + F.lit(0.0)).alias("entropy"),
+    )
+
+
+def token_entropy_sql(docs_sql: str, text_col: str = "document", id_col: str = "id") -> str:
+    toks = tokens_sql(f'"{text_col}"')
+    return f"""
+SELECT id,
+       CAST(n AS BIGINT) AS n_tokens,
+       (round(coalesce(list_sum(list_transform(counts,
+              c -> -(CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n))), 0.0), 6)
+        + 0.0) AS entropy
+FROM (
+  SELECT id, CAST(len(t) AS DOUBLE) AS n,
+         list_transform(list_distinct(t), d -> len(list_filter(t, x -> x = d))) AS counts
+  FROM (SELECT "{id_col}" AS id, {toks} AS t FROM ({docs_sql}))
+)"""
+
+
+def pack_sequences(
+    docs: DataFrame, budget: int, text_col: str = "document", id_col: str = "id"
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing: lay every document's tokens
+    end to end in ``id`` order and cut fixed ``budget``-token training
+    sequences — ``(id, n_tokens, seq_id, seq_offset)`` says which sequence
+    each document starts in and at which offset (documents span cuts,
+    exactly like LLM pretraining packing).
+
+    Scale shape: the global prefix sum is TWO-PHASE — range-repartition by
+    id, a per-partition running sum (window partitioned by the physical
+    partition, fully parallel), plus one partition-count-sized collect of
+    per-partition totals broadcast back as starting offsets. No
+    single-partition global window at any size.
+    """
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    # EXPLICIT partition count: the per-partition totals job and the output
+    # job must see the IDENTICAL range partitioning (the __pid -> offset
+    # carry is keyed on it); a user-specified N pins it — AQE only
+    # coalesces repartitions without one — and range sampling is
+    # deterministically seeded, so both jobs agree
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    df = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        )
+        .repartitionByRange(n_parts, F.col("id"))
+        .sortWithinPartitions("id")
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # bounded collect: one row per partition (the distributed-prefix-sum
+    # carry), never data rows
+    totals = {
+        int(r["__pid"]): int(r["t"])
+        for r in df.groupBy("__pid").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "__pid INT, __off LONG"
+    )
+    w = Window.partitionBy("__pid").orderBy("id")
+    cum_before = (F.col("__off") + F.sum("n_tokens").over(w) - F.col("n_tokens")).alias(
+        "__cb"
+    )
+    out = df.join(F.broadcast(off_df), "__pid").select("id", "n_tokens", cum_before)
+    return out.select(
+        "id",
+        "n_tokens",
+        F.expr(f"__cb DIV {int(budget)}").cast("bigint").alias("seq_id"),
+        (F.col("__cb") % F.lit(int(budget))).cast("bigint").alias("seq_offset"),
+    )
+
+
+def pack_sequences_sql(
+    docs_sql: str, budget: int, text_col: str = "document", id_col: str = "id"
+) -> str:
+    toks = tokens_sql(f'"{text_col}"')
+    return f"""
+WITH __t AS (
+  SELECT "{id_col}" AS id, CAST(len({toks}) AS BIGINT) AS n_tokens FROM ({docs_sql})
+),
+__c AS (
+  SELECT id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM __t
+)
+SELECT id, n_tokens,
+       CAST(cb // {int(budget)} AS BIGINT) AS seq_id,
+       CAST(cb % {int(budget)} AS BIGINT) AS seq_offset
+FROM __c"""

@@ -1020,6 +1020,14 @@ def _register_textstats() -> None:
         lambda spark, sf_dir: T.text_stats(_docs_df(spark, sf_dir)),
         T.text_stats_sql(_DOCS_SQL),
     )
+    QUERIES["text_token_entropy"] = Query(
+        lambda spark, sf_dir: T.token_entropy(_docs_df(spark, sf_dir)),
+        T.token_entropy_sql(_DOCS_SQL),
+    )
+    QUERIES["pack_sequences"] = Query(
+        lambda spark, sf_dir: T.pack_sequences(_docs_df(spark, sf_dir), budget=512),
+        T.pack_sequences_sql(_DOCS_SQL, budget=512),
+    )
     QUERIES["lang_id_pred"] = Query(
         lambda spark, sf_dir: T.lang_id(_docs_df(spark, sf_dir)),
         T.lang_id_sql(_DOCS_SQL),
