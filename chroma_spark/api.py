@@ -172,8 +172,25 @@ class Client:
     def list_tenants(self) -> list[str]:
         return self.catalog.list_tenants()
 
-    def list_databases(self, tenant: str | None = None) -> list[str]:
-        return self.catalog.list_databases(tenant or self.tenant)
+    def list_databases(
+        self, tenant: str | None = None, limit: int | None = None, offset: int = 0
+    ) -> list[str]:
+        names = self.catalog.list_databases(tenant or self.tenant)
+        return names[offset : offset + limit if limit is not None else None]
+
+    def get_database(self, name: str, tenant: str | None = None) -> dict:
+        """AdminAPI.get_database: raises if absent
+        (chromadb/api/__init__.py:724)."""
+        t = tenant or self.tenant
+        if not self.catalog.has_database(t, name):
+            raise CollectionError(f"database {name!r} in tenant {t!r} does not exist")
+        return {"name": name, "tenant": t}
+
+    def delete_database(self, name: str, tenant: str | None = None) -> None:
+        """AdminAPI.delete_database (chromadb/api/__init__.py:735):
+        removes the database AND its collections' catalog entries in ONE
+        CAS commit (the sysdb cascade); on-disk data falls to gc."""
+        self.catalog.drop_database(tenant or self.tenant, name)
 
     def _scoped(self, name: str) -> str:
         return f"{self.tenant}/{self.database}/{name}"
@@ -233,10 +250,11 @@ class Client:
     def delete_collection(self, name: str) -> None:
         self.catalog.drop(self._scoped(name))
 
-    def list_collections(self) -> list[str]:
+    def list_collections(self, limit: int | None = None, offset: int = 0) -> list[str]:
         self._enforce(Action.LIST_COLLECTIONS)
         prefix = f"{self.tenant}/{self.database}/"
-        return [n[len(prefix):] for n in self.catalog.list() if n.startswith(prefix)]
+        names = [n[len(prefix):] for n in self.catalog.list() if n.startswith(prefix)]
+        return names[offset : offset + limit if limit is not None else None]
 
 
 class Collection:

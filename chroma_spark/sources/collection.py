@@ -395,6 +395,26 @@ class Catalog:
         except _AbortCommit:
             pass
 
+    def drop_database(self, tenant: str, database: str) -> None:
+        """Remove a database and every collection scoped under it in ONE
+        commit — the sysdb delete-database cascade, atomic under the CAS."""
+        prefix = f"{tenant}/{database}/"
+
+        def _m(state):
+            ns = state["namespaces"]
+            if tenant not in ns:
+                raise CollectionError(f"tenant {tenant!r} does not exist")
+            if database not in ns[tenant]:
+                raise CollectionError(
+                    f"database {database!r} does not exist in tenant {tenant!r}"
+                )
+            ns[tenant].remove(database)
+            state["collections"] = {
+                n: m for n, m in state["collections"].items() if not n.startswith(prefix)
+            }
+
+        self._commit(_m)
+
     def has_database(self, tenant: str, database: str) -> bool:
         return database in self._load()[0]["namespaces"].get(tenant, [])
 

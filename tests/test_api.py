@@ -1472,3 +1472,35 @@ def test_write_batch_cap_enforced(spark, tmp_path, monkeypatch):
         col.add(ids=["a", "b", "c"], embeddings=[[0.0, 1.0]] * 3)
     col.add(ids=["a", "b"], embeddings=[[0.0, 1.0]] * 2)
     assert col.count() == 2
+
+
+def test_admin_database_surface(spark, tmp_path):
+    """AdminAPI parity: get_database raises-if-absent, list_* pagination,
+    delete_database cascades its collections in one catalog commit."""
+    from chroma_spark.api import Client
+    from chroma_spark.sources.collection import CollectionError
+
+    client = Client(spark, str(tmp_path / "admin_root"))
+    client.create_database("d1")
+    client.create_database("d2")
+    assert client.get_database("d1")["name"] == "d1"
+    with pytest.raises(CollectionError, match="does not exist"):
+        client.get_database("ghost")
+    dbs = client.list_databases()
+    assert dbs == sorted(dbs) and {"d1", "d2"} <= set(dbs)
+    assert client.list_databases(limit=1) == dbs[:1]
+    assert client.list_databases(limit=2, offset=1) == dbs[1:3]
+
+    d1 = Client(spark, str(tmp_path / "admin_root"), database="d1")
+    for n in ("c1", "c2", "c3"):
+        d1.create_collection(n)
+    assert d1.list_collections() == ["c1", "c2", "c3"]
+    assert d1.list_collections(limit=2) == ["c1", "c2"]
+    assert d1.list_collections(limit=2, offset=2) == ["c3"]
+
+    client.delete_database("d1")
+    assert "d1" not in client.list_databases()
+    # the cascade removed the scoped collections from the catalog
+    assert not any(n.startswith(f"{client.tenant}/d1/") for n in client.catalog.list())
+    with pytest.raises(CollectionError):
+        client.delete_database("d1")
