@@ -2082,6 +2082,11 @@ def _batch_collection(spark: SparkSession, sf_dir: str):
                 )
             )
             col.compact()
+            # sparse term-bucket index: bucket pruning is EXACT (a term's
+            # postings all live in its bucket), so the batch queries serve
+            # from the index while keeping an equality oracle; NO vector
+            # index — IVF is approximate and would break exactness
+            col.build_sparse_index("sv", n_buckets=8)
             _save_index_meta(meta_file, {"src_sig": sig})
         else:
             client = Client(spark, root)
