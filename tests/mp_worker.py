@@ -94,6 +94,20 @@ def compactor_gcer(root: str, n_compacts: int) -> None:
         spark.stop()
 
 
+def hot_writer(root: str, worker_id: str, n_iter: int) -> None:
+    """Tight add loop with NO sleeps: maximal log-cursor contention, so the
+    CAS loser's seq re-base (_shift_log_fragment) runs for real."""
+    from chroma_spark.api import Client
+
+    spark = _spark(f"mp-hot-{worker_id}")
+    try:
+        col = Client(spark, root).get_collection("mphot")
+        for i in range(n_iter):
+            col.add(ids=[f"{worker_id}{i}"], embeddings=[[float(i), 2.0]])
+    finally:
+        spark.stop()
+
+
 def txn_contender(root: str, worker_id: str, n_iter: int) -> None:
     """Conditional transactions from two processes bumping disjoint ids:
     cross-process cursor CAS forces re-validation, never lost writes."""
@@ -126,6 +140,8 @@ def main() -> int:
             writer_forker(args[0], int(args[1]))
         elif role == "compactor_gcer":
             compactor_gcer(args[0], int(args[1]))
+        elif role == "hot_writer":
+            hot_writer(args[0], args[1], int(args[2]))
         elif role == "txn_contender":
             txn_contender(args[0], args[1], int(args[2]))
         else:

@@ -124,6 +124,35 @@ def test_concurrent_add_compact_fork_gc_two_processes(spark, tmp_path):
     assert v == col.version and col.count() == len(expected)
 
 
+def test_two_hot_writers_never_overlap_seqs(spark, tmp_path):
+    """Two tight-loop writer processes (no sleeps) hammer one collection:
+    the log-cursor CAS forces the loser to re-base its fragment's seq ids
+    (_shift_log_fragment), so every id survives and every surviving WAL
+    row has a unique seq — the overlap a last-writer-wins catalog would
+    silently produce."""
+    from chroma_spark.api import Client
+
+    root = str(tmp_path / "store")
+    client = Client(spark, root)
+    client.create_collection("mphot", dimension=2)
+
+    n_iter = 10
+    procs = [
+        _spawn("hot_writer", root, "p", str(n_iter)),
+        _spawn("hot_writer", root, "q", str(n_iter)),
+    ]
+    _join(procs, timeout=600)
+
+    col = Client(spark, root).get_collection("mphot")
+    ids = sorted(r["id"] for r in col.get(include=[]))
+    assert ids == sorted([f"p{i}" for i in range(n_iter)] + [f"q{i}" for i in range(n_iter)])
+    log = col._store.read_log()
+    seqs = [r["seq_id"] for r in log.select("seq_id").collect()]
+    assert len(seqs) == len(set(seqs)) == 2 * n_iter
+    # the committed cursor sits past every seq (re-based fragments advance it)
+    assert col._store.meta.log_position > max(seqs)
+
+
 def test_conditional_transactions_two_processes(spark, tmp_path):
     """Cross-process conditional transactions on disjoint ids: the strict
     first-append CAS forces silent re-validation instead of lost writes."""
