@@ -160,3 +160,44 @@ def test_registered_sparse_queries_prune_index_buckets(spark):
         assert "PartitionFilters" in plan and "bucket" in plan, name
         pf = [line for line in plan.splitlines() if "PartitionFilters" in line and "bucket" in line]
         assert any("bucket IN" in line or "bucket#" in line for line in pf), f"{name}: {pf}"
+
+
+def test_pack_sequences_has_no_global_single_partition_window(spark):
+    """The packing prefix sum must be the two-phase form: every Window in
+    the plan is PARTITIONED (by the physical partition id) — an empty
+    window partition spec would pull the whole corpus through one task."""
+    from chroma_spark.operators.textstats import pack_sequences
+
+    docs = load(spark, SF_SMALL, "documents").select(
+        F.col("doc_id").alias("id"), F.col("text").alias("document")
+    )
+    plan = _plan(pack_sequences(docs, budget=512))
+    assert "Window" in plan
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "__pid" in line, f"global (unpartitioned) window in packing plan: {line}"
+
+
+def test_token_entropy_is_shuffle_free(spark):
+    """Entropy is per-row array math: no Exchange, no Python stage."""
+    from chroma_spark.operators.textstats import token_entropy
+
+    docs = load(spark, SF_SMALL, "documents").select(
+        F.col("doc_id").alias("id"), F.col("text").alias("document")
+    )
+    plan = _plan(token_entropy(docs))
+    assert "Exchange" not in plan, "token_entropy must not shuffle"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hybrid_batch_sparse_side_prunes_buckets(spark):
+    """The batch-join test collection serves its sparse side from the
+    bucket index with partition filters on the query vocabulary."""
+    from chroma_spark.registry import QUERIES
+
+    plan = _formatted(QUERIES["hybrid_batch_rrf"].fn(spark, SF_SMALL))
+    bucket_filters = [
+        line for line in plan.splitlines()
+        if "PartitionFilters" in line and "bucket" in line
+    ]
+    assert bucket_filters, "sparse side must reach the scan as bucket partition filters"
