@@ -221,8 +221,75 @@ class _UnavailableProvider(EmbeddingFunction):
         )
 
 
-class OpenAIEmbeddingFunction(_UnavailableProvider):
-    name, requires = "openai", "the openai package and an API key"
+class _HttpJson:
+    """Tiny stdlib POST-JSON helper shared by the HTTP providers — one
+    request per Arrow batch, no SDK dependency (the reference wraps vendor
+    SDKs; the wire contract is the part that matters)."""
+
+    @staticmethod
+    def post(url: str, payload: dict, headers: dict, timeout: float) -> dict:
+        import json as _json
+        import urllib.request
+
+        req = urllib.request.Request(
+            url,
+            data=_json.dumps(payload).encode("utf-8"),
+            headers={"Content-Type": "application/json", **headers},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return _json.loads(resp.read().decode("utf-8"))
+
+
+class OpenAIEmbeddingFunction(EmbeddingFunction):
+    """OpenAI-compatible `/embeddings` endpoint (the reference's
+    `openai_embedding_function.py` wire contract: POST ``{model, input:
+    [texts]}`` -> ``{data: [{index, embedding}]}``). ``base_url`` makes it
+    work against any compatible server (vLLM, LiteLLM, a mock) — and makes
+    the wire path testable offline. Needs an API key (arg or
+    ``OPENAI_API_KEY``); refuses cleanly without one."""
+
+    name = "openai"
+
+    def __init__(
+        self,
+        api_key: str | None = None,
+        model_name: str = "text-embedding-3-small",
+        base_url: str = "https://api.openai.com/v1",
+        dimensions: int | None = None,
+        batch_size: int = 2048,
+        timeout: float = 60.0,
+    ):
+        import os
+
+        self.api_key = api_key or os.environ.get("OPENAI_API_KEY")
+        self.model_name = model_name
+        self.base_url = base_url.rstrip("/")
+        self.dimensions = dimensions
+        self.batch_size = batch_size
+        self.timeout = timeout
+
+    def __call__(self, texts: list[str | None]) -> list[list[float]]:
+        if not self.api_key:
+            raise NotImplementedError(
+                "embedding function 'openai' needs an API key "
+                "(api_key= or OPENAI_API_KEY)"
+            )
+        out: list[list[float]] = []
+        clean = [t or "" for t in texts]
+        for start in range(0, len(clean), self.batch_size):
+            payload: dict = {"model": self.model_name, "input": clean[start : start + self.batch_size]}
+            if self.dimensions is not None:
+                payload["dimensions"] = self.dimensions
+            data = _HttpJson.post(
+                f"{self.base_url}/embeddings",
+                payload,
+                {"Authorization": f"Bearer {self.api_key}"},
+                self.timeout,
+            )
+            rows = sorted(data["data"], key=lambda d: d["index"])
+            out.extend([float(x) for x in r["embedding"]] for r in rows)
+        return out
 
 
 class CohereEmbeddingFunction(_UnavailableProvider):
@@ -314,8 +381,37 @@ class SentenceTransformerEmbeddingFunction(_UnavailableProvider):
     name, requires = "sentence_transformer", "sentence-transformers"
 
 
-class HuggingFaceEmbeddingServerFunction(_UnavailableProvider):
-    name, requires = "huggingface_server", "a running TEI endpoint"
+class HuggingFaceEmbeddingServerFunction(EmbeddingFunction):
+    """Text-Embeddings-Inference server (the reference's
+    `huggingface_embedding_server.py` contract: POST ``{"inputs": [texts]}``
+    to the server's ``/embed`` route, response is the vector list). Point
+    ``url`` at any running TEI instance; refuses cleanly without one."""
+
+    name = "huggingface_server"
+
+    def __init__(self, url: str | None = None, api_key: str | None = None,
+                 batch_size: int = 256, timeout: float = 60.0):
+        self.url = url
+        self.api_key = api_key
+        self.batch_size = batch_size
+        self.timeout = timeout
+
+    def __call__(self, texts: list[str | None]) -> list[list[float]]:
+        if not self.url:
+            raise NotImplementedError(
+                "embedding function 'huggingface_server' needs url= of a "
+                "running text-embeddings-inference endpoint"
+            )
+        headers = {"Authorization": f"Bearer {self.api_key}"} if self.api_key else {}
+        clean = [t or "" for t in texts]
+        out: list[list[float]] = []
+        for start in range(0, len(clean), self.batch_size):
+            vecs = _HttpJson.post(
+                self.url, {"inputs": clean[start : start + self.batch_size]},
+                headers, self.timeout,
+            )
+            out.extend([float(x) for x in v] for v in vecs)
+        return out
 
 
 class JinaEmbeddingFunction(_UnavailableProvider):

@@ -187,3 +187,69 @@ def test_onnx_minilm_probe_both_ways():
     vecs = ONNXMiniLM_L6_V2(model_path=mp)(["hello world", "second text"])
     assert len(vecs) == 2 and len(vecs[0]) == 384
     assert abs(sum(x * x for x in vecs[0]) - 1.0) < 1e-6
+
+
+def test_http_providers_against_local_mock():
+    """OpenAI-compatible + TEI providers speak their wire contracts,
+    verified against an in-process localhost server (no network)."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from chroma_spark.functions.embedding import (
+        HuggingFaceEmbeddingServerFunction,
+        OpenAIEmbeddingFunction,
+    )
+
+    seen = {}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = _json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            seen[self.path] = (dict(self.headers), body)
+            if self.path == "/v1/embeddings":
+                texts = body["input"]
+                out = {"data": [
+                    # reversed order on purpose: the client must sort by index
+                    {"index": i, "embedding": [float(len(t)), float(i)]}
+                    for i in reversed(range(len(texts)))
+                    for t in [texts[i]]
+                ]}
+            else:  # TEI /embed
+                out = [[float(len(t)), 9.0] for t in body["inputs"]]
+            payload = _json.dumps(out).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        oai = OpenAIEmbeddingFunction(
+            api_key="test-key", base_url=f"http://127.0.0.1:{port}/v1",
+            model_name="text-embedding-3-small",
+        )
+        vecs = oai(["ab", "xyz", None])
+        assert vecs == [[2.0, 0.0], [3.0, 1.0], [0.0, 2.0]]  # index-sorted
+        hdrs, body = seen["/v1/embeddings"]
+        assert hdrs["Authorization"] == "Bearer test-key"
+        assert body == {"model": "text-embedding-3-small", "input": ["ab", "xyz", ""]}
+
+        tei = HuggingFaceEmbeddingServerFunction(url=f"http://127.0.0.1:{port}/embed")
+        assert tei(["hello", "hi"]) == [[5.0, 9.0], [2.0, 9.0]]
+        assert seen["/embed"][1] == {"inputs": ["hello", "hi"]}
+    finally:
+        srv.shutdown()
+
+    # no-credential refusals stay clean
+    with pytest.raises(NotImplementedError, match="needs an API key"):
+        OpenAIEmbeddingFunction(api_key=None, base_url="http://x")(["a"])
+    with pytest.raises(NotImplementedError, match="needs url"):
+        HuggingFaceEmbeddingServerFunction()(["a"])
