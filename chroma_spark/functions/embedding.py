@@ -292,8 +292,118 @@ class OpenAIEmbeddingFunction(EmbeddingFunction):
         return out
 
 
-class CohereEmbeddingFunction(_UnavailableProvider):
-    name, requires = "cohere", "the cohere package and an API key"
+class _OpenAIWireProvider(OpenAIEmbeddingFunction):
+    """Providers whose REST surface is the OpenAI `/embeddings` shape
+    (jina_embedding_function.py:106-148, mistral, voyageai): same wire
+    code, different default endpoint/model/credential env var."""
+
+    default_base_url = ""
+    default_model = ""
+    key_env = ""
+
+    def __init__(self, api_key: str | None = None, model_name: str | None = None,
+                 base_url: str | None = None, **kwargs):
+        import os
+
+        super().__init__(
+            api_key=api_key or os.environ.get(self.key_env),
+            model_name=model_name or self.default_model,
+            base_url=base_url or self.default_base_url,
+            **kwargs,
+        )
+
+    def __call__(self, texts):
+        if not self.api_key:
+            raise NotImplementedError(
+                f"embedding function {self.name!r} needs an API key "
+                f"(api_key= or {self.key_env})"
+            )
+        return super().__call__(texts)
+
+
+class JinaEmbeddingFunction(_OpenAIWireProvider):
+    name = "jina"
+    default_base_url = "https://api.jina.ai/v1"
+    default_model = "jina-embeddings-v2-base-en"
+    key_env = "JINA_API_KEY"
+
+
+class MistralEmbeddingFunction(_OpenAIWireProvider):
+    name = "mistral"
+    default_base_url = "https://api.mistral.ai/v1"
+    default_model = "mistral-embed"
+    key_env = "MISTRAL_API_KEY"
+
+
+class VoyageAIEmbeddingFunction(_OpenAIWireProvider):
+    name = "voyageai"
+    default_base_url = "https://api.voyageai.com/v1"
+    default_model = "voyage-large-2"
+    key_env = "VOYAGE_API_KEY"
+
+
+class CohereEmbeddingFunction(EmbeddingFunction):
+    """Cohere `/v1/embed` (cohere_embedding_function.py semantics: texts +
+    model + input_type='search_document'; response carries ``embeddings``
+    as a plain vector list in input order)."""
+
+    name = "cohere"
+
+    def __init__(self, api_key: str | None = None, model_name: str = "embed-english-v3.0",
+                 base_url: str = "https://api.cohere.ai/v1",
+                 input_type: str = "search_document",
+                 batch_size: int = 96, timeout: float = 60.0):
+        import os
+
+        self.api_key = api_key or os.environ.get("COHERE_API_KEY")
+        self.model_name, self.base_url = model_name, base_url.rstrip("/")
+        self.input_type, self.batch_size, self.timeout = input_type, batch_size, timeout
+
+    def __call__(self, texts: list[str | None]) -> list[list[float]]:
+        if not self.api_key:
+            raise NotImplementedError(
+                "embedding function 'cohere' needs an API key (api_key= or COHERE_API_KEY)"
+            )
+        clean = [t or "" for t in texts]
+        out: list[list[float]] = []
+        for start in range(0, len(clean), self.batch_size):
+            data = _HttpJson.post(
+                f"{self.base_url}/embed",
+                {"texts": clean[start : start + self.batch_size],
+                 "model": self.model_name, "input_type": self.input_type},
+                {"Authorization": f"Bearer {self.api_key}"},
+                self.timeout,
+            )
+            out.extend([float(x) for x in v] for v in data["embeddings"])
+        return out
+
+
+class OllamaEmbeddingFunction(EmbeddingFunction):
+    """Ollama `/api/embed` (ollama_embedding_function.py: POST {model,
+    input} -> {embeddings: [[...]]}); keyless, local-server use case."""
+
+    name = "ollama"
+
+    def __init__(self, url: str | None = None, model_name: str = "chroma/all-minilm-l6-v2-f32",
+                 batch_size: int = 256, timeout: float = 60.0):
+        self.url = (url or "").rstrip("/")
+        self.model_name, self.batch_size, self.timeout = model_name, batch_size, timeout
+
+    def __call__(self, texts: list[str | None]) -> list[list[float]]:
+        if not self.url:
+            raise NotImplementedError(
+                "embedding function 'ollama' needs url= of a running ollama server"
+            )
+        clean = [t or "" for t in texts]
+        out: list[list[float]] = []
+        for start in range(0, len(clean), self.batch_size):
+            data = _HttpJson.post(
+                f"{self.url}/api/embed",
+                {"model": self.model_name, "input": clean[start : start + self.batch_size]},
+                {}, self.timeout,
+            )
+            out.extend([float(x) for x in v] for v in data["embeddings"])
+        return out
 
 
 class ONNXMiniLM_L6_V2(EmbeddingFunction):
@@ -414,20 +524,8 @@ class HuggingFaceEmbeddingServerFunction(EmbeddingFunction):
         return out
 
 
-class JinaEmbeddingFunction(_UnavailableProvider):
-    name, requires = "jina", "the jina API and a key"
-
-
-class VoyageAIEmbeddingFunction(_UnavailableProvider):
-    name, requires = "voyageai", "the voyageai package and an API key"
-
-
 class GoogleGenerativeAiEmbeddingFunction(_UnavailableProvider):
     name, requires = "google_generative_ai", "google-generativeai and an API key"
-
-
-class MistralEmbeddingFunction(_UnavailableProvider):
-    name, requires = "mistral", "the mistralai package and an API key"
 
 
 class InstructorEmbeddingFunction(_UnavailableProvider):
@@ -451,6 +549,7 @@ known_embedding_functions: dict[str, Callable[..., EmbeddingFunction]] = {
         GoogleGenerativeAiEmbeddingFunction,
         MistralEmbeddingFunction,
         InstructorEmbeddingFunction,
+        OllamaEmbeddingFunction,
     )
 }
 

@@ -215,6 +215,10 @@ def test_http_providers_against_local_mock():
                     for i in reversed(range(len(texts)))
                     for t in [texts[i]]
                 ]}
+            elif "cohere" in self.path:  # cohere /v1/embed
+                out = {"embeddings": [[float(len(t)), 7.0] for t in body["texts"]]}
+            elif self.path.endswith("/api/embed"):  # ollama
+                out = {"embeddings": [[float(len(t)), 7.0] for t in body["input"]]}
             else:  # TEI /embed
                 out = [[float(len(t)), 9.0] for t in body["inputs"]]
             payload = _json.dumps(out).encode()
@@ -245,6 +249,26 @@ def test_http_providers_against_local_mock():
         tei = HuggingFaceEmbeddingServerFunction(url=f"http://127.0.0.1:{port}/embed")
         assert tei(["hello", "hi"]) == [[5.0, 9.0], [2.0, 9.0]]
         assert seen["/embed"][1] == {"inputs": ["hello", "hi"]}
+
+        from chroma_spark.functions.embedding import (
+            CohereEmbeddingFunction,
+            JinaEmbeddingFunction,
+            OllamaEmbeddingFunction,
+        )
+
+        co = CohereEmbeddingFunction(api_key="k2", base_url=f"http://127.0.0.1:{port}/v1cohere")
+        assert co(["abcd"]) == [[4.0, 7.0]]
+        assert seen["/v1cohere/embed"][1] == {
+            "texts": ["abcd"], "model": "embed-english-v3.0",
+            "input_type": "search_document",
+        }
+        ol = OllamaEmbeddingFunction(url=f"http://127.0.0.1:{port}/ollama")
+        assert ol(["ab"]) == [[2.0, 7.0]]
+        assert seen["/ollama/api/embed"][1]["input"] == ["ab"]
+        # the OpenAI-wire family shares the proven wire path; jina as probe
+        ji = JinaEmbeddingFunction(api_key="k3", base_url=f"http://127.0.0.1:{port}/v1")
+        assert ji(["abc"]) == [[3.0, 0.0]]
+        assert seen["/v1/embeddings"][1]["model"] == "jina-embeddings-v2-base-en"
     finally:
         srv.shutdown()
 
