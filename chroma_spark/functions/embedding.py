@@ -524,8 +524,48 @@ class HuggingFaceEmbeddingServerFunction(EmbeddingFunction):
         return out
 
 
-class GoogleGenerativeAiEmbeddingFunction(_UnavailableProvider):
-    name, requires = "google_generative_ai", "google-generativeai and an API key"
+class GoogleGenerativeAiEmbeddingFunction(EmbeddingFunction):
+    """Gemini embedding REST surface (google_embedding_function.py
+    semantics over the public ``:batchEmbedContents`` route instead of the
+    SDK): POST ``{requests: [{model, content: {parts: [{text}]}}]}`` ->
+    ``{embeddings: [{values: [...]}]}``."""
+
+    name = "google_generative_ai"
+
+    def __init__(self, api_key: str | None = None, model_name: str = "gemini-embedding-001",
+                 base_url: str = "https://generativelanguage.googleapis.com/v1beta",
+                 task_type: str | None = None, batch_size: int = 100, timeout: float = 60.0):
+        import os
+
+        self.api_key = api_key or os.environ.get("GOOGLE_API_KEY")
+        self.model_name, self.base_url = model_name, base_url.rstrip("/")
+        self.task_type, self.batch_size, self.timeout = task_type, batch_size, timeout
+
+    def __call__(self, texts: list[str | None]) -> list[list[float]]:
+        if not self.api_key:
+            raise NotImplementedError(
+                "embedding function 'google_generative_ai' needs an API key "
+                "(api_key= or GOOGLE_API_KEY)"
+            )
+        clean = [t or "" for t in texts]
+        out: list[list[float]] = []
+        for start in range(0, len(clean), self.batch_size):
+            req = {
+                "requests": [
+                    {
+                        "model": f"models/{self.model_name}",
+                        "content": {"parts": [{"text": t}]},
+                        **({"taskType": self.task_type} if self.task_type else {}),
+                    }
+                    for t in clean[start : start + self.batch_size]
+                ]
+            }
+            data = _HttpJson.post(
+                f"{self.base_url}/models/{self.model_name}:batchEmbedContents",
+                req, {"x-goog-api-key": self.api_key}, self.timeout,
+            )
+            out.extend([float(x) for x in e["values"]] for e in data["embeddings"])
+        return out
 
 
 class InstructorEmbeddingFunction(_UnavailableProvider):

@@ -217,6 +217,11 @@ def test_http_providers_against_local_mock():
                 ]}
             elif "cohere" in self.path:  # cohere /v1/embed
                 out = {"embeddings": [[float(len(t)), 7.0] for t in body["texts"]]}
+            elif "batchEmbedContents" in self.path:  # gemini
+                out = {"embeddings": [
+                    {"values": [float(len(r["content"]["parts"][0]["text"])), 3.0]}
+                    for r in body["requests"]
+                ]}
             elif self.path.endswith("/api/embed"):  # ollama
                 out = {"embeddings": [[float(len(t)), 7.0] for t in body["input"]]}
             else:  # TEI /embed
@@ -269,6 +274,16 @@ def test_http_providers_against_local_mock():
         ji = JinaEmbeddingFunction(api_key="k3", base_url=f"http://127.0.0.1:{port}/v1")
         assert ji(["abc"]) == [[3.0, 0.0]]
         assert seen["/v1/embeddings"][1]["model"] == "jina-embeddings-v2-base-en"
+
+        from chroma_spark.functions.embedding import GoogleGenerativeAiEmbeddingFunction
+
+        gg = GoogleGenerativeAiEmbeddingFunction(
+            api_key="k4", base_url=f"http://127.0.0.1:{port}/v1beta"
+        )
+        assert gg(["abcde"]) == [[5.0, 3.0]]
+        ghdrs, gbody = seen["/v1beta/models/gemini-embedding-001:batchEmbedContents"]
+        assert {k.lower(): v for k, v in ghdrs.items()}["x-goog-api-key"] == "k4"
+        assert gbody["requests"][0]["content"]["parts"] == [{"text": "abcde"}]
     finally:
         srv.shutdown()
 
