@@ -977,7 +977,67 @@ class Collection:
         ``refresh_indexes`` — when a vector index is registered, rebuild it
         for the new version (the reference's compaction writes the vector
         segment's index as part of the same flush, SURVEY §3.3), so index
-        reads never go stale across compactions."""
+        reads never go stale across compactions.
+
+        Single-compactor-per-collection: an advisory lockfile serializes
+        compaction ACROSS PROCESSES (the reference assigns one compaction
+        owner per collection; two unserialized compactors here would both
+        write the same base_v{N+1} dir before either registers, and the
+        loser's overwrite could corrupt the winner's registered files).
+        The version CAS at register stays as the correctness backstop; a
+        crashed owner's stale lock is taken over after LOCK_STALE_SECONDS.
+        """
+        with self._compaction_lock():
+            return self._compact_locked(attached, refresh_indexes)
+
+    LOCK_STALE_SECONDS = 600.0
+
+    def _compaction_lock(self):
+        import contextlib
+        import os as _os
+        import time as _time
+
+        lock_path = _os.path.join(
+            self._store.catalog.root, self._store.name, ".compact.lock"
+        )
+
+        @contextlib.contextmanager
+        def _lock():
+            _os.makedirs(_os.path.dirname(lock_path), exist_ok=True)
+            while True:
+                try:
+                    fd = _os.open(lock_path, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+                    _os.write(fd, f"{_os.getpid()} {_time.time()}".encode())
+                    _os.close(fd)
+                    break
+                except FileExistsError:
+                    try:
+                        age = _time.time() - _os.path.getmtime(lock_path)
+                    except OSError:
+                        continue  # released between open and stat; retry
+                    if age > self.LOCK_STALE_SECONDS:
+                        # crashed owner: steal (unlink may race another
+                        # stealer — the O_EXCL retry arbitrates)
+                        try:
+                            _os.unlink(lock_path)
+                        except OSError:
+                            pass
+                        continue
+                    raise CollectionError(
+                        f"another process is compacting {self.name!r} "
+                        f"(lock {lock_path}, {age:.0f}s old)"
+                    )
+            try:
+                yield
+            finally:
+                try:
+                    _os.unlink(lock_path)
+                except OSError:
+                    pass
+
+        return _lock()
+
+    def _compact_locked(self, attached: list | None, refresh_indexes: bool) -> int:
         # pin the fold's inputs ONCE: the fold, the attached functions, and
         # the register below all see exactly these paths, so a concurrent
         # writer's fragment is never half-included (it either commits its

@@ -82,8 +82,12 @@ def compactor_gcer(root: str, n_compacts: int) -> None:
             try:
                 col.compact()
                 done += 1
-            except CollectionError as e:  # pragma: no cover - single compactor
-                if "concurrent compaction" not in str(e):
+            except CollectionError as e:
+                # dual-compactor runs: the advisory lock (or, post-lock,
+                # the version CAS) rejects the loser cleanly
+                if "concurrent compaction" not in str(e) and (
+                    "another process is compacting" not in str(e)
+                ):
                     raise
             time.sleep(0.4)
         for _ in range(3):

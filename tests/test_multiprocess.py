@@ -124,6 +124,35 @@ def test_concurrent_add_compact_fork_gc_two_processes(spark, tmp_path):
     assert v == col.version and col.count() == len(expected)
 
 
+def test_dual_compactors_serialize_on_the_lock(spark, tmp_path):
+    """TWO compactor processes race one collection while the parent keeps
+    writing: the advisory per-collection lock serializes them (losers get
+    a clean 'another process is compacting' error, absorbed by the
+    worker), both base dirs stay uncorrupted, and no write is lost."""
+    from chroma_spark.api import Client
+
+    root = str(tmp_path / "store")
+    client = Client(spark, root)
+    col = client.create_collection("mpsoak", dimension=2)
+    col.add(ids=["seed"], embeddings=[[0.0, 0.0]])
+
+    procs = [
+        _spawn("compactor_gcer", root, "5"),
+        _spawn("compactor_gcer", root, "5"),
+    ]
+    n_adds = 8
+    for i in range(n_adds):
+        col.add(ids=[f"m{i}"], embeddings=[[float(i), 0.5]])
+    outs = _join(procs, timeout=600)
+    total_compacts = sum(int(o.split("compacts=")[1]) for o in outs if "compacts=" in o)
+    assert total_compacts >= 1  # somebody got the lock and finished
+
+    col = Client(spark, root).get_collection("mpsoak")
+    ids = sorted(r["id"] for r in col.get(include=[]))
+    assert ids == sorted(["seed"] + [f"m{i}" for i in range(n_adds)])
+    assert col.compact() == col.version  # state still compacts cleanly
+
+
 def test_two_hot_writers_never_overlap_seqs(spark, tmp_path):
     """Two tight-loop writer processes (no sleeps) hammer one collection:
     the log-cursor CAS forces the loser to re-base its fragment's seq ids
