@@ -156,16 +156,28 @@ def _load_matrix(path: str, vec_col: str):
     return np.concatenate(ids), np.vstack(mats)
 
 
-def ground_truth(corpus_path: str, queries_path: str, k: int = 100) -> "dict[int, list[int]]":
+def ground_truth(
+    corpus_path: str, queries_path: str, k: int = 100,
+    id_mod: "tuple[int, int] | None" = None,
+) -> "dict[int, list[int]]":
     """Exact l2 top-k ids per query (ties by id asc, matching the engine's
-    determinism rule), cached next to the queries."""
+    determinism rule), cached next to the queries.
+
+    ``id_mod=(m, r)`` restricts the corpus to ids with ``id % m < r`` —
+    the exact oracle for FILTERED (filter-before-ANN) recall, matching the
+    reference's filtered ann_accuracy invariant
+    (chromadb/test/property/invariants.py filtered queries)."""
     import numpy as np
 
-    cache = os.path.join(queries_path, f"gt{k}.json")
+    tag = f"_mod{id_mod[0]}_{id_mod[1]}" if id_mod else ""
+    cache = os.path.join(queries_path, f"gt{k}{tag}.json")
     if os.path.exists(cache):
         with open(cache) as f:
             return {int(q): ids for q, ids in json.load(f).items()}
     ids, x = _load_matrix(corpus_path, "embedding")
+    if id_mod is not None:
+        mask = (ids % id_mod[0]) < id_mod[1]
+        ids, x = ids[mask], x[mask]
     _, q = _load_matrix(queries_path, "embedding")
     xf = x.astype(np.float32)
     qf = q.astype(np.float32)

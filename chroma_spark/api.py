@@ -2172,6 +2172,18 @@ class Collection:
         log, where_ops = self._split_where_ops(log)
         centroids, postings = self._load_vector_index()
         probes = int(nprobe or vi["n_lists"])
+        if allowed is not None and nprobe is not None and vi.get("n_rows"):
+            # filter-before-ANN thins every probed list by the filter's
+            # selectivity, so a fixed probe budget quietly loses recall
+            # (measured at 1M: 10%-selective filters need ~4x the probes,
+            # BASELINE.md round-6 filtered table). Scale the budget so the
+            # expected CANDIDATE count matches what the caller asked for;
+            # the one bounded count here prices a recall cliff away.
+            import math as _math
+
+            sel = allowed.count() / max(1, int(vi["n_rows"]))
+            if 0.0 < sel < 1.0:
+                probes = max(probes, min(int(vi["n_lists"]), _math.ceil(probes / sel)))
         touched = log.select("id").distinct() if log is not None else None
         if where_ops:
             matched = self._predicate_matched_ids(self._store.read_base(), where_ops)

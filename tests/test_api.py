@@ -1504,3 +1504,29 @@ def test_admin_database_surface(spark, tmp_path):
     assert not any(n.startswith(f"{client.tenant}/d1/") for n in client.catalog.list())
     with pytest.raises(CollectionError):
         client.delete_database("d1")
+
+
+def test_filtered_index_query_boosts_nprobe(spark, tmp_path):
+    """A selective filter with a small explicit nprobe must not lose the
+    answer: selectivity-adaptive probe boosting scales the budget so
+    filter-before-ANN keeps its candidates (adversarial layout: the
+    allowed records live in lists far from the query)."""
+    from chroma_spark.api import Client
+
+    client = Client(spark, str(tmp_path / "store"))
+    col = client.create_collection("fq", dimension=2, space="l2")
+    # 4 tight clusters at the corners; label = cluster
+    ids, embs, metas = [], [], []
+    corners = {"a": (0.0, 0.0), "b": (10.0, 0.0), "c": (0.0, 10.0), "d": (10.0, 10.0)}
+    for lab, (x, y) in corners.items():
+        for i in range(8):
+            ids.append(f"{lab}{i}")
+            embs.append([x + i * 0.01, y + i * 0.01])
+            metas.append({"lab": lab})
+    col.add(ids=ids, embeddings=embs, metadatas=metas)
+    col.build_vector_index(n_lists=4)
+
+    # query sits ON cluster a, but the filter only allows cluster d:
+    # nprobe=1 would probe a's list and find nothing without the boost
+    res = col.query([[0.0, 0.0]], n_results=3, where={"lab": "d"}, nprobe=1)
+    assert res["ids"][0] == ["d0", "d1", "d2"]
