@@ -156,3 +156,83 @@ __r AS (
 SELECT s.* FROM ({src_sql}) s
 JOIN __r ON s."{group_col}" = __r.g
 WHERE {h} % {_M} < CAST(round(rate * {_M}) AS BIGINT)"""
+
+
+def sample_cluster_balanced(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    cap: int,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    salt: str = "balance",
+) -> DataFrame:
+    """Embedding-diversity sampling: at most ``cap`` rows per nearest
+    centroid — the cluster-balanced subset selection a pre-training
+    pipeline uses to de-bias a corpus toward its dense regions (cluster
+    then cap, cf. the dedup-and-diversify recipe of SemDeDup and friends).
+
+    Assignment is argmin rounded-l2 with centroid_id tiebreak (the same
+    bit-determinism discipline as the fixed-centroid IVF oracle);
+    within-cluster selection is the deterministic md5 order used by every
+    sampler here (id tiebreak), so the subset is reproducible across
+    engines, runs, and cluster layouts.
+
+    Shape at scale: centroids broadcast (config-sized), assignment is a
+    map-only crossJoin projection, and the per-cluster cap is the
+    two-stage skew-safe top-k (a hot cluster pre-truncates to ``cap`` per
+    input partition before the final per-cluster window). Returns
+    ``(centroid_id, id, pick_rank)``.
+    """
+    from ..functions.distance import l2
+    from .topk import topk_per_group
+
+    d = F.round(l2(F.col(vec_col), F.col("centroid")), 6) + F.lit(0.0)
+    assigned = topk_per_group(
+        vectors.select(id_col, vec_col)
+        .crossJoin(F.broadcast(centroids.select("centroid_id", "centroid")))
+        .select(id_col, "centroid_id", d.alias("__d")),
+        [id_col],
+        [F.col("__d").asc(), F.col("centroid_id").asc()],
+        1,
+        two_stage=False,
+    ).select(id_col, "centroid_id")
+    pick = md5_long(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    return topk_per_group(
+        assigned.withColumn("__h", pick),
+        ["centroid_id"],
+        [F.col("__h").asc(), F.col(id_col).asc()],
+        int(cap),
+        rank_col="pick_rank",
+    ).select("centroid_id", F.col(id_col).alias("id"), "pick_rank")
+
+
+def sample_cluster_balanced_sql(
+    vectors_sql: str,
+    centroids_sql: str,
+    cap: int,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    salt: str = "balance",
+) -> str:
+    """DuckDB twin: ``centroids_sql`` must yield (centroid_id, centroid)."""
+    from ..functions.distance import l2_sql
+
+    d = l2_sql(f'v."{vec_col}"', "c.centroid")
+    # inside the CTE the id column is already aliased to `id`
+    h = md5_long_sql(f"{sql_lit(salt)} || CAST(id AS VARCHAR)")
+    return f"""
+WITH __a AS (
+  SELECT v."{id_col}" AS id, c.centroid_id, (round({d}, 6) + 0.0) AS dd
+  FROM ({vectors_sql}) v CROSS JOIN ({centroids_sql}) c
+),
+__assigned AS (
+  SELECT id, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY dd ASC, centroid_id ASC) AS rn
+    FROM __a
+  ) WHERE rn = 1
+)
+SELECT centroid_id, id, pick_rank FROM (
+  SELECT centroid_id, id,
+         row_number() OVER (PARTITION BY centroid_id ORDER BY {h} ASC, id ASC) AS pick_rank
+  FROM __assigned
+) WHERE pick_rank <= {int(cap)}"""

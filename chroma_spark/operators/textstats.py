@@ -774,3 +774,93 @@ SELECT id, n_tokens,
        CAST(cb // {int(budget)} AS BIGINT) AS seq_id,
        CAST(cb % {int(budget)} AS BIGINT) AS seq_offset
 FROM __c"""
+
+
+def c4_filter(
+    docs: DataFrame,
+    min_line_words: int = 5,
+    min_lines: int = 3,
+    text_col: str = "document",
+    id_col: str = "id",
+) -> DataFrame:
+    """C4-style line + page cleaning (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning...", section 2.2 — the public heuristics
+    behind the C4 corpus), as one pure-column-expression pass:
+
+    line level (within each document, no shuffle at all):
+      - keep only lines ending in terminal punctuation (. ! ? or a
+        closing quotation mark),
+      - with at least ``min_line_words`` whitespace words,
+      - not mentioning "javascript" (case-insensitive);
+    page level:
+      - ``passes`` is false when fewer than ``min_lines`` lines survive
+        (the "at least 3 sentences" rule, line-approximated), or the page
+        contains "lorem ipsum" (case-insensitive) or a ``{`` (code).
+
+    Returns ``(id, n_lines, n_kept_lines, kept_frac, passes, clean_text)``
+    with ``clean_text`` the surviving lines re-joined by newlines. Runs as
+    a single projection over the scan — the cheapest possible shape; pair
+    with :func:`gopher_quality` and the dedup passes via :func:`curate`.
+    """
+
+    def _keep(l):
+        lt = F.rtrim(l)
+        nwords = F.size(F.filter(F.split(lt, r"\s+"), lambda t: t != ""))
+        return (
+            F.substring(lt, -1, 1).isin(".", "!", "?", '"', "'")
+            & (nwords >= F.lit(int(min_line_words)))
+            & ~F.lower(l).contains("javascript")
+        )
+
+    lines = _lines(text_col)
+    kept = F.filter(lines, _keep)
+    n_lines = F.size(lines)
+    n_kept = F.size(kept)
+    bad_page = F.lower(F.col(text_col)).contains("lorem ipsum") | F.col(
+        text_col
+    ).contains("{")
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n_lines.cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept_lines"),
+        (
+            F.round(F.when(n_lines > 0, n_kept / n_lines).otherwise(F.lit(0.0)), 6)
+            + F.lit(0.0)
+        ).alias("kept_frac"),
+        (~bad_page & (n_kept >= F.lit(int(min_lines)))).alias("passes"),
+        F.concat_ws("\n", kept).alias("clean_text"),
+    )
+
+
+def c4_filter_sql(
+    docs_sql: str,
+    min_line_words: int = 5,
+    min_lines: int = 3,
+    text_col: str = "document",
+    id_col: str = "id",
+) -> str:
+    keep = (
+        "right(rtrim(l), 1) IN ('.', '!', '?', '\"', '''')"
+        f" AND len(list_filter(string_split_regex(rtrim(l), '\\s+'), t -> t != ''))"
+        f" >= {int(min_line_words)}"
+        " AND NOT contains(lower(l), 'javascript')"
+    )
+    return f"""
+WITH __t AS (
+  SELECT "{id_col}" AS id, "{text_col}" AS text,
+         list_filter(string_split(\"{text_col}\", chr(10)), l -> l != '') AS lines
+  FROM ({docs_sql})
+),
+__k AS (
+  SELECT id, text, lines, list_filter(lines, l -> {keep}) AS kept FROM __t
+)
+SELECT id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       (round(CASE WHEN len(lines) > 0
+                   THEN CAST(len(kept) AS DOUBLE) / len(lines)
+                   ELSE 0.0 END, 6) + 0.0) AS kept_frac,
+       (NOT (contains(lower(text), 'lorem ipsum') OR contains(text, '{{'))
+        AND len(kept) >= {int(min_lines)}) AS passes,
+       coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+FROM __k"""

@@ -1158,6 +1158,57 @@ def _register_decontam() -> None:
 _register_decontam()
 
 
+# --- Span-level exact dedup, C4 cleaning, cluster-balanced sampling
+# (registered at the end of the module: the balanced sampler reuses the
+# fixed-centroid discipline defined with the ANN oracles below) ---
+
+
+def _register_span_c4_balance() -> None:
+    from .operators.sampling import sample_cluster_balanced, sample_cluster_balanced_sql
+    from .operators.spans import repeated_span_stats, repeated_span_stats_sql
+    from .operators.textstats import c4_filter, c4_filter_sql
+
+    # ExactSubstr-style repeated-passage masking (Lee et al. 2022 by way of
+    # duplicated fixed-length windows; keeps the globally-first copy)
+    QUERIES["dedup_spans"] = Query(
+        lambda spark, sf_dir: repeated_span_stats(_docs_df(spark, sf_dir), span_tokens=5),
+        repeated_span_stats_sql(_DOCS_SQL, span_tokens=5),
+    )
+    # C4 line+page heuristics (Raffel et al. 2020 §2.2)
+    QUERIES["c4_line_filter"] = Query(
+        lambda spark, sf_dir: c4_filter(_docs_df(spark, sf_dir), min_line_words=4),
+        c4_filter_sql(_DOCS_SQL, min_line_words=4),
+    )
+    # embedding-diversity subset: nearest fixed centroid, deterministic
+    # md5-order cap per cluster (same fixed-record discipline as the
+    # ann_*_fixed oracles)
+    cent_ids = ", ".join(str(i) for i in _FIXED_CENTROID_IDS)
+    cent_sql = (
+        "SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, "
+        f"embedding AS centroid FROM embeddings WHERE vec_id IN ({cent_ids})"
+    )
+
+    def _balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = _emb_records(spark, sf_dir).select("id", "embedding")
+        id_map = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(sorted(_FIXED_CENTROID_IDS))],
+            "centroid_id INT, cid_src BIGINT",
+        )
+        cent = (
+            emb.filter(F.col("id").isin(_FIXED_CENTROID_IDS))
+            .join(F.broadcast(id_map), F.col("id") == F.col("cid_src"))
+            .select("centroid_id", F.col("embedding").alias("centroid"))
+        )
+        return sample_cluster_balanced(emb, cent, cap=20, salt="bal1")
+
+    QUERIES["sample_cluster_balance"] = Query(
+        _balanced,
+        sample_cluster_balanced_sql(
+            "SELECT vec_id AS id, embedding FROM embeddings", cent_sql, cap=20, salt="bal1"
+        ),
+    )
+
+
 # --- WAL / streaming analogs over the events table (SURVEY §2.1, §2.8) ---
 
 
@@ -2181,6 +2232,9 @@ def hybrid_batch_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["hybrid_batch_rrf"].oracle = _hybrid_batch_rrf_oracle()
+
+
+_register_span_c4_balance()
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,150 @@
+"""Behavioral tests for span-level exact dedup, C4 line cleaning, and
+cluster-balanced sampling (the cross-engine value parity is covered by
+test_oracle_parity via the registry; these pin the SEMANTICS)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from chroma_spark.operators.sampling import (
+    sample_cluster_balanced,
+    sample_cluster_balanced_sql,
+)
+from chroma_spark.operators.spans import repeated_span_stats, repeated_span_stats_sql
+from chroma_spark.operators.textstats import c4_filter, c4_filter_sql
+
+PASSAGE = "the quick brown fox jumps over the lazy dog today"  # 10 tokens
+
+
+def _span_docs(spark):
+    rows = [
+        (1, f"intro one {PASSAGE} tail a"),
+        (2, f"different start {PASSAGE} other ending words here"),
+        (3, "totally unique text with no repeats at all whatsoever"),
+        (4, "short doc"),
+        (5, f"{PASSAGE} and again {PASSAGE}"),  # within-doc repeat
+        (6, ""),
+    ]
+    return rows, spark.createDataFrame(rows, "id INT, document STRING")
+
+
+def test_repeated_spans_keep_first_copy(spark):
+    rows, docs = _span_docs(spark)
+    out = {
+        r["id"]: r
+        for r in repeated_span_stats(docs, span_tokens=5).collect()
+    }
+    # the globally-first occurrence (doc 1) keeps the passage verbatim
+    assert out[1]["n_dup_tokens"] == 0
+    assert PASSAGE in out[1]["clean_text"]
+    # later copies are masked as ONE merged span of exactly the passage
+    assert out[2]["n_spans"] == 1
+    assert out[2]["n_dup_tokens"] == 10
+    assert out[2]["clean_text"] == "different start other ending words here"
+    # within-doc repeats: both copies are non-first (doc 1 is the keeper)
+    assert out[5]["n_spans"] == 2
+    assert out[5]["clean_text"] == "and again"
+    # unaffected / short / empty docs pass through whole
+    assert out[3]["dup_frac"] == 0.0
+    assert out[4]["n_tokens"] == 2 and out[4]["n_dup_tokens"] == 0
+    assert out[6]["n_tokens"] == 0 and out[6]["clean_text"] == ""
+
+
+def test_repeated_spans_matches_duckdb(spark, duck):
+    rows, docs = _span_docs(spark)
+    out = (
+        repeated_span_stats(docs, span_tokens=5)
+        .orderBy("id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    duck.register("__span_docs", pd.DataFrame(rows, columns=["id", "document"]))
+    ora = duck.execute(
+        repeated_span_stats_sql("SELECT * FROM __span_docs", span_tokens=5)
+        + " ORDER BY id"
+    ).df()
+    for c in out.columns:
+        assert (out[c].values == ora[c].astype(out[c].dtype).values).all(), c
+
+
+def test_c4_filter_rules(spark, duck):
+    rows = [
+        # kept: terminal punctuation + enough words; "short line" dropped
+        (1, "This is a good long sentence here.\nshort line\nSecond proper sentence with words!\nIs this a question with many words?"),
+        # javascript line dropped, page still passes on the other three
+        (2, "Enable javascript to view this page.\nGood sentence with many fine words.\nAnother good one right here folks.\nThird good sentence is also here."),
+        # curly brace fails the page even though lines are fine
+        (3, "function() { return 1; }\nGood sentence with many fine words.\nAnother good one right here folks.\nThird fine sentence right over here."),
+        # lorem ipsum fails the page
+        (4, "Lorem Ipsum dolor sit amet is filler.\nGood sentence with many fine words.\nAnother good one right here folks.\nThird fine sentence right over here."),
+        (5, "no terminal punctuation at all\nonly two words.\n"),
+        (6, ""),
+    ]
+    docs = spark.createDataFrame(rows, "id INT, document STRING")
+    out = {r["id"]: r for r in c4_filter(docs, min_line_words=5, min_lines=3).collect()}
+    assert out[1]["passes"] and out[1]["n_kept_lines"] == 3
+    assert "short line" not in out[1]["clean_text"]
+    assert out[2]["passes"] and "javascript" not in out[2]["clean_text"]
+    assert not out[3]["passes"]  # '{' code rule
+    assert not out[4]["passes"]  # lorem ipsum rule
+    assert not out[5]["passes"] and out[5]["clean_text"] == ""
+    assert out[6]["n_lines"] == 0 and not out[6]["passes"]
+    # cross-engine twin on the same rows
+    pdf = (
+        c4_filter(docs, min_line_words=5, min_lines=3)
+        .orderBy("id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    duck.register("__c4_docs", pd.DataFrame(rows, columns=["id", "document"]))
+    ora = duck.execute(
+        c4_filter_sql("SELECT * FROM __c4_docs", min_line_words=5, min_lines=3)
+        + " ORDER BY id"
+    ).df()
+    for c in pdf.columns:
+        assert (pdf[c].values == ora[c].astype(pdf[c].dtype).values).all(), c
+
+
+def test_cluster_balanced_cap_and_determinism(spark, duck):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    pts = []
+    for cid, (cx, cy), n in [(0, (0, 0), 50), (1, (10, 0), 20), (2, (0, 10), 5)]:
+        for _ in range(n):
+            pts.append(
+                (len(pts), [float(cx + rng.normal(0, 0.5)), float(cy + rng.normal(0, 0.5))])
+            )
+    vec = spark.createDataFrame(pts, "id BIGINT, embedding ARRAY<DOUBLE>")
+    cent = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 0.0]), (2, [0.0, 10.0])],
+        "centroid_id INT, centroid ARRAY<DOUBLE>",
+    )
+    out = sample_cluster_balanced(vec, cent, cap=8).toPandas()
+    sizes = out.groupby("centroid_id").size().to_dict()
+    # dense clusters capped, sparse cluster kept whole
+    assert sizes == {0: 8, 1: 8, 2: 5}
+    assert set(out["pick_rank"]) <= set(range(1, 9))
+    # deterministic: same subset on re-run
+    again = sample_cluster_balanced(vec, cent, cap=8).toPandas()
+    assert sorted(map(tuple, out.values.tolist())) == sorted(
+        map(tuple, again.values.tolist())
+    )
+    # cross-engine twin
+    duck.register("__bal_vecs", pd.DataFrame(pts, columns=["id", "embedding"]))
+    duck.register(
+        "__bal_cents",
+        pd.DataFrame(
+            [(0, [0.0, 0.0]), (1, [10.0, 0.0]), (2, [0.0, 10.0])],
+            columns=["centroid_id", "centroid"],
+        ),
+    )
+    ora = duck.execute(
+        sample_cluster_balanced_sql(
+            "SELECT * FROM __bal_vecs", "SELECT * FROM __bal_cents", cap=8
+        )
+        + " ORDER BY centroid_id, pick_rank"
+    ).df()
+    a = out.sort_values(["centroid_id", "pick_rank"]).reset_index(drop=True)
+    for c in a.columns:
+        assert (a[c].values == ora[c].astype(a[c].dtype).values).all(), c
