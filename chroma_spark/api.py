@@ -1849,23 +1849,28 @@ class Collection:
         production deployment delegates to the table format's VACUUM with
         the same referenced-set rule.
 
-        ``grace_seconds``: unreferenced dirs younger than this survive —
-        another process may have WRITTEN a WAL fragment / index layout but
-        not yet CAS-committed its catalog reference (the standard
-        orphan-grace rule of object-store GC; wal3 keeps a cutoff the same
-        way). Referenced-set deletion has no such window.
+        ``grace_seconds`` is a MARK-AND-SWEEP window, not an mtime check:
+        a pass that finds an artifact unreferenced only *marks* it (in a
+        ``.gc_marks.json`` sidecar); deletion happens on a pass running at
+        least ``grace_seconds`` after the mark, and only if the artifact
+        is still unreferenced then. This covers BOTH cross-process races:
+        (a) an artifact written but not yet CAS-committed by another
+        process (the orphan-grace rule of object-store GC — wal3 keeps a
+        cutoff the same way), and (b) an artifact that became stale only
+        moments ago — e.g. a base version superseded by a concurrent
+        compaction while a reader that resolved it as head is still
+        scanning it. An artifact-age cutoff misses (b): the old base dir's
+        mtime is its creation time, arbitrarily far in the past.
+        ``grace_seconds=0`` deletes in the same pass (tests use this for
+        deterministic pruning).
         """
+        import json as _json
         import os
         import shutil
         import time as _time
 
-        cutoff = _time.time() - max(0.0, grace_seconds)
-
-        def _settled(path: str) -> bool:
-            try:
-                return os.path.getmtime(path) < cutoff
-            except OSError:
-                return False  # vanished concurrently — nothing to delete
+        grace = max(0.0, grace_seconds)
+        now = _time.time()
 
         referenced: set[str] = set()
         log_referenced: set[str] = set()
@@ -1883,17 +1888,18 @@ class Collection:
                 index_referenced.add(di["path"])
         keep = set(self.list_versions()[-max(1, keep_last):])
         keep.add(self._store.meta.version)
-        deleted = []
+        # candidate set: everything unreferenced RIGHT NOW, each tagged
+        # with the base version it prunes (None for non-base artifacts)
+        candidates: list[tuple[str, int | None]] = []
         for v in self.list_versions():
             path = self._store._dir("base", v)
             if v not in keep and path not in referenced:
-                shutil.rmtree(path)
-                deleted.append(v)
+                candidates.append((path, v))
         # WAL batch dirs left behind by compaction (compact() resets
         # log_paths but keeps files for forks that still reference them)
         for p in self._store.list_log_batch_dirs():
-            if p not in log_referenced and _settled(p):
-                shutil.rmtree(p, ignore_errors=True)
+            if p not in log_referenced:
+                candidates.append((p, None))
         # stale per-version index layouts (not referenced by any
         # collection's current descriptors — fork children may point at a
         # parent's old index)
@@ -1907,8 +1913,8 @@ class Collection:
                 continue
             for vdir in os.listdir(os.path.join(coll_dir, sub)):
                 p = os.path.join(coll_dir, sub, vdir)
-                if p not in index_referenced and _settled(p):
-                    shutil.rmtree(p, ignore_errors=True)
+                if p not in index_referenced:
+                    candidates.append((p, None))
         # attached-function outputs: point-in-time outputs (statistics,
         # record_counter) of pruned versions go with them; revision_history
         # is the append-only pre-image archive and is always kept (the
@@ -1921,8 +1927,41 @@ class Collection:
                 continue
             for vdir in os.listdir(os.path.join(coll_dir, sub)):
                 if vdir.startswith("v") and vdir[1:].isdigit() and int(vdir[1:]) not in keep:
-                    shutil.rmtree(os.path.join(coll_dir, sub, vdir))
-        return deleted
+                    candidates.append((os.path.join(coll_dir, sub, vdir), None))
+        # mark-and-sweep: delete only what an earlier pass (>= grace ago)
+        # already found unreferenced and that is STILL unreferenced now;
+        # everything else (re-)marks. Paths that regained a reference fall
+        # out of the candidate set and lose their mark automatically.
+        marks_path = os.path.join(coll_dir, ".gc_marks.json")
+        try:
+            with open(marks_path) as f:
+                marks = {k: float(v) for k, v in _json.load(f).items()}
+        except (OSError, ValueError):
+            marks = {}
+        deleted: list[int] = []
+        new_marks: dict[str, float] = {}
+        for path, ver in candidates:
+            first_seen = marks.get(path, now)
+            if now - first_seen >= grace:
+                # ignore_errors: a concurrent gc in another process may
+                # sweep the same path first
+                shutil.rmtree(path, ignore_errors=True)
+                if ver is not None:
+                    deleted.append(ver)
+            else:
+                new_marks[path] = first_seen
+        if new_marks:
+            os.makedirs(coll_dir, exist_ok=True)
+            tmp = f"{marks_path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                _json.dump(new_marks, f)
+            os.replace(tmp, marks_path)
+        elif os.path.exists(marks_path):
+            try:
+                os.remove(marks_path)
+            except OSError:
+                pass
+        return sorted(deleted)
 
     def fork(self, name: str) -> "Collection":
         """Zero-copy clone at the current version (Collection.py:329):

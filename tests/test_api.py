@@ -447,7 +447,10 @@ def test_version_time_travel_and_gc(client, spark):
     assert sorted(r.id for r in col.snapshot_at(1).collect()) == ["a", "b", "c"]
     assert sorted(r.id for r in col.snapshot_at(2).collect()) == ["b", "c"]
 
-    deleted = col.gc(keep_last=1)
+    # grace=0 sweeps in one pass; with a grace the first pass only MARKS
+    # (concurrent-reader protection), so prune deterministically here
+    assert col.gc(keep_last=1) == []  # default grace: marked, not swept
+    deleted = col.gc(keep_last=1, grace_seconds=0)
     assert deleted == [1, 2] and col.list_versions() == [3]
     with pytest.raises(StaleReadError, match="not on disk"):
         col.snapshot_at(1)
@@ -462,6 +465,33 @@ def test_get_include_gates_metadata(client):
     assert set(rows[0].keys()) == {"id", "document"}
     rows = col.get(ids=["a"], include=["metadatas"])
     assert set(rows[0].keys()) == {"id", "k", "tag"}
+
+
+def test_gc_grace_is_mark_and_sweep(client):
+    """A just-superseded base version must survive a graced gc pass even
+    though the DIRECTORY is old (mtime is creation time — the cross-
+    process reader race the mark-and-sweep exists for), then sweep once a
+    pass runs >= grace after the mark, and lose its mark if re-referenced
+    in between."""
+    import json
+    import os
+
+    col = _mk(client, name="gcmark")
+    col.compact()  # v1
+    col.upsert(ids=["d"], embeddings=[[0.0, 0.0, 0.0, 1.0]])
+    col.compact()  # v2 — v1 superseded this instant
+    # pass 1 with a grace: v1 is only marked, a concurrent reader that
+    # resolved v1 as head keeps its files
+    assert col.gc(keep_last=1, grace_seconds=60.0) == []
+    assert col.list_versions() == [1, 2]
+    marks_path = os.path.join(client.catalog.root, col._store.name, ".gc_marks.json")
+    marks = json.load(open(marks_path))
+    assert any(p.endswith(os.sep + "v1") or "v1" in p for p in marks)
+    # age the mark past the grace: the next pass sweeps
+    json.dump({p: t - 120.0 for p, t in marks.items()}, open(marks_path, "w"))
+    assert col.gc(keep_last=1, grace_seconds=60.0) == [1]
+    assert col.list_versions() == [2]
+    assert not os.path.exists(marks_path)  # no candidates left -> no marks
 
 
 def test_gc_removes_stale_index_versions(client):

@@ -201,3 +201,31 @@ def test_hybrid_batch_sparse_side_prunes_buckets(spark):
         if "PartitionFilters" in line and "bucket" in line
     ]
     assert bucket_filters, "sparse side must reach the scan as bucket partition filters"
+
+
+def test_repeated_spans_skew_safe_aggregation(spark):
+    """Span dedup must detect duplicates via partial-aggregated groupBy
+    (skew-safe for boilerplate grams), never a window/sort over the gram
+    partition, and the per-doc mask must partially aggregate too."""
+    from chroma_spark.operators.spans import repeated_span_stats
+
+    docs = load(spark, SF_SMALL, "documents").select(
+        F.col("doc_id").alias("id"), F.col("text").alias("document")
+    )
+    plan = _plan(repeated_span_stats(docs, span_tokens=5))
+    assert "CartesianProduct" not in plan
+    assert "partial_collect_list" in plan, "per-doc mask lost partial aggregation"
+    assert "partial_min" in plan or "partial_count" in plan or "HashAggregate" in plan
+    # duplicate detection is keyed on the gram hash
+    assert "hashpartitioning(ghash" in plan
+
+
+def test_cluster_balanced_gets_rank_limit_pushdown(spark):
+    """The per-cluster cap must compile to WindowGroupLimit (rank-limit
+    pushdown: a hot cluster pre-truncates to cap per partition before the
+    exchange) with the config-sized centroid side broadcast."""
+    from chroma_spark.registry import QUERIES
+
+    plan = _plan(QUERIES["sample_cluster_balance"].fn(spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan, "per-cluster cap lost rank-limit pushdown"
+    assert "BroadcastExchange" in plan, "centroid side must broadcast"
