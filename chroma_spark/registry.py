@@ -1208,6 +1208,23 @@ def _register_span_c4_balance() -> None:
         ),
     )
 
+    # fastText-style linear quality scorer: FIXED deterministic weights
+    # make the inference plumbing (md5 bucket hashing, literal-array dot,
+    # sigmoid) oracle-checkable; pyspark.ml TRAINING of the same model is
+    # pytest-gated (tests/test_spans_c4.py) since L-BFGS isn't SQL
+    from .operators.quality_model import score_quality, score_quality_sql
+
+    _QM_DIM = 256
+    _QM = {
+        "dim": _QM_DIM,
+        "intercept": -0.25,
+        "weights": [(((i * 37) % 101) - 50) / 100.0 for i in range(_QM_DIM)],
+    }
+    QUERIES["quality_lr_score"] = Query(
+        lambda spark, sf_dir: score_quality(_docs_df(spark, sf_dir), _QM),
+        score_quality_sql(_DOCS_SQL, _QM),
+    )
+
 
 # --- WAL / streaming analogs over the events table (SURVEY §2.1, §2.8) ---
 

@@ -148,3 +148,74 @@ def test_cluster_balanced_cap_and_determinism(spark, duck):
     a = out.sort_values(["centroid_id", "pick_rank"]).reset_index(drop=True)
     for c in a.columns:
         assert (a[c].values == ora[c].astype(a[c].dtype).values).all(), c
+
+
+def test_quality_classifier_trains_and_scores(spark, duck):
+    """End-to-end: pyspark.ml training on weak labels separates clean text
+    from symbol spam, and the TRAINED model's distributed scorer matches
+    the DuckDB twin bit-for-bit (same literal weights, same md5 buckets)."""
+    from chroma_spark.operators.quality_model import (
+        score_quality,
+        score_quality_sql,
+        train_quality_classifier,
+    )
+
+    good = [
+        "the committee published its annual report on regional trade",
+        "researchers described a simple method for measuring rainfall",
+        "the library extended its opening hours during the summer",
+        "farmers in the valley rotated crops to preserve the soil",
+        "the orchestra rehearsed a new arrangement of the symphony",
+        "engineers tested the bridge design under heavy load",
+    ]
+    bad = [
+        "$$$ win win win $$$ click here $$$ free free",
+        "aaaa bbbb aaaa bbbb aaaa bbbb aaaa bbbb",
+        "!!! buy now !!! buy now !!! buy now !!!",
+        "zzz qqq zzz qqq zzz qqq zzz qqq zzz",
+        "### ### ### lorem lorem ### ### ###",
+        "%% off %% off %% off %% off %% off",
+    ]
+    rows = [(i, t, 1) for i, t in enumerate(good)] + [
+        (100 + i, t, 0) for i, t in enumerate(bad)
+    ]
+    docs = spark.createDataFrame(rows, "id INT, document STRING, label INT")
+    model = train_quality_classifier(docs, "label", dim=512, max_iter=30)
+    assert len(model["weights"]) == 512
+
+    scored = {r["id"]: r["score"] for r in score_quality(docs, model).collect()}
+    good_scores = [scored[i] for i in range(len(good))]
+    bad_scores = [scored[100 + i] for i in range(len(bad))]
+    assert min(good_scores) > max(bad_scores), (good_scores, bad_scores)
+
+    # parity with the trained (not fixed) weights
+    import pandas as pd
+
+    duck.register(
+        "__qm_docs", pd.DataFrame(rows, columns=["id", "document", "label"])
+    )
+    ora = duck.execute(
+        score_quality_sql("SELECT * FROM __qm_docs", model) + " ORDER BY id"
+    ).df()
+    got = (
+        score_quality(docs, model).orderBy("id").toPandas().reset_index(drop=True)
+    )
+    for c in got.columns:
+        assert (got[c].values == ora[c].astype(got[c].dtype).values).all(), c
+
+
+def test_quality_scoring_is_shuffle_free(spark):
+    """Inference is a single projection: literal weight array, no
+    Exchange, no Python stage (the 100-TB scoring path)."""
+    from chroma_spark.operators.quality_model import score_quality
+    from chroma_spark.registry import load
+
+    from .conftest import SF_SMALL
+
+    docs = load(spark, SF_SMALL, "documents").selectExpr(
+        "doc_id AS id", "text AS document"
+    )
+    model = {"dim": 64, "intercept": 0.0, "weights": [0.01 * i for i in range(64)]}
+    plan = score_quality(docs, model)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "quality scoring must not shuffle"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
