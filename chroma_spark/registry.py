@@ -1225,6 +1225,36 @@ def _register_span_c4_balance() -> None:
         score_quality_sql(_DOCS_SQL, _QM),
     )
 
+    # the composed round-6 pipeline — span-dedup (mask repeated passages,
+    # drop mostly-duplicated docs) -> linear quality gate on the MASKED
+    # text — one DataFrame plan, one SQL twin; each stage feeds its
+    # cleaned text forward, the order a pre-training curation DAG uses.
+    # (The C4 stage composes the same way but is kept standalone here:
+    # the synthetic corpus is single-line unpunctuated text, so its
+    # terminal-punctuation rule would empty the pipeline. Threshold 0.432
+    # sits at the fixed-weight score median — the gate separates, it
+    # doesn't rubber-stamp.)
+    def _curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+        masked = (
+            repeated_span_stats(_docs_df(spark, sf_dir), span_tokens=5)
+            .filter(F.col("dup_frac") <= 0.5)
+            .select("id", F.col("clean_text").alias("document"))
+        )
+        scored = score_quality(masked, _QM).filter(F.col("score") >= 0.432).select("id")
+        return masked.join(scored, "id", "semi")
+
+    def _curate_v2_sql() -> str:
+        s1 = (
+            "SELECT id, clean_text AS document FROM "
+            f"({repeated_span_stats_sql(_DOCS_SQL, span_tokens=5)}) WHERE dup_frac <= 0.5"
+        )
+        return (
+            f"SELECT s.id, s.document FROM ({s1}) s "
+            f"JOIN ({score_quality_sql(s1, _QM)}) q ON s.id = q.id AND q.score >= 0.432"
+        )
+
+    QUERIES["curate_v2"] = Query(_curate_v2, _curate_v2_sql())
+
 
 # --- WAL / streaming analogs over the events table (SURVEY §2.1, §2.8) ---
 
