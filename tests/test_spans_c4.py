@@ -219,3 +219,79 @@ def test_quality_scoring_is_shuffle_free(spark):
     plan = score_quality(docs, model)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, "quality scoring must not shuffle"
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Property test: span dedup vs a from-scratch pure-Python oracle of the
+# documented semantics (every non-first occurrence of a duplicated L-gram
+# is masked; merged intervals; whitespace-normalized clean text), plus the
+# DuckDB twin — three independent implementations must agree.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _py_span_oracle(rows, L):
+    """Pure-Python re-derivation of repeated_span_stats semantics."""
+    occ = {}  # gram -> list[(id, pos)]
+    toks_by_id = {}
+    for i, text in rows:
+        toks = [t for t in text.lower().split() if t]
+        toks_by_id[i] = toks
+        for p in range(len(toks) - L + 1):
+            occ.setdefault(" ".join(toks[p : p + L]), []).append((i, p + 1))
+    masked = {}
+    for g, os_ in occ.items():
+        if len(os_) > 1:
+            keeper = min(os_)
+            for o in os_:
+                if o != keeper:
+                    masked.setdefault(o[0], set()).add(o[1])
+    out = {}
+    for i, toks in toks_by_id.items():
+        starts = sorted(masked.get(i, ()))
+        covered = sorted({p for s in starts for p in range(s, s + L)})
+        n_spans = sum(
+            1 for j, s in enumerate(starts) if j == 0 or s - starts[j - 1] > L
+        )
+        cov = set(covered)
+        clean = " ".join(t for j, t in enumerate(toks, start=1) if j not in cov)
+        out[i] = (len(toks), len(covered), n_spans, clean)
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_repeated_spans_three_way_property(spark, duck, data):
+    vocab = ["aa", "bb", "cc", "dd"]  # tiny vocab -> dense accidental repeats
+    L = data.draw(st.integers(2, 4), label="L")
+    n_docs = data.draw(st.integers(1, 8), label="n_docs")
+    rows = []
+    for i in range(n_docs):
+        toks = data.draw(
+            st.lists(st.sampled_from(vocab), min_size=0, max_size=12),
+            label=f"doc{i}",
+        )
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "id INT, document STRING")
+    got = {
+        r["id"]: (r["n_tokens"], r["n_dup_tokens"], r["n_spans"], r["clean_text"])
+        for r in repeated_span_stats(docs, span_tokens=L).collect()
+    }
+    expected = _py_span_oracle(rows, L)
+    assert got == expected
+    import pandas as pd
+
+    duck.register("__prop_docs", pd.DataFrame(rows, columns=["id", "document"]))
+    ora = {
+        int(r[0]): (int(r[1]), int(r[2]), int(r[4]), r[5])
+        for r in duck.execute(
+            repeated_span_stats_sql("SELECT * FROM __prop_docs", span_tokens=L)
+        ).fetchall()
+    }
+    assert ora == expected
