@@ -907,7 +907,8 @@ class Collection:
         ``compact()`` runs it against the new state / log batch and writes
         its output collection under ``fn_{name}/v{version}``.
 
-        ``kind`` ∈ statistics | record_counter | revision_history
+        ``kind`` ∈ statistics | record_counter | revision_history |
+        quality_score
         (streaming/functions.py ``make_attached_function``); ``params``
         must be JSON-serializable — they're stored in the collection config
         exactly as the reference stores the function spec."""

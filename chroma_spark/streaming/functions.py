@@ -98,6 +98,9 @@ def make_attached_function(name: str, kind: str, **params):
       over the new state.
     - ``revision_history`` (no params) — per-id version numbering of the
       raw log batch (append-only pre-image archive).
+    - ``quality_score`` (params: ``weights``/``intercept``/``dim`` from
+      :func:`~chroma_spark.operators.quality_model.train_quality_classifier`,
+      optional ``text_col``) — linear quality scores over the new state.
     """
     from .compactor import AttachedFunction
 
@@ -126,9 +129,31 @@ def make_attached_function(name: str, kind: str, **params):
                 seq_col=params.get("seq_col", "seq_id"),
             )
 
+    elif kind == "quality_score":
+        # fastText-style linear quality scores over the NEW compacted
+        # state (operators/quality_model.py): params carry the trained
+        # model verbatim ({"weights": [...], "intercept": f, "dim": n} —
+        # JSON-serializable, so the collection config persists it and any
+        # later compaction process rebuilds the identical scorer). The
+        # score is a shuffle-free projection piggybacked on compaction —
+        # the cheapest point to keep corpus quality continuously scored.
+        model = {
+            "weights": [float(w) for w in params["weights"]],
+            "intercept": float(params["intercept"]),
+            "dim": int(params["dim"]),
+        }
+        text_col = params.get("text_col", "document")
+
+        def fn(state: DataFrame, batch: DataFrame) -> DataFrame:  # noqa: ARG001
+            from ..operators.quality_model import score_quality
+
+            if text_col not in state.columns:
+                raise ValueError(f"quality_score: state lacks {text_col!r}")
+            return score_quality(state, model, text_col=text_col)
+
     else:
         raise ValueError(
             f"unknown attached-function kind {kind!r}; "
-            "expected statistics | record_counter | revision_history"
+            "expected statistics | record_counter | revision_history | quality_score"
         )
     return AttachedFunction(name=name, fn=fn)

@@ -308,3 +308,41 @@ def test_stream_compact_maintains_minhash_band_table(spark, dirs):
     found = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert ("a", "n1") in found and ("c", "n1") in found
     assert all("b" not in p for p in found)
+
+
+def test_attach_quality_score_runs_at_compaction(spark, tmp_path):
+    """quality_score as a persisted attached function: the trained model's
+    weights live in the collection config, every compaction scores the new
+    state, and a cold re-open re-creates the identical scorer."""
+    from chroma_spark.api import Client
+
+    client = Client(spark, str(tmp_path / "q_root"))
+    col = client.create_collection("cq", dimension=2)
+    model = {"dim": 64, "intercept": -0.1, "weights": [0.02 * i - 0.6 for i in range(64)]}
+    col.attach_function("qs", "quality_score", **model)
+
+    col.add(
+        ids=["a", "b"],
+        embeddings=[[0.0, 1.0], [1.0, 0.0]],
+        documents=["the quick brown fox jumps", "zzz qqq zzz qqq zzz"],
+    )
+    v = col.compact()
+    out = {r.id: r for r in col.read_function_output("qs", version=v).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"].n_tokens == 5 and 0.0 < out["a"].score < 1.0
+
+    # scores match the standalone operator on the same text
+    from chroma_spark.operators.quality_model import score_quality
+
+    docs = spark.createDataFrame(
+        [("a", "the quick brown fox jumps"), ("b", "zzz qqq zzz qqq zzz")],
+        "id STRING, document STRING",
+    )
+    direct = {r.id: r.score for r in score_quality(docs, model).collect()}
+    assert {k: v.score for k, v in out.items()} == direct
+
+    # cold re-open: the persisted spec still validates and still runs
+    col2 = Client(spark, str(tmp_path / "q_root")).get_collection("cq")
+    col2.add(ids=["c"], embeddings=[[0.5, 0.5]], documents=["plain simple words here"])
+    v2 = col2.compact()
+    assert col2.read_function_output("qs", version=v2).count() == 3
