@@ -73,25 +73,37 @@ def repeated_span_stats(
     (``chunk_documents``) as every pipeline here assumes.
     """
     L = int(span_tokens)
-    base = docs.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
-    grams = base.select(
-        "id", F.posexplode(word_ngrams(F.col("toks"), L)).alias("pos0", "gram")
-    ).select("id", (F.col("pos0") + 1).alias("pos"), md5_long(F.col("gram")).alias("ghash"))
+    base = _tokenized(docs, text_col, id_col)
+    grams = _grams(base, L)
     gstats = (
         grams.groupBy("ghash")
         .agg(F.count("*").alias("cnt"), F.min(F.struct("id", "pos")).alias("keeper"))
         .filter(F.col("cnt") > 1)
         .select("ghash", "keeper")
     )
-    masked = (
-        grams.join(gstats, "ghash")
-        .filter(
-            ~((F.col("id") == F.col("keeper.id")) & (F.col("pos") == F.col("keeper.pos")))
-        )
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+    masked = grams.join(gstats, "ghash").filter(
+        ~((F.col("id") == F.col("keeper.id")) & (F.col("pos") == F.col("keeper.pos")))
     )
-    joined = base.join(masked, "id", "left").select(
+    return _mask_to_stats(base, masked, L)
+
+
+def _tokenized(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return docs.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+
+
+def _grams(base: DataFrame, L: int) -> DataFrame:
+    return base.select(
+        "id", F.posexplode(word_ngrams(F.col("toks"), L)).alias("pos0", "gram")
+    ).select("id", (F.col("pos0") + 1).alias("pos"), md5_long(F.col("gram")).alias("ghash"))
+
+
+def _mask_to_stats(base: DataFrame, masked: DataFrame, L: int) -> DataFrame:
+    """Fold masked (id, pos) occurrences into the per-doc output rows
+    (shared by the batch and incremental forms)."""
+    starts_by_id = masked.groupBy("id").agg(
+        F.sort_array(F.collect_list("pos")).alias("starts")
+    )
+    joined = base.join(starts_by_id, "id", "left").select(
         "id",
         "toks",
         F.coalesce(F.col("starts"), F.array().cast("array<int>")).alias("starts"),
@@ -188,3 +200,137 @@ SELECT id,
        coalesce(array_to_string(list_filter(toks,
             (t, i) -> NOT list_contains(covered, i)), ' '), '') AS clean_text
 FROM __c"""
+
+
+def write_span_index(
+    docs: DataFrame,
+    path: str,
+    span_tokens: int = 8,
+    n_buckets: int = 256,
+    text_col: str = "document",
+    id_col: str = "id",
+) -> dict:
+    """Persist the corpus's DISTINCT L-gram hash set partitioned by
+    ``bucket = ghash % n_buckets`` — the incremental span-dedup index.
+
+    This is all the incremental pass needs (arrival-order semantics: a
+    batch occurrence of any gram the corpus has EVER seen is masked —
+    existence, not counts or keepers), so the index is one narrow BIGINT
+    column, distinct-gram-sized, far smaller than the gram stream.
+    Returns the params dict later batches must reuse."""
+    g = _grams(_tokenized(docs, text_col, id_col), int(span_tokens))
+    (
+        g.select("ghash")
+        .distinct()
+        .withColumn("bucket", (F.col("ghash") % n_buckets).cast("int"))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    return {"span_tokens": int(span_tokens), "n_buckets": int(n_buckets)}
+
+
+def append_span_index(
+    docs: DataFrame,
+    path: str,
+    params: dict,
+    text_col: str = "document",
+    id_col: str = "id",
+) -> None:
+    """O(batch) maintenance: append the batch's NOT-yet-indexed distinct
+    gram hashes into their bucket partitions (anti-join against the
+    existing index, write mode append — untouched buckets' files are never
+    rewritten, the same O(changed)-writes discipline as the dedup band
+    index)."""
+    spark = docs.sparkSession
+    existing = spark.read.parquet(path)
+    g = (
+        _grams(_tokenized(docs, text_col, id_col), int(params["span_tokens"]))
+        .select("ghash")
+        .distinct()
+        .withColumn("bucket", (F.col("ghash") % int(params["n_buckets"])).cast("int"))
+    )
+    fresh = g.join(existing, ["ghash"], "anti")
+    fresh.repartition("bucket").write.mode("append").partitionBy("bucket").parquet(path)
+
+
+def incremental_span_stats(
+    new_docs: DataFrame,
+    corpus_grams: DataFrame,
+    span_tokens: int = 8,
+    text_col: str = "document",
+    id_col: str = "id",
+) -> DataFrame:
+    """Span dedup for a NEW batch against a persisted corpus gram index:
+    a batch occurrence is masked iff its gram exists in the corpus
+    (arrival order — the corpus copy came first) OR an earlier batch
+    occurrence keeps it (the within-batch keep-first of
+    :func:`repeated_span_stats`). Output schema identical to the batch
+    form, one row per batch doc.
+
+    Steady-state cost is O(batch): batch grams are batch-sized, the
+    corpus index join is an equi-join on the hash (the index side prunes
+    to the batch's bucket partitions upstream when the caller filters
+    ``corpus_grams`` by bucket; the index is distinct-gram-sized either
+    way, never the corpus text), and the corpus is re-shingled zero
+    times.
+
+    EQUALS the full-corpus recompute restricted to the batch whenever
+    corpus ids order before batch ids (then global min-(id, pos) keepers
+    coincide with arrival order) — which is exactly how the oracle twin
+    is phrased."""
+    L = int(span_tokens)
+    base = _tokenized(new_docs, text_col, id_col)
+    grams = _grams(base, L)
+    # within-batch duplicate keepers (batch-sized aggregation)
+    gstats = (
+        grams.groupBy("ghash")
+        .agg(F.count("*").alias("cnt"), F.min(F.struct("id", "pos")).alias("keeper"))
+    )
+    in_corpus = corpus_grams.select("ghash").distinct()
+    enriched = grams.join(gstats, "ghash").join(
+        in_corpus.withColumn("__hit", F.lit(True)), ["ghash"], "left"
+    )
+    masked = enriched.filter(
+        F.col("__hit").isNotNull()
+        | (
+            (F.col("cnt") > 1)
+            & ~(
+                (F.col("id") == F.col("keeper.id"))
+                & (F.col("pos") == F.col("keeper.pos"))
+            )
+        )
+    )
+    return _mask_to_stats(base, masked, L)
+
+
+def incremental_span_stats_sql(
+    docs_sql: str,
+    batch_pred: str,
+    span_tokens: int = 8,
+    text_col: str = "document",
+    id_col: str = "id",
+) -> str:
+    """Oracle twin: the full-corpus :func:`repeated_span_stats_sql` over
+    ALL docs, restricted to the batch rows (``batch_pred`` over ``id``).
+    Valid because the registry fixture orders corpus ids before batch ids
+    (see :func:`incremental_span_stats`)."""
+    full = repeated_span_stats_sql(docs_sql, span_tokens, text_col, id_col)
+    return f"SELECT * FROM ({full}) WHERE {batch_pred}"
+
+
+def corpus_gram_hashes(
+    docs: DataFrame,
+    span_tokens: int = 8,
+    text_col: str = "document",
+    id_col: str = "id",
+) -> DataFrame:
+    """The distinct L-gram hash set of a corpus (the in-plan form of what
+    :func:`write_span_index` persists) — feed to
+    :func:`incremental_span_stats` as ``corpus_grams``."""
+    return (
+        _grams(_tokenized(docs, text_col, id_col), int(span_tokens))
+        .select("ghash")
+        .distinct()
+    )

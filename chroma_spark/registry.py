@@ -1174,6 +1174,24 @@ def _register_span_c4_balance() -> None:
         lambda spark, sf_dir: repeated_span_stats(_docs_df(spark, sf_dir), span_tokens=5),
         repeated_span_stats_sql(_DOCS_SQL, span_tokens=5),
     )
+    # incremental form: batch (id >= 250) against the corpus gram-hash
+    # index; corpus ids order before batch ids, so the oracle is the full
+    # recompute restricted to the batch (arrival order == keeper order)
+    from .operators.spans import corpus_gram_hashes, incremental_span_stats
+    from .operators.spans import incremental_span_stats_sql
+
+    def _span_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _docs_df(spark, sf_dir)
+        new = docs.filter(F.col("id") >= 250)
+        old = docs.filter(F.col("id") < 250)
+        return incremental_span_stats(
+            new, corpus_gram_hashes(old, span_tokens=5), span_tokens=5
+        )
+
+    QUERIES["dedup_spans_incr"] = Query(
+        _span_incr,
+        incremental_span_stats_sql(_DOCS_SQL, "id >= 250", span_tokens=5),
+    )
     # C4 line+page heuristics (Raffel et al. 2020 §2.2)
     QUERIES["c4_line_filter"] = Query(
         lambda spark, sf_dir: c4_filter(_docs_df(spark, sf_dir), min_line_words=4),

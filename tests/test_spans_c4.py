@@ -295,3 +295,80 @@ def test_repeated_spans_three_way_property(spark, duck, data):
         ).fetchall()
     }
     assert ora == expected
+
+
+def test_incremental_span_index_lifecycle(spark, tmp_path):
+    """Persisted span index: batch-vs-index equals the full recompute
+    restricted to the batch (corpus ids order first), and append-mode
+    maintenance never rewrites untouched bucket files (O(changed) in
+    writes, same discipline as the dedup band index)."""
+    import os
+
+    from chroma_spark.operators.spans import (
+        append_span_index,
+        incremental_span_stats,
+        write_span_index,
+    )
+
+    corpus_rows = [
+        (1, f"intro one {PASSAGE} tail a"),
+        (2, "totally unique text with no repeats at all whatsoever"),
+        (3, f"prefix words {PASSAGE} more trailing content here now"),
+    ]
+    batch_rows = [
+        (10, f"batch copy {PASSAGE} embedded right here"),  # corpus passage -> masked
+        (11, "entirely new batch content nothing repeated anywhere"),
+        (12, "dup dup dup one two three four five dup dup dup one two three four five"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "id INT, document STRING")
+    batch = spark.createDataFrame(batch_rows, "id INT, document STRING")
+    path = str(tmp_path / "span_idx")
+    params = write_span_index(corpus, path, span_tokens=5, n_buckets=16)
+
+    idx = spark.read.parquet(path)
+    out = {
+        r["id"]: r
+        for r in incremental_span_stats(batch, idx, span_tokens=5).collect()
+    }
+    assert set(out) == {10, 11, 12}
+    assert out[10]["n_dup_tokens"] == 10  # the corpus passage is masked
+    assert PASSAGE not in out[10]["clean_text"]
+    assert out[11]["n_dup_tokens"] == 0
+    # within-batch keep-first: second copy of the repeated half masked
+    assert out[12]["n_dup_tokens"] == 8 and out[12]["n_spans"] == 1
+
+    # full-recompute equivalence on corpus+batch restricted to the batch
+    both = corpus.unionByName(batch)
+    full = {
+        r["id"]: r
+        for r in repeated_span_stats(both, span_tokens=5).collect()
+        if r["id"] >= 10
+    }
+    for i in (10, 11, 12):
+        assert tuple(out[i]) == tuple(full[i]), i
+
+    # append maintenance: untouched bucket files are byte-stable
+    def _files():
+        stat = {}
+        for root, _, fs in os.walk(path):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    st = os.stat(p)
+                    stat[p] = (st.st_size, st.st_mtime_ns)
+        return stat
+
+    before = _files()
+    append_span_index(batch, path, params)
+    after = _files()
+    assert set(before) <= set(after)  # nothing rewritten or removed
+    for p, sig in before.items():
+        assert after[p] == sig, f"pre-existing file rewritten: {p}"
+    # and the appended index absorbs the batch: re-running the batch
+    # against it now masks batch-internal duplicates as corpus hits
+    idx2 = spark.read.parquet(path)
+    again = {
+        r["id"]: r
+        for r in incremental_span_stats(batch, idx2, span_tokens=5).collect()
+    }
+    assert again[11]["n_dup_tokens"] > 0  # its own grams are indexed now
