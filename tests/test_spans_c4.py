@@ -372,3 +372,43 @@ def test_incremental_span_index_lifecycle(spark, tmp_path):
         for r in incremental_span_stats(batch, idx2, span_tokens=5).collect()
     }
     assert again[11]["n_dup_tokens"] > 0  # its own grams are indexed now
+
+
+def test_postings_served_balance_matches_inplan_assignment(spark):
+    """The postings-served balanced sampler must pick exactly the rows the
+    in-plan argmin path picks when the postings hold the same assignment
+    (both use the same deterministic md5 order)."""
+    import numpy as np
+
+    from chroma_spark.operators.sampling import (
+        sample_cluster_balanced_from_postings,
+    )
+
+    rng = np.random.default_rng(3)
+    pts = []
+    for cid, (cx, cy), n in [(0, (0, 0), 30), (1, (8, 0), 12)]:
+        for _ in range(n):
+            pts.append(
+                (len(pts), [float(cx + rng.normal(0, 0.4)), float(cy + rng.normal(0, 0.4))])
+            )
+    vec = spark.createDataFrame(pts, "id BIGINT, embedding ARRAY<DOUBLE>")
+    cent = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [8.0, 0.0])], "centroid_id INT, centroid ARRAY<DOUBLE>"
+    )
+    inplan = sample_cluster_balanced(vec, cent, cap=5).toPandas()
+    # derive postings from the same argmin assignment, then serve from them
+    from chroma_spark.functions.distance import l2
+    from chroma_spark.operators.topk import topk_per_group
+    import pyspark.sql.functions as SF
+
+    d = SF.round(l2(SF.col("embedding"), SF.col("centroid")), 6) + SF.lit(0.0)
+    postings = topk_per_group(
+        vec.crossJoin(SF.broadcast(cent)).select("id", "centroid_id", d.alias("__d")),
+        ["id"],
+        [SF.col("__d").asc(), SF.col("centroid_id").asc()],
+        1,
+        two_stage=False,
+    ).select("centroid_id", "id")
+    served = sample_cluster_balanced_from_postings(postings, cap=5).toPandas()
+    key = lambda df: sorted(map(tuple, df[["centroid_id", "id", "pick_rank"]].values.tolist()))
+    assert key(inplan) == key(served)
