@@ -1130,6 +1130,7 @@ class Collection:
 
                     self._store.catalog.mutate(self._store.name, _drop_si)
             self._maintain_dedup_index()
+            self._maintain_fts_index()
         return new_version
 
     def build_vector_index(
@@ -1827,6 +1828,172 @@ class Collection:
             n=desc["n"],
         )
 
+    def build_fts_index(self, text_col: str = "document", n_buckets: int = 64) -> dict:
+        """Build + register the trigram FTS posting index over ``text_col``
+        (operators/fts.py; the reference's full-text segment,
+        `rust/index/src/fulltext/types.rs`). ``get``/``query`` document
+        filters with positive >= 3-char literals are then served as a
+        partition-pruned candidate lookup + exact verify on the candidates
+        only — never a full-text scan. Compaction maintains the postings
+        incrementally (only changed documents re-trigram, appends only)."""
+        import os as _os
+
+        from .layout import stamp_layout
+        from .operators.fts import doc_trigram_postings
+
+        if self._store.meta.log_paths:
+            self.compact(refresh_indexes=False)
+        meta = self._store.meta
+        base = self._store.read_base()
+        if base is None or text_col not in base.columns:
+            raise CollectionError(f"no text column {text_col!r} to index")
+        records = base.filter(F.col(text_col).isNotNull()).select(
+            "id", F.col(text_col).alias("document"), F.md5(F.col(text_col)).alias("fp")
+        )
+        postings = doc_trigram_postings(records, n_buckets).withColumn(
+            "__epoch", F.lit(meta.version).cast("long")
+        )
+        path = _os.path.join(
+            self._store.catalog.root, self._store.name, f"index_fts_{text_col}", f"v{meta.version}"
+        )
+        postings.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(
+            _os.path.join(path, "postings")
+        )
+        records.select("id", "fp").withColumn(
+            "__epoch", F.lit(meta.version).cast("long")
+        ).write.mode("overwrite").parquet(_os.path.join(path, "fps"))
+        stamp_layout(path, "fts")
+        desc = {
+            "version": meta.version,
+            "path": path,
+            "n_buckets": int(n_buckets),
+            "text_col": text_col,
+            "epoch": meta.version,
+            "n_docs": int(records.count()),
+            "n_appended": 0,
+        }
+        self._store.catalog.mutate(
+            self._store.name,
+            lambda m: m.metadata.__setitem__("__fts_index__", desc),
+        )
+        return desc
+
+    def _load_fts_live(self, desc: dict, sub: str) -> DataFrame:
+        """Epoch-MVCC live rows of an FTS layout piece (``postings`` or
+        ``fps``) — same visibility rule as the dedup/sparse tiers: rows
+        with ``__epoch <= version`` not superseded by a per-id tombstone."""
+        import os as _os
+
+        from .layout import check_layout
+
+        check_layout(desc["path"], "fts")
+        df = self._client.spark.read.parquet(_os.path.join(desc["path"], sub))
+        version = int(desc["version"])
+        df = df.filter(F.col("__epoch") <= version)
+        tomb_path = _os.path.join(desc["path"], "tombstones")
+        if _os.path.isdir(tomb_path):
+            dead = (
+                self._client.spark.read.parquet(tomb_path)
+                .filter(F.col("epoch") <= version)
+                .groupBy("id")
+                .agg(F.max("epoch").alias("__dead_upto"))
+            )
+            df = (
+                df.join(dead, "id", "left")
+                .filter(
+                    F.col("__dead_upto").isNull()
+                    | (F.col("__epoch") >= F.col("__dead_upto"))
+                )
+                .drop("__dead_upto")
+            )
+        return df.drop("__epoch")
+
+    def _maintain_fts_index(self) -> None:
+        """Post-compaction upkeep, O(changed docs) in compute and writes —
+        the dedup-tier maintenance pattern verbatim: changed/new documents
+        re-trigram and APPEND into the bucket partitions at the new epoch,
+        stale ids get a tombstone row, drift past REINDEX_FRACTION
+        rebuilds."""
+        import os as _os
+
+        from .operators.fts import doc_trigram_postings
+
+        meta = self._store.meta
+        desc = meta.metadata.get("__fts_index__")
+        if desc is None or desc["version"] == meta.version:
+            return
+        base = self._store.read_base()
+        text_col = desc["text_col"]
+        if base is None or text_col not in base.columns:
+            self._store.catalog.mutate(
+                self._store.name,
+                lambda m: m.metadata.pop("__fts_index__", None) and None,
+            )
+            return
+        own_prefix = _os.path.join(self._store.catalog.root, self._store.name) + _os.sep
+        if not desc["path"].startswith(own_prefix):
+            # fork child diverging from a parent-owned layout: own rebuild
+            return self.build_fts_index(text_col, int(desc["n_buckets"])) and None
+        records = base.filter(F.col(text_col).isNotNull()).select(
+            "id", F.col(text_col).alias("document"), F.md5(F.col(text_col)).alias("fp")
+        )
+        live = self._load_fts_live(desc, "fps").select("id", "fp").distinct()
+        todo = records.join(live, ["id", "fp"], "anti")
+        dead = live.join(records.select("id", "fp"), ["id", "fp"], "anti").select("id").distinct()
+        n_todo, n_dead = int(todo.count()), int(dead.count())
+        n_touched = n_todo + n_dead
+        if desc.get("n_appended", 0) + n_touched > self.REINDEX_FRACTION * max(
+            1, desc.get("n_docs", 0)
+        ):
+            self.build_fts_index(text_col, int(desc["n_buckets"]))
+            return
+        if n_dead:
+            dead.withColumn("epoch", F.lit(meta.version).cast("long")).write.mode(
+                "append"
+            ).parquet(_os.path.join(desc["path"], "tombstones"))
+        if n_todo:
+            doc_trigram_postings(todo, int(desc["n_buckets"])).withColumn(
+                "__epoch", F.lit(meta.version).cast("long")
+            ).repartition("bucket").write.mode("append").partitionBy("bucket").parquet(
+                _os.path.join(desc["path"], "postings")
+            )
+            todo.select("id", "fp").withColumn(
+                "__epoch", F.lit(meta.version).cast("long")
+            ).write.mode("append").parquet(_os.path.join(desc["path"], "fps"))
+        new_desc = {
+            **desc,
+            "version": meta.version,
+            "epoch": meta.version,
+            "n_docs": int(records.count()),
+            "n_appended": int(desc.get("n_appended", 0)) + n_touched,
+        }
+        self._store.catalog.mutate(
+            self._store.name,
+            lambda m: m.metadata.__setitem__("__fts_index__", new_desc),
+        )
+
+    def _fts_candidates(self, where_document: dict) -> DataFrame | None:
+        """Index-served candidate ids for a document filter, or None when
+        the index can't help (absent, stale, or no positive >= 3-char
+        literal in the tree). The candidate set is a SOUND superset of the
+        base-side matches; WAL-touched ids union in so tail writes are
+        re-checked exactly; the exact predicate always verifies."""
+        from .operators.fts import contains_candidates, required_needles
+
+        desc = self._store.meta.metadata.get("__fts_index__")
+        if desc is None or desc["version"] != self._store.meta.version:
+            return None
+        needles = required_needles(where_document)
+        if not needles:
+            return None
+        cands = contains_candidates(
+            self._load_fts_live(desc, "postings"), needles, int(desc["n_buckets"])
+        )
+        log = self._store.read_log()
+        if log is not None:
+            cands = cands.unionByName(log.select("id").distinct()).distinct()
+        return cands
+
     def snapshot_at(self, version: int) -> DataFrame:
         """Time travel: the compacted state as of ``version`` (old base
         versions stay on disk until :meth:`gc`; cross_version_persist
@@ -1887,6 +2054,9 @@ class Collection:
             di = m.metadata.get("__dedup_index__")
             if di:
                 index_referenced.add(di["path"])
+            fi = m.metadata.get("__fts_index__")
+            if fi:
+                index_referenced.add(fi["path"])
         keep = set(self.list_versions()[-max(1, keep_last):])
         keep.add(self._store.meta.version)
         # candidate set: everything unreferenced RIGHT NOW, each tagged
@@ -1910,6 +2080,7 @@ class Collection:
                 sub == "index_vector"
                 or sub.startswith("index_sparse_")
                 or sub.startswith("index_dedup_")
+                or sub.startswith("index_fts_")
             ):
                 continue
             for vdir in os.listdir(os.path.join(coll_dir, sub)):
@@ -2033,6 +2204,11 @@ class Collection:
         if where is not None:
             snap = snap.filter(where_to_column(where, known_keys=frozenset(snap.columns)))
         if where_document is not None:
+            cands = self._fts_candidates(where_document)
+            if cands is not None:
+                # index-served prefilter: exact predicate verifies the
+                # (sound superset) candidates only — no full-text scan
+                snap = snap.join(cands, "id", "semi")
             snap = snap.filter(where_doc_to_column(where_document))
         # un-ranked gets are ordered by the internal insertion offset, not
         # the user string id ("10" < "2" lexicographically) — limit.rs:23-36
@@ -2118,6 +2294,9 @@ class Collection:
                 where_to_column(where, known_keys=frozenset(filtered.columns))
             )
         if where_document is not None:
+            cands = self._fts_candidates(where_document)
+            if cands is not None:
+                filtered = filtered.join(cands, "id", "semi")
             filtered = filtered.filter(where_doc_to_column(where_document))
         spark = self._client.spark
         qdf = spark.createDataFrame(

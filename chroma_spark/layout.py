@@ -23,7 +23,7 @@ LAYOUT_FORMAT_VERSION = 1
 # per-kind current format. dedup v2 = epoch-stamped rows + tombstones/
 # sibling (incremental maintenance); v1 was a plain rewritten band table —
 # a v1 reader would see dead rows, so v2 layouts refuse under v1 engines
-KIND_FORMAT_VERSIONS = {"ivf": 1, "sparse": 1, "dedup": 2}
+KIND_FORMAT_VERSIONS = {"ivf": 1, "sparse": 1, "dedup": 2, "fts": 1}
 
 
 class LayoutFormatError(ValueError):

@@ -2159,6 +2159,64 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 100-TB twins of query(): no query row reaches the driver) ---
 
 _BATCH_COLL_CACHE: dict[str, object] = {}
+_FTS_COLL_CACHE: dict[str, object] = {}
+
+
+def _fts_collection(spark: SparkSession, sf_dir: str):
+    """A persisted Collection over the documents table with a trigram FTS
+    index built (cached like the other index layouts) — the end-to-end
+    index-served document-filter path with a scan oracle."""
+    if sf_dir not in _FTS_COLL_CACHE:
+        import os
+        import shutil
+
+        from .api import Client
+
+        root = _index_dir("ftscoll", sf_dir)
+        meta_file = os.path.join(root, "_index_meta.json")
+        sig = _src_sig(f"{sf_dir}/documents.parquet")
+        if _load_index_meta(meta_file, sig) is None:
+            shutil.rmtree(root, ignore_errors=True)
+            client = Client(spark, root)
+            col = client.create_collection("ftsdocs", dimension=2)
+            docs = load(spark, sf_dir, "documents")
+            col.add_records(
+                docs.select(
+                    F.col("doc_id").cast("string").alias("id"),
+                    F.array(F.lit(0.0), F.lit(0.0)).cast("array<float>").alias("embedding"),
+                    F.col("text").alias("document"),
+                )
+            )
+            col.compact()
+            col.build_fts_index(n_buckets=16)
+            _save_index_meta(meta_file, {"src_sig": sig})
+        else:
+            client = Client(spark, root)
+        _FTS_COLL_CACHE[sf_dir] = client.get_collection("ftsdocs")
+    return _FTS_COLL_CACHE[sf_dir]
+
+
+@register(
+    "doc_contains_indexed",
+    "SELECT doc_id AS id FROM documents WHERE contains(text, 'spark table')",
+)
+def doc_contains_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$contains`` served from the persisted trigram FTS posting index
+    (operators/fts.py; reference `rust/index/src/fulltext/types.rs`):
+    candidates from a partition-pruned posting lookup, exact contains
+    verifying candidates only — same rows as the full scan (the oracle)."""
+    from .where import where_doc_to_column
+
+    wd = {"$contains": "spark table"}
+    col = _fts_collection(spark, sf_dir)
+    cands = col._fts_candidates(wd)
+    assert cands is not None, "fts index must be fresh for this query"
+    snap = col.snapshot("index_and_wal")
+    return (
+        snap.join(cands, "id", "semi")
+        .filter(where_doc_to_column(wd))
+        .select(F.col("id").cast("long").alias("id"))
+    )
 _SV_DIMS = 8  # sparse tier = first 8 embedding dims as explicit postings
 
 
