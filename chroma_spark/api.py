@@ -2717,6 +2717,7 @@ class Collection:
                     )
             snap = self._client.spark.createDataFrame([], T.StructType(fields))
         sparse_keys = {k for k, s in rank_keys.items() if s}
+        wd = payload.get("where_document")
         return search_op(
             snap,
             default_space=self._store.meta.space,
@@ -2724,6 +2725,7 @@ class Collection:
             sparse_index=self._fresh_sparse_indexes(read_level, keys=sparse_keys)
             if sparse_keys
             else {},
+            doc_candidates=self._fts_candidates(wd) if wd is not None else None,
             **payload,
         )
 

@@ -42,19 +42,26 @@ def search(
     knn_fn=None,
     offset_col: str | None = None,
     sparse_index: dict | None = None,
+    doc_candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Run a Search payload; returns records (+ ``score`` when ranked).
 
     ``offset_col`` — the internal insertion-offset column; when given,
     un-ranked results order by it (limit.rs:23-36) instead of the id.
     ``sparse_index`` — per-key persisted posting indexes for sparse $knn
-    terms (see RankEvaluator)."""
+    terms (see RankEvaluator). ``doc_candidates`` — an FTS-index-served
+    candidate id superset for ``where_document`` (Collection.search wires
+    `_fts_candidates`); applied as a semi-join on the CANDIDATE side only,
+    so corpus-level IDF stats stay unfiltered, and the exact predicate
+    still verifies."""
     candidates = records
     if where is not None:
         candidates = candidates.filter(
             where_to_column(where, array_keys, known_keys=frozenset(records.columns))
         )
     if where_document is not None:
+        if doc_candidates is not None:
+            candidates = candidates.join(doc_candidates, id_col, "semi")
         candidates = candidates.filter(where_doc_to_column(where_document, doc_col))
 
     if rank is None:

@@ -152,3 +152,22 @@ def test_fts_rebuild_after_drift(client):
     assert desc["path"] != old_path  # rebuilt into a fresh layout dir
     assert desc["n_appended"] == 0
     assert _ids(col, {"$contains": "regenerated"}) == sorted(DOCS)
+
+
+def test_fts_serves_search_document_filter(client):
+    """search() document filters get the same index-served prefilter; the
+    ranked pipeline's results (and IDF stats, computed over the UNFILTERED
+    corpus) are unchanged by the index."""
+    col = _mk(client, "fts7")
+    payload = {
+        "where_document": {"$contains": "quick"},
+        "rank": {"$knn": {"query": [0.0, 0.0], "key": "#embedding"}},
+        "limit": 5,
+    }
+    before = [(r["id"], round(r["score"], 6)) for r in col.search(**payload).collect()]
+    col.build_fts_index()
+    after = [(r["id"], round(r["score"], 6)) for r in col.search(**payload).collect()]
+    assert before == after and [i for i, _ in after] == ["a", "d"]
+    # unranked search with the filter too
+    ids = sorted(r["id"] for r in col.search(where_document={"$contains": "sphinx"}).collect())
+    assert ids == ["c", "k2"]
