@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import md5_long, md5_long_sql, sql_lit
+from ..functions.text import md5_long, md5_long_sql, sql_lit, tokens, word_ngrams
 
 _M = 1_000_000  # rate resolution: 1e-6
 
@@ -283,3 +283,132 @@ def sample_cluster_balanced_from_postings(
         int(cap),
         rank_col="pick_rank",
     ).select("centroid_id", "id", "pick_rank")
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target,
+    n_buckets: int = 1024,
+    add_k: float = 1.0,
+    text_col: str = "document",
+    id_col: str = "id",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling"): hash each document's
+    word unigram+bigram features into ``n_buckets`` buckets, fit smoothed
+    categorical distributions over buckets for the TARGET slice (rows
+    matching the ``target`` boolean Column — the domain you want more of)
+    and the RAW slice (everything else — the pool being sampled), and
+    score every raw document by its log-likelihood ratio
+    ``sum_f log(p_target(bucket(f)) / p_raw(bucket(f)))``. Sampling the
+    raw pool proportionally to these weights (e.g. top-k, or Gumbel-top-k
+    for a stochastic draw) reshapes it toward the target domain.
+
+    Returns ``(id, n_feats, weight)`` for RAW rows only (the candidates);
+    featureless docs get ``n_feats = 0, weight = NULL``.
+
+    Scale shape: the fitted model is ONE ``n_buckets``-row table (config
+    -sized — broadcast), built by a single explode → groupBy(bucket) pass
+    with map-side combine; totals enter as a 1-row broadcast cross join.
+    Per-doc features aggregate to (id, bucket, occ) BEFORE the join, so
+    the broadcast join carries at most ``n_buckets`` rows per doc. No
+    driver collect anywhere — at 100 TB this is two corpus scans (fit +
+    score) and one tiny broadcast.
+    """
+    toks = tokens(F.col(text_col))
+    feats = F.concat(toks, word_ngrams(toks, 2))
+    k = F.lit(float(add_k))
+    b = F.lit(int(n_buckets))
+
+    tagged = docs.select(
+        F.col(id_col).alias("id"), F.explode(feats).alias("feat"), target.alias("__t")
+    ).withColumn("bucket", F.pmod(md5_long(F.col("feat")), b))
+    counts = tagged.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).cast("double").alias("c_t"),
+        F.sum(F.when(F.col("__t"), 0).otherwise(1)).cast("double").alias("c_r"),
+    )
+    totals = counts.agg(
+        F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
+    )
+    ratio = F.log((F.col("c_t") + k) / (F.col("n_t") + k * b.cast("double"))) - F.log(
+        (F.col("c_r") + k) / (F.col("n_r") + k * b.cast("double"))
+    )
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket", ratio.alias("log_ratio")
+    )
+
+    raw = docs.filter(~target)
+    doc_feats = (
+        raw.select(F.col(id_col).alias("id"), F.explode(feats).alias("feat"))
+        .withColumn("bucket", F.pmod(md5_long(F.col("feat")), b))
+        .groupBy("id", "bucket")
+        .agg(F.count("*").alias("occ"))
+    )
+    scored = (
+        doc_feats.join(F.broadcast(model), "bucket")
+        .groupBy("id")
+        .agg(
+            F.sum("occ").cast("bigint").alias("n_feats"),
+            F.sum(F.col("occ").cast("double") * F.col("log_ratio")).alias("_w"),
+        )
+    )
+    return (
+        raw.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("bigint").alias("n_feats"),
+            (F.round(F.col("_w"), 6) + F.lit(0.0)).alias("weight"),
+        )
+    )
+
+
+def dsir_importance_sql(
+    docs_sql: str,
+    target_sql: str,
+    n_buckets: int = 1024,
+    add_k: float = 1.0,
+    text_col: str = "document",
+    id_col: str = "id",
+) -> str:
+    """DuckDB twin of :func:`dsir_importance`; ``target_sql`` is a boolean
+    SQL expression over the ``docs_sql`` columns."""
+    from ..functions.text import tokens_sql, word_ngrams_sql
+
+    toks = tokens_sql(f'"{text_col}"')
+    grams = word_ngrams_sql("t", 2)
+    k = repr(float(add_k))
+    b = int(n_buckets)
+    return f"""
+WITH base AS (
+  SELECT "{id_col}" AS id, {toks} AS t, ({target_sql}) AS is_t FROM ({docs_sql})
+),
+feats AS (
+  SELECT id, is_t, {md5_long_sql('feat')} % {b} AS bucket
+  FROM (SELECT id, is_t, unnest(list_concat(t, {grams})) AS feat FROM base)
+),
+counts AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS DOUBLE) AS c_t,
+         CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS DOUBLE) AS c_r
+  FROM feats GROUP BY 1
+),
+totals AS (SELECT sum(c_t) AS n_t, sum(c_r) AS n_r FROM counts),
+model AS (
+  SELECT bucket,
+         ln((c_t + {k}) / (n_t + {k} * {b})) - ln((c_r + {k}) / (n_r + {k} * {b})) AS log_ratio
+  FROM counts CROSS JOIN totals
+),
+doc_feats AS (
+  SELECT id, bucket, count(*) AS occ FROM feats WHERE NOT is_t GROUP BY 1, 2
+),
+scored AS (
+  SELECT id, CAST(sum(occ) AS BIGINT) AS n_feats,
+         sum(CAST(occ AS DOUBLE) * log_ratio) AS w
+  FROM doc_feats JOIN model USING (bucket) GROUP BY 1
+)
+SELECT d.id,
+       CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+       (round(s.w, 6) + 0.0) AS weight
+FROM (SELECT id FROM base WHERE NOT is_t) d
+LEFT JOIN scored s ON d.id = s.id"""

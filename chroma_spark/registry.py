@@ -1056,6 +1056,43 @@ def _register_textstats() -> None:
 _register_textstats()
 
 
+def _register_lm_dsir() -> None:
+    from .functions.text import sql_lit
+    from .operators.lm import lm_perplexity, lm_perplexity_sql
+    from .operators.sampling import dsir_importance, dsir_importance_sql
+
+    # CCNet-style bigram-LM perplexity, self-trained on the corpus (the
+    # in-domain setup); ppl is the classic head/middle/tail quality signal
+    QUERIES["lm_perplexity"] = Query(
+        lambda spark, sf_dir: lm_perplexity(_docs_df(spark, sf_dir)),
+        lm_perplexity_sql(_DOCS_SQL),
+    )
+
+    # DSIR hashed-ngram importance weights: target = three sources, raw =
+    # the rest; sampling raw by weight reshapes it toward the target domain
+    dsir_targets = ("src1", "src2", "src3")
+
+    def _dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("id"), F.col("text").alias("document"), "source"
+        )
+        return dsir_importance(
+            docs, target=F.col("source").isin(*dsir_targets), n_buckets=256
+        )
+
+    QUERIES["dsir_weights"] = Query(
+        _dsir,
+        dsir_importance_sql(
+            "SELECT doc_id AS id, text AS document, source FROM documents",
+            "source IN ({})".format(", ".join(sql_lit(s) for s in dsir_targets)),
+            n_buckets=256,
+        ),
+    )
+
+
+_register_lm_dsir()
+
+
 # --- Decontamination + redaction (training-data hygiene; operators/
 # decontam.py, textstats.redact) ---
 

@@ -1,0 +1,149 @@
+"""Behavioral tests for bigram-LM perplexity (CCNet-style) and DSIR
+hashed-ngram importance weights (cross-engine value parity is covered by
+test_oracle_parity via the registry; these pin the SEMANTICS)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from chroma_spark.operators.lm import bigram_lm, lm_perplexity, lm_perplexity_sql
+from chroma_spark.operators.sampling import dsir_importance, dsir_importance_sql
+
+
+def _lm_docs(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),  # exact repeat: in-distribution
+        (3, "the dog sat on the rug"),
+        (4, "zyx wvu tsr qpo nml"),  # out-of-distribution gibberish
+        (5, "single"),  # < 2 tokens: no bigrams
+        (6, ""),  # empty
+    ]
+    return spark.createDataFrame(rows, "id INT, document STRING")
+
+
+def test_lm_perplexity_orders_in_vs_out_of_distribution(spark):
+    out = {r["id"]: r for r in lm_perplexity(_lm_docs(spark)).collect()}
+    # repeated in-distribution docs score lower ppl than unseen-gram gibberish
+    assert out[1]["ppl"] == out[2]["ppl"]
+    assert out[1]["ppl"] < out[4]["ppl"]
+    assert out[3]["ppl"] < out[4]["ppl"]
+    # short/empty docs: no bigrams, NULL ppl (the gate passes them through)
+    for i in (5, 6):
+        assert out[i]["n_bigrams"] == 0 and out[i]["ppl"] is None
+    assert out[1]["n_bigrams"] == 5
+
+
+def test_lm_perplexity_hand_value(spark):
+    """One hand-computed cell: doc 'a b a b' self-trained, add_k=0.5.
+
+    grams: a b (x2), b a (x1). contexts: a=2, b=1. V=2, k=0.5.
+    P(b|a)=(2+.5)/(2+.5*2)=5/6, P(a|b)=(1+.5)/(1+.5*2)=3/4.
+    avg logp = (2*ln(5/6) + ln(3/4))/3; ppl = exp(-avg).
+    """
+    docs = spark.createDataFrame([(1, "a b a b")], "id INT, document STRING")
+    got = lm_perplexity(docs).collect()[0]
+    want = math.exp(-(2 * math.log(5 / 6) + math.log(3 / 4)) / 3)
+    assert got["n_bigrams"] == 3
+    assert abs(got["ppl"] - round(want, 6)) < 1e-9
+
+
+def test_lm_perplexity_external_train_corpus(spark):
+    """Scoring against a separate reference corpus: a doc matching the
+    reference scores lower than one that doesn't."""
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(5)], "id INT, document STRING"
+    )
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "purple monkey dishwasher")], "id INT, document STRING"
+    )
+    out = {r["id"]: r["ppl"] for r in lm_perplexity(docs, train=train).collect()}
+    assert out[1] < out[2]
+    # pre-trained model object gives identical scores
+    model = bigram_lm(train)
+    out2 = {r["id"]: r["ppl"] for r in lm_perplexity(docs, model=model).collect()}
+    assert out == out2
+
+
+def test_lm_perplexity_matches_duckdb(spark, duck):
+    docs = _lm_docs(spark)
+    duck.execute("CREATE OR REPLACE TABLE _lm AS SELECT * FROM (VALUES "
+                 + ", ".join(f"({r['id']}, '{r['document']}')" for r in docs.collect())
+                 + ") t(id, document)")
+    got = sorted(
+        (r["id"], r["n_bigrams"], r["ppl"]) for r in lm_perplexity(docs).collect()
+    )
+    want = sorted(
+        (r[0], r[1], r[2])
+        for r in duck.execute(lm_perplexity_sql("SELECT id, document FROM _lm")).fetchall()
+    )
+    assert got == want
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    target_text = "alpha beta gamma delta alpha beta"
+    rows = [(i, target_text, "tgt") for i in range(20)]
+    rows += [(100, "alpha beta gamma words", "raw")]  # target-like raw doc
+    rows += [(101, "unrelated junk tokens here", "raw")]
+    rows += [(102, "", "raw")]
+    docs = spark.createDataFrame(rows, "id INT, document STRING, source STRING")
+    out = {
+        r["id"]: r
+        for r in dsir_importance(
+            docs, target=F.col("source") == "tgt", n_buckets=64
+        ).collect()
+    }
+    # only raw rows come back
+    assert sorted(out) == [100, 101, 102]
+    # the target-like raw doc outranks the unrelated one
+    assert out[100]["weight"] > out[101]["weight"]
+    # featureless doc: 0 feats, NULL weight
+    assert out[102]["n_feats"] == 0 and out[102]["weight"] is None
+    # n_feats = unigram + bigram instances = 4 + 3
+    assert out[100]["n_feats"] == 7
+
+
+def test_dsir_matches_duckdb(spark, duck):
+    rows = [
+        (1, "the cat sat on the mat", "a"),
+        (2, "the dog ran in the park", "a"),
+        (3, "stocks rallied on earnings news", "b"),
+        (4, "the cat ran in the mat", "b"),
+        (5, "", "b"),
+    ]
+    docs = spark.createDataFrame(rows, "id INT, document STRING, source STRING")
+    duck.execute("CREATE OR REPLACE TABLE _dsir AS SELECT * FROM (VALUES "
+                 + ", ".join(f"({i}, '{t}', '{s}')" for i, t, s in rows)
+                 + ") t(id, document, source)")
+    got = sorted(
+        (r["id"], r["n_feats"], r["weight"])
+        for r in dsir_importance(docs, target=F.col("source") == "a", n_buckets=32).collect()
+    )
+    want = sorted(
+        (r[0], r[1], r[2])
+        for r in duck.execute(
+            dsir_importance_sql(
+                "SELECT id, document, source FROM _dsir", "source = 'a'", n_buckets=32
+            )
+        ).fetchall()
+    )
+    assert len(got) == 3
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1]
+        if g[2] is None:
+            assert w[2] is None
+        else:
+            assert abs(g[2] - w[2]) < 1e-9
+
+
+def test_lm_and_dsir_plans_have_no_cartesian_blowup(spark):
+    """Plan pins: the only cross joins are the 1-row broadcast scalars
+    (vocab / totals); count tables join by key."""
+    docs = _lm_docs(spark)
+    plan = lm_perplexity(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    out = dsir_importance(docs, target=F.col("id") < 3, n_buckets=16)
+    plan2 = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan2
