@@ -412,3 +412,64 @@ SELECT d.id,
        (round(s.w, 6) + 0.0) AS weight
 FROM (SELECT id FROM base WHERE NOT is_t) d
 LEFT JOIN scored s ON d.id = s.id"""
+
+
+def gumbel_topk_sample(
+    df: DataFrame,
+    k: int,
+    log_weight_col: str = "weight",
+    id_col: str = "id",
+    salt: str = "gumbel",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement via the
+    Gumbel-top-k trick: draw ``g_i ~ Gumbel(0,1)`` per row and take the
+    top ``k`` by ``log_weight + g`` — an exact sample proportional to
+    ``exp(log_weight)`` (Vieira 2014; the standard way to turn DSIR-style
+    log-likelihood-ratio weights into an actual resampled subset). The
+    "noise" is the md5 hash of (salt, id), so the draw is reproducible
+    across engines, runs, and cluster layouts — same discipline as
+    :func:`hash_sample`. Rows with NULL log-weight (e.g. featureless docs)
+    are excluded. Returns ``(id, <log_weight_col>, sample_rank)``.
+
+    Scale shape: one projection + ungrouped top-k, which compiles to
+    TakeOrderedAndProject (per-partition heaps, driver merges k rows) —
+    no global sort, no single-partition window.
+    """
+    from .topk import topk_per_group
+
+    u = (md5_long(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % _M + 0.5) / _M
+    key = F.round(F.col(log_weight_col) + (-F.log(-F.log(u))), 6) + F.lit(0.0)
+    picked = topk_per_group(
+        df.filter(F.col(log_weight_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(log_weight_col), key.alias("__g")),
+        [],
+        [F.col("__g").desc(), F.col("id").asc()],
+        int(k),
+        two_stage=False,
+        rank_col="sample_rank",
+    )
+    return picked.select("id", log_weight_col, "sample_rank")
+
+
+def gumbel_topk_sample_sql(
+    src_sql: str,
+    k: int,
+    log_weight_col: str = "weight",
+    id_col: str = "id",
+    salt: str = "gumbel",
+) -> str:
+    """DuckDB twin of :func:`gumbel_topk_sample` over ``src_sql`` rows."""
+    h = md5_long_sql(f"({sql_lit(salt)} || CAST(\"{id_col}\" AS VARCHAR))")
+    key = (
+        f'round("{log_weight_col}" + (-ln(-ln((({h}) % {_M} + 0.5) / {_M}))), 6) + 0.0'
+    )
+    return f"""
+SELECT id, "{log_weight_col}",
+       CAST(row_number() OVER (ORDER BY __g DESC, id ASC) AS BIGINT) AS sample_rank
+FROM (
+  SELECT "{id_col}" AS id, "{log_weight_col}", {key} AS __g
+  FROM ({src_sql})
+  WHERE "{log_weight_col}" IS NOT NULL
+)
+ORDER BY __g DESC, id ASC
+LIMIT {int(k)}"""

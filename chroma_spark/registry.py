@@ -1080,13 +1080,20 @@ def _register_lm_dsir() -> None:
             docs, target=F.col("source").isin(*dsir_targets), n_buckets=256
         )
 
-    QUERIES["dsir_weights"] = Query(
-        _dsir,
-        dsir_importance_sql(
-            "SELECT doc_id AS id, text AS document, source FROM documents",
-            "source IN ({})".format(", ".join(sql_lit(s) for s in dsir_targets)),
-            n_buckets=256,
-        ),
+    dsir_sql = dsir_importance_sql(
+        "SELECT doc_id AS id, text AS document, source FROM documents",
+        "source IN ({})".format(", ".join(sql_lit(s) for s in dsir_targets)),
+        n_buckets=256,
+    )
+    QUERIES["dsir_weights"] = Query(_dsir, dsir_sql)
+
+    # the resampling step: Gumbel-top-k over the DSIR log-weights turns the
+    # scores into an actual without-replacement sample of the raw pool
+    from .operators.sampling import gumbel_topk_sample, gumbel_topk_sample_sql
+
+    QUERIES["dsir_resample"] = Query(
+        lambda spark, sf_dir: gumbel_topk_sample(_dsir(spark, sf_dir), k=100),
+        gumbel_topk_sample_sql(dsir_sql, k=100),
     )
 
 

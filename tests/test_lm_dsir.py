@@ -147,3 +147,42 @@ def test_lm_and_dsir_plans_have_no_cartesian_blowup(spark):
     out = dsir_importance(docs, target=F.col("id") < 3, n_buckets=16)
     plan2 = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan2
+
+
+def test_gumbel_topk_sample_is_weight_biased_and_deterministic(spark):
+    from chroma_spark.operators.sampling import gumbel_topk_sample
+
+    # 200 rows, half with weight +2 half with -2: the sample should be
+    # dominated by the heavy half (exp(4) ~ 55x likelier per row)
+    rows = [(i, 2.0 if i % 2 == 0 else -2.0) for i in range(200)]
+    rows.append((500, None))  # featureless: excluded
+    df = spark.createDataFrame(rows, "id INT, weight DOUBLE")
+    out = gumbel_topk_sample(df, k=50).collect()
+    assert len(out) == 50
+    assert [r["sample_rank"] for r in sorted(out, key=lambda r: r["sample_rank"])] == list(range(1, 51))
+    heavy = sum(1 for r in out if r["weight"] == 2.0)
+    assert heavy >= 45
+    assert all(r["id"] != 500 for r in out)
+    # deterministic: identical draw on re-run; different salt, different draw
+    again = gumbel_topk_sample(df, k=50).collect()
+    assert sorted(r["id"] for r in again) == sorted(r["id"] for r in out)
+    other = gumbel_topk_sample(df, k=50, salt="other").collect()
+    assert sorted(r["id"] for r in other) != sorted(r["id"] for r in out)
+
+
+def test_gumbel_topk_matches_duckdb(spark, duck):
+    from chroma_spark.operators.sampling import gumbel_topk_sample, gumbel_topk_sample_sql
+
+    rows = [(i, (i % 7) * 0.37 - 1.0) for i in range(60)]
+    df = spark.createDataFrame(rows, "id INT, weight DOUBLE")
+    got = [
+        (r["id"], r["weight"], r["sample_rank"])
+        for r in gumbel_topk_sample(df, k=10).orderBy("sample_rank").collect()
+    ]
+    duck.execute(
+        "CREATE OR REPLACE TABLE _gum AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {w!r}::DOUBLE)" for i, w in rows)
+        + ") t(id, weight)"
+    )
+    want = duck.execute(gumbel_topk_sample_sql("SELECT id, weight FROM _gum", k=10)).fetchall()
+    assert got == [(r[0], r[1], r[2]) for r in want]
