@@ -1317,6 +1317,34 @@ def _register_span_c4_balance() -> None:
 
     QUERIES["curate_v2"] = Query(_curate_v2, _curate_v2_sql())
 
+    # v3 chains the CCNet-style LM gate after the quality gate: the bigram
+    # LM is self-trained on the stage's own input (the in-domain CCNet
+    # setup — survivors define the reference distribution), and docs in
+    # the high-perplexity tail are dropped. Threshold 29.0 sits at the
+    # survivor-ppl median at the gate SF, so the stage separates rather
+    # than rubber-stamps. Short docs (no bigrams, NULL ppl) pass through —
+    # length gating is the Gopher/quality stages' job, not the LM's.
+    from .operators.lm import lm_perplexity, lm_perplexity_sql
+
+    def _curate_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+        survivors = _curate_v2(spark, sf_dir)
+        ppl_keep = (
+            lm_perplexity(survivors)
+            .filter(F.col("ppl").isNull() | (F.col("ppl") <= 29.0))
+            .select("id")
+        )
+        return survivors.join(ppl_keep, "id", "semi")
+
+    def _curate_v3_sql() -> str:
+        s2 = _curate_v2_sql()
+        return (
+            f"SELECT s.id, s.document FROM ({s2}) s "
+            f"JOIN ({lm_perplexity_sql(s2)}) p "
+            "ON s.id = p.id AND (p.ppl IS NULL OR p.ppl <= 29.0)"
+        )
+
+    QUERIES["curate_v3"] = Query(_curate_v3, _curate_v3_sql())
+
 
 # --- WAL / streaming analogs over the events table (SURVEY §2.1, §2.8) ---
 
