@@ -2460,6 +2460,12 @@ _MEASURE_FIRST = [
     # measurement of query_batch / hybrid_query_batch
     "knn_join_batch",
     "hybrid_batch_rrf",
+    # new this round (r6): pinned so their first driver-measured row lands
+    # the round they ship; drop these into the rotating pool next round
+    "lm_perplexity",
+    "dsir_weights",
+    "dsir_resample",
+    "curate_v3",
 ]
 # Trained-ANN forms: k-means is not SQL-expressible, so the driver can only
 # record a weaker no-oracle row for these. Recall >= 0.95 is pytest-enforced
