@@ -908,7 +908,7 @@ class Collection:
         its output collection under ``fn_{name}/v{version}``.
 
         ``kind`` ∈ statistics | record_counter | revision_history |
-        quality_score
+        quality_score | lm_perplexity
         (streaming/functions.py ``make_attached_function``); ``params``
         must be JSON-serializable — they're stored in the collection config
         exactly as the reference stores the function spec."""

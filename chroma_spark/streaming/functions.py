@@ -151,9 +151,30 @@ def make_attached_function(name: str, kind: str, **params):
                 raise ValueError(f"quality_score: state lacks {text_col!r}")
             return score_quality(state, model, text_col=text_col)
 
+    elif kind == "lm_perplexity":
+        # CCNet-style bigram-LM perplexity over the NEW compacted state
+        # (operators/lm.py), self-trained on that same state — the
+        # in-domain setup: after every compaction the corpus re-defines
+        # its own reference distribution and each doc's ppl says how
+        # typical it is of the current corpus. Count tables are
+        # vocabulary-bounded; the output is (id, n_bigrams, ppl), read
+        # back via read_function_output for gating or head/middle/tail
+        # bucketing. add_k is persisted so re-compactions score
+        # identically for an unchanged corpus.
+        add_k = float(params.get("add_k", 0.5))
+        text_col = params.get("text_col", "document")
+
+        def fn(state: DataFrame, batch: DataFrame) -> DataFrame:  # noqa: ARG001
+            from ..operators.lm import lm_perplexity
+
+            if text_col not in state.columns:
+                raise ValueError(f"lm_perplexity: state lacks {text_col!r}")
+            return lm_perplexity(state, add_k=add_k, text_col=text_col)
+
     else:
         raise ValueError(
             f"unknown attached-function kind {kind!r}; "
-            "expected statistics | record_counter | revision_history | quality_score"
+            "expected statistics | record_counter | revision_history | "
+            "quality_score | lm_perplexity"
         )
     return AttachedFunction(name=name, fn=fn)

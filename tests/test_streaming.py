@@ -346,3 +346,44 @@ def test_attach_quality_score_runs_at_compaction(spark, tmp_path):
     col2.add(ids=["c"], embeddings=[[0.5, 0.5]], documents=["plain simple words here"])
     v2 = col2.compact()
     assert col2.read_function_output("qs", version=v2).count() == 3
+
+
+def test_attach_lm_perplexity_runs_at_compaction(spark, tmp_path):
+    """lm_perplexity as a persisted attached function: every compaction
+    re-trains the in-domain bigram LM on the new state and scores it; a
+    cold re-open re-creates the identical scorer from the persisted spec."""
+    from chroma_spark.api import Client
+
+    client = Client(spark, str(tmp_path / "lm_root"))
+    col = client.create_collection("clm", dimension=2)
+    col.attach_function("ppl", "lm_perplexity", add_k=0.5)
+
+    col.add(
+        ids=["a", "b", "c"],
+        embeddings=[[0.0, 1.0], [1.0, 0.0], [0.5, 0.5]],
+        documents=["the cat sat on the mat", "the cat sat on the mat", "xq zv wk yj"],
+    )
+    v = col.compact()
+    out = {r.id: r for r in col.read_function_output("ppl", version=v).collect()}
+    assert set(out) == {"a", "b", "c"}
+    # repeated in-distribution docs score below the gibberish doc
+    assert out["a"].ppl == out["b"].ppl < out["c"].ppl
+
+    # matches the standalone operator self-trained on the same state
+    from chroma_spark.operators.lm import lm_perplexity
+
+    docs = spark.createDataFrame(
+        [("a", "the cat sat on the mat"), ("b", "the cat sat on the mat"), ("c", "xq zv wk yj")],
+        "id STRING, document STRING",
+    )
+    direct = {r.id: r.ppl for r in lm_perplexity(docs).collect()}
+    assert {k: r.ppl for k, r in out.items()} == direct
+
+    # cold re-open: persisted spec validates, next compaction re-scores ALL
+    # state under the updated corpus distribution
+    col2 = Client(spark, str(tmp_path / "lm_root")).get_collection("clm")
+    col2.add(ids=["d"], embeddings=[[0.2, 0.8]], documents=["the dog sat on the rug"])
+    v2 = col2.compact()
+    out2 = col2.read_function_output("ppl", version=v2)
+    assert out2.count() == 4
+    assert out2.filter("id = 'a'").collect()[0].ppl != out["a"].ppl  # corpus changed
