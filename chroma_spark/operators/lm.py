@@ -143,3 +143,58 @@ SELECT d.id,
        (round(exp(-s.avg_logp), 6) + 0.0) AS ppl
 FROM (SELECT "{id_col}" AS id FROM ({docs_sql})) d
 LEFT JOIN scored s ON d.id = s.id"""
+
+
+def lm_ppl_tiers(
+    docs: DataFrame,
+    train: DataFrame | None = None,
+    cuts: tuple = (1 / 3, 2 / 3),
+    add_k: float = 0.5,
+    text_col: str = "document",
+    id_col: str = "id",
+) -> DataFrame:
+    """CCNet's actual selection step: bucket documents into
+    ``head`` / ``middle`` / ``tail`` by perplexity terciles (Wenzek et al.
+    §4.3 — head is the most in-domain third; pipelines typically train on
+    head+middle). Returns ``(id, ppl, tier)``; docs with no bigrams get a
+    NULL tier (they carry no LM evidence either way).
+
+    Scale shape: :func:`lm_perplexity` plus ONE exact-percentile aggregate
+    whose 2-value result enters the plan as a 1-row broadcast cross join —
+    the tier decision is then a shuffle-free projection. Exact
+    ``percentile`` is a full-sort-free JVM aggregate and is bit-identical
+    to DuckDB's ``quantile_cont`` on identical inputs (probed), so the
+    tier boundaries cross-check in the oracle."""
+    lo, hi = float(cuts[0]), float(cuts[1])
+    ppl = lm_perplexity(docs, train=train, add_k=add_k, text_col=text_col, id_col=id_col)
+    cuts_df = ppl.agg(
+        F.expr(f"percentile(ppl, array({lo!r}, {hi!r}))").alias("__cuts")
+    ).select(F.col("__cuts")[0].alias("__c1"), F.col("__cuts")[1].alias("__c2"))
+    tier = (
+        F.when(F.col("ppl").isNull(), F.lit(None).cast("string"))
+        .when(F.col("ppl") <= F.col("__c1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("__c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return ppl.crossJoin(F.broadcast(cuts_df)).select("id", "ppl", tier.alias("tier"))
+
+
+def lm_ppl_tiers_sql(
+    docs_sql: str,
+    train_sql: str | None = None,
+    cuts: tuple = (1 / 3, 2 / 3),
+    add_k: float = 0.5,
+    text_col: str = "document",
+    id_col: str = "id",
+) -> str:
+    lo, hi = float(cuts[0]), float(cuts[1])
+    ppl = lm_perplexity_sql(docs_sql, train_sql, add_k=add_k, text_col=text_col, id_col=id_col)
+    return f"""
+WITH __ppl AS ({ppl}),
+__cuts AS (SELECT quantile_cont(ppl, [{lo!r}, {hi!r}]) AS c FROM __ppl)
+SELECT id, ppl,
+       CASE WHEN ppl IS NULL THEN NULL
+            WHEN ppl <= c[1] THEN 'head'
+            WHEN ppl <= c[2] THEN 'middle'
+            ELSE 'tail' END AS tier
+FROM __ppl CROSS JOIN __cuts"""

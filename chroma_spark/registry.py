@@ -1068,6 +1068,15 @@ def _register_lm_dsir() -> None:
         lm_perplexity_sql(_DOCS_SQL),
     )
 
+    # CCNet's selection step: head/middle/tail perplexity terciles (exact
+    # percentile == DuckDB quantile_cont bit-for-bit on identical inputs)
+    from .operators.lm import lm_ppl_tiers, lm_ppl_tiers_sql
+
+    QUERIES["lm_ppl_tiers"] = Query(
+        lambda spark, sf_dir: lm_ppl_tiers(_docs_df(spark, sf_dir)),
+        lm_ppl_tiers_sql(_DOCS_SQL),
+    )
+
     # DSIR hashed-ngram importance weights: target = three sources, raw =
     # the rest; sampling raw by weight reshapes it toward the target domain
     dsir_targets = ("src1", "src2", "src3")

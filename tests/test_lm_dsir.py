@@ -186,3 +186,25 @@ def test_gumbel_topk_matches_duckdb(spark, duck):
     )
     want = duck.execute(gumbel_topk_sample_sql("SELECT id, weight FROM _gum", k=10)).fetchall()
     assert got == [(r[0], r[1], r[2]) for r in want]
+
+
+def test_lm_ppl_tiers_terciles(spark):
+    from chroma_spark.operators.lm import lm_ppl_tiers
+
+    # ppl decreases with i: more copies of the corpus-dominant phrase dilute
+    # the doc's one rare bigram -> 90 distinct ppl values
+    rows = [(i, "the cat sat on the mat " * (i + 1) + f"x{i} y{i}")
+            for i in range(90)]
+    rows.append((1000, "x"))  # no bigram evidence -> NULL tier
+    docs = spark.createDataFrame(rows, "id INT, document STRING")
+    out = lm_ppl_tiers(docs).collect()
+    tiers = {}
+    for r in out:
+        tiers[r["tier"]] = tiers.get(r["tier"], 0) + 1
+    # terciles split the scored docs roughly in thirds; the no-evidence doc
+    # is untiered
+    assert tiers[None] == 1
+    assert abs(tiers["head"] - 30) <= 2 and abs(tiers["tail"] - 30) <= 2
+    # every head ppl <= every middle ppl <= every tail ppl
+    by_tier = {t: [r["ppl"] for r in out if r["tier"] == t] for t in ("head", "middle", "tail")}
+    assert max(by_tier["head"]) <= min(by_tier["middle"]) <= max(by_tier["middle"]) <= min(by_tier["tail"])
