@@ -2472,6 +2472,7 @@ _MEASURE_FIRST = [
     # new this round (r6): pinned so their first driver-measured row lands
     # the round they ship; drop these into the rotating pool next round
     "lm_perplexity",
+    "lm_ppl_tiers",
     "dsir_weights",
     "dsir_resample",
     "curate_v3",
