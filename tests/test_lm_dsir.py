@@ -208,3 +208,64 @@ def test_lm_ppl_tiers_terciles(spark):
     # every head ppl <= every middle ppl <= every tail ppl
     by_tier = {t: [r["ppl"] for r in out if r["tier"] == t] for t in ("head", "middle", "tail")}
     assert max(by_tier["head"]) <= min(by_tier["middle"]) <= max(by_tier["middle"]) <= min(by_tier["tail"])
+
+
+def _py_lm_perplexity(rows, add_k=0.5):
+    """Pure-Python third twin of lm_perplexity (the where/rank/span test
+    discipline): independent implementation, same semantics."""
+    def toks(t):
+        return [w for w in (t or "").lower().split() if w]
+
+    grams, ctxs, vocab = {}, {}, set()
+    for _, t in rows:
+        ts = toks(t)
+        vocab.update(ts)
+        for a, b in zip(ts, ts[1:]):
+            grams[(a, b)] = grams.get((a, b), 0) + 1
+            ctxs[a] = ctxs.get(a, 0) + 1
+    v = float(len(vocab))
+    out = {}
+    for i, t in rows:
+        ts = toks(t)
+        pairs = list(zip(ts, ts[1:]))
+        if not pairs:
+            out[i] = (0, None)
+            continue
+        s = sum(
+            math.log((grams.get(p, 0) + add_k) / (ctxs.get(p[0], 0) + add_k * v))
+            for p in pairs
+        )
+        out[i] = (len(pairs), round(math.exp(-s / len(pairs)), 6) + 0.0)
+    return out
+
+
+def test_lm_perplexity_three_way_property(spark, duck):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    words = st.sampled_from(["the", "cat", "dog", "sat", "ran", "a", "zz", "q1"])
+    doc = st.lists(words, min_size=0, max_size=12).map(" ".join)
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(docs=st.lists(doc, min_size=1, max_size=8))
+    def inner(docs):
+        rows = list(enumerate(docs))
+        expected = _py_lm_perplexity(rows)
+        df = spark.createDataFrame(rows, "id INT, document STRING")
+        got = {r["id"]: (r["n_bigrams"], r["ppl"]) for r in lm_perplexity(df).collect()}
+        duck.execute(
+            "CREATE OR REPLACE TABLE _lmp AS SELECT * FROM (VALUES "
+            + ", ".join(f"({i}, '{t}')" for i, t in rows)
+            + ") t(id, document)")
+        orc = {r[0]: (r[1], r[2]) for r in duck.execute(
+            lm_perplexity_sql("SELECT id, document FROM _lmp")).fetchall()}
+        for i, (n, p) in expected.items():
+            for name, other in (("spark", got[i]), ("duck", orc[i])):
+                assert other[0] == n, (name, i, other, (n, p))
+                if p is None:
+                    assert other[1] is None, (name, i)
+                else:
+                    assert abs(other[1] - p) < 1e-9, (name, i, other, (n, p))
+
+    inner()
