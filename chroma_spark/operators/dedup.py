@@ -819,3 +819,146 @@ reach(src, dst) AS (
   SELECT r.src, e.b FROM reach r JOIN __e e ON r.dst = e.a
 )
 SELECT src AS id, min(dst) AS canonical FROM reach GROUP BY src"""
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup inside embedding clusters (Abbas et al. 2023,
+# "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication"). Cluster the embedding space (k-means / the collection's
+# IVF layout), connect within-cluster pairs whose cosine distance clears a
+# threshold, and keep ONE document per duplicate group — the member
+# FURTHEST from its cluster centroid (the paper's "keep low similarity to
+# centroid" policy, which preserved the most diversity in their ablation).
+#
+# Reference parity note: chroma has no semantic dedup — this extends the
+# beyond-the-reference pipeline surface (SURVEY §7) alongside the sign-LSH
+# near-dup (`embedding_neardup_banded`) which finds PAIRS; semdedup turns
+# cluster-local pairs into keep/drop DECISIONS.
+#
+# Scale shape (100 TB): candidate generation is within-cluster pairwise —
+# O(sum c_i^2) = O(N^2 / k) for balanced clusters, the SAME budget the
+# paper runs on web scale (k grows with N; their config keeps clusters
+# ~10^4). Every join is keyed by cluster id (no CartesianProduct — pinned
+# in tests), components run pointer-jumping rounds, and the keeper choice
+# is one window over group members. With a built IVF layout the
+# assignment is free (postings already store centroid_id).
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    cluster_col: str = "centroid_id",
+    centroid_dist_col: str = "cd",
+) -> DataFrame:
+    """Keep/drop decision per row from a cluster assignment frame
+    ``(id, embedding, centroid_id, cd)`` where ``cd`` is the row's
+    (rounded) cosine distance to its own cluster centroid.
+
+    Returns ``(id, group, cd, keep)``: ``group`` = min id of the row's
+    within-cluster duplicate component (own id for singletons), ``keep`` =
+    true for the component member with the LARGEST centroid distance
+    (ties: smallest id) and for all singletons.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.distance import cosine
+
+    a = assigned.select(
+        F.col(cluster_col).alias("__c"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = assigned.select(
+        F.col(cluster_col).alias("__c"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    dist = F.round(cosine(F.col("va"), F.col("vb")), 6) + F.lit(0.0)
+    pairs = (
+        a.join(b, "__c")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist.alias("__d"))
+        .filter(F.col("__d") <= threshold)
+    )
+    comp = connected_components(pairs)
+    members = assigned.select(
+        F.col(id_col).alias("id"), F.col(centroid_dist_col).alias("cd")
+    ).join(comp, "id")
+    w = Window.partitionBy("canonical").orderBy(F.col("cd").desc(), F.col("id").asc())
+    dups = members.select(
+        "id",
+        F.col("canonical").alias("group"),
+        "cd",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+    singles = (
+        assigned.select(F.col(id_col).alias("id"), F.col(centroid_dist_col).alias("cd"))
+        .join(comp.select("id"), "id", "left_anti")
+        .select("id", F.col("id").alias("group"), "cd", F.lit(True).alias("keep"))
+    )
+    return dups.unionByName(singles)
+
+
+def semdedup_sql(assigned_sql: str, threshold: float) -> str:
+    """DuckDB twin over an ``(id, embedding, centroid_id, cd)`` assignment
+    relation (the registry supplies a fixed-centroid assignment so the
+    whole pipeline is bit-deterministic)."""
+    from ..functions.distance import cosine_sql
+
+    d = cosine_sql("a.embedding", "b.embedding")
+    pairs = f"""
+WITH __asg AS ({assigned_sql})
+SELECT id_a, id_b FROM (
+  SELECT a.id AS id_a, b.id AS id_b, (round({d}, 6) + 0.0) AS __d
+  FROM __asg a JOIN __asg b ON a.centroid_id = b.centroid_id AND a.id < b.id
+) WHERE __d <= {threshold!r}"""
+    comp = connected_components_sql(pairs)
+    return f"""
+WITH __asg2 AS ({assigned_sql}),
+__comp AS ({comp}),
+__dups AS (
+  SELECT m.id, c.canonical AS "group", m.cd,
+         row_number() OVER (PARTITION BY c.canonical
+                            ORDER BY m.cd DESC, m.id ASC) = 1 AS keep
+  FROM __asg2 m JOIN __comp c ON m.id = c.id
+)
+SELECT id, "group", cd, keep FROM __dups
+UNION ALL
+SELECT m.id, m.id AS "group", m.cd, TRUE AS keep
+FROM __asg2 m ANTI JOIN __comp c ON m.id = c.id"""
+
+
+def semdedup_from_postings(
+    postings: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup served from a built IVF layout: ``postings`` already carry
+    ``(centroid_id, id, embedding)`` (assignment cost zero — the same
+    free-ride as `sample_cluster_balanced_from_postings`); ``centroids``
+    is the layout's ``(centroid_id, centroid)`` table. K-means layouts are
+    not SQL-expressible, so this form is pytest-verified against
+    `semdedup` on the same assignment."""
+    from ..functions.distance import cosine
+
+    from .topk import topk_per_group
+
+    cd = F.round(cosine(F.col(vec_col), F.col("centroid")), 6) + F.lit(0.0)
+    # replicas>1 layouts multi-assign boundary rows: the row's PRIMARY
+    # cluster is its closest centroid (deterministic — not dropDuplicates,
+    # whose surviving row is partition-order dependent)
+    assigned = topk_per_group(
+        postings.select("centroid_id", F.col(id_col).alias("id"), F.col(vec_col))
+        .join(F.broadcast(centroids), "centroid_id")
+        .select("id", F.col(vec_col), "centroid_id", cd.alias("cd")),
+        ["id"],
+        [F.col("cd").asc(), F.col("centroid_id").asc()],
+        1,
+        two_stage=False,
+    )
+    return semdedup(assigned, threshold, vec_col=vec_col)

@@ -1998,6 +1998,60 @@ SELECT query_id, id, dist, rank FROM (
 QUERIES["ann_ivf_fixed_centroids"].oracle = _ann_ivf_fixed_oracle()
 
 
+def _register_semdedup() -> None:
+    """SemDeDup (cluster-local semantic dedup -> keep/drop decisions) made
+    oracle-checkable with the same fixed-centroid trick as the ann_*_fixed
+    queries: assignment uses cosine distance to 8 FIXED centroid records,
+    so clusters, pair distances, components, and the keep-furthest-from-
+    centroid choice are bit-deterministic across engines."""
+    from .functions.distance import cosine, cosine_sql
+    from .operators import dedup as D
+    from .operators.topk import topk_per_group
+
+    threshold = 0.6
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = _emb_records(spark, sf_dir).select("id", "embedding")
+        id_map = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(sorted(_FIXED_CENTROID_IDS))],
+            "centroid_id INT, cid_src BIGINT",
+        )
+        cent = (
+            emb.filter(F.col("id").isin(_FIXED_CENTROID_IDS))
+            .join(F.broadcast(id_map), F.col("id") == F.col("cid_src"))
+            .select("centroid_id", F.col("embedding").alias("centroid"))
+        )
+        cdist = F.round(cosine(F.col("embedding"), F.col("centroid")), 6) + F.lit(0.0)
+        assigned = topk_per_group(
+            emb.crossJoin(F.broadcast(cent)).select(
+                "id", "embedding", "centroid_id", cdist.alias("cd")
+            ),
+            ["id"],
+            [F.col("cd").asc(), F.col("centroid_id").asc()],
+            1,
+            two_stage=False,
+        ).select("id", "embedding", "centroid_id", "cd")
+        return D.semdedup(assigned, threshold)
+
+    ids = ", ".join(str(i) for i in _FIXED_CENTROID_IDS)
+    cd = cosine_sql("r.embedding", "c.centroid")
+    assigned_sql = f"""
+SELECT id, embedding, centroid_id, cd FROM (
+  SELECT r.vec_id AS id, r.embedding, c.centroid_id,
+         (round({cd}, 6) + 0.0) AS cd,
+         row_number() OVER (PARTITION BY r.vec_id
+                            ORDER BY (round({cd}, 6) + 0.0) ASC, c.centroid_id ASC) AS rn
+  FROM embeddings r CROSS JOIN (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding AS centroid
+    FROM embeddings WHERE vec_id IN ({ids})
+  ) c
+) WHERE rn = 1"""
+    QUERIES["semdedup"] = Query(fn, D.semdedup_sql(assigned_sql, threshold))
+
+
+_register_semdedup()
+
+
 @register("ann_quantized_fixed_pivot", None)  # oracle attached below
 def ann_quantized_fixed_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quantized prefilter + re-rank plan made oracle-checkable: a
@@ -2476,6 +2530,7 @@ _MEASURE_FIRST = [
     "dsir_weights",
     "dsir_resample",
     "curate_v3",
+    "semdedup",
 ]
 # Trained-ANN forms: k-means is not SQL-expressible, so the driver can only
 # record a weaker no-oracle row for these. Recall >= 0.95 is pytest-enforced

@@ -206,3 +206,43 @@ def test_minhash_incremental_matches_filtered_full_batch(spark, tmp_path):
     }
     assert got == want and ("c1", "n1") in got  # cross pair found
     assert not any(a not in new_ids and b not in new_ids for a, b in got)
+
+
+def test_semdedup_decisions_on_planted_dups(spark):
+    """SemDeDup end to end from a built IVF layout: one decision row per
+    record, exactly one keeper per duplicate group (the member furthest
+    from its centroid, ties to the smaller id), singletons all kept, and
+    planted near-dup pairs land in a shared group."""
+    from chroma_spark.ann.ivf import build_ivf
+
+    records, planted = _planted_embeddings(spark)
+    cents, postings = build_ivf(records, n_lists=8, replicas=2)
+    rows = D.semdedup_from_postings(postings, cents, threshold=0.05).collect()
+
+    n_records = records.count()
+    assert len(rows) == n_records
+    assert len({r.id for r in rows}) == n_records
+
+    by_group: dict = {}
+    for r in rows:
+        by_group.setdefault(r.group, []).append(r)
+    for g, members in by_group.items():
+        keepers = [m for m in members if m.keep]
+        assert len(keepers) == 1, f"group {g}: {len(keepers)} keepers"
+        best = max(members, key=lambda m: (m.cd, -m.id))
+        assert keepers[0].id == best.id, f"group {g}: keeper not furthest-from-centroid"
+        if len(members) == 1:
+            assert members[0].keep and members[0].group == members[0].id
+
+    group_of = {r.id: r.group for r in rows}
+    same = sum(1 for a, b in planted if group_of[a] == group_of[b])
+    assert same / len(planted) >= 0.9, f"planted-pair grouping recall {same / len(planted)}"
+
+
+def test_semdedup_registry_plan_has_no_cartesian_product(spark):
+    from chroma_spark.registry import QUERIES
+
+    plan = QUERIES["semdedup"].fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    # the fixed-centroid assignment broadcasts 8 centroids by design; the
+    # within-cluster pair join must stay a keyed equi-join
+    assert "CartesianProduct" not in plan
