@@ -761,6 +761,11 @@ def connected_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        # materialize ONCE: every round joins edges, and without the cut
+        # each round re-evaluates the whole candidate-pair subtree (for
+        # semdedup that is the within-cluster cosine join) — O(rounds)
+        # recomputes for a table only 2x the pair count
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     labels = labels.localCheckpoint(eager=True)

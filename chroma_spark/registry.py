@@ -2052,6 +2052,35 @@ SELECT id, embedding, centroid_id, cd FROM (
 _register_semdedup()
 
 
+def _register_bpe() -> None:
+    """BPE tokenization under a FIXED merge table (the static-SQL analog
+    of the fixed-centroid ANN queries: a learned merge list can't live in
+    a static oracle string, so the registered queries pin one — these 16
+    merges were learned from the sf0.001 corpus by `bpe_train` and fire on
+    every SF's shared vocabulary). The LEARNED path (train + apply
+    self-consistency, replace-chain vs array-reference equivalence) is
+    pytest-pinned in tests/test_bpe.py."""
+    from .operators import bpe as B
+
+    merges = [
+        ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("o", "r"),
+        ("t", "</w>"), ("er", "</w>"), ("o", "w"), ("ow", "</w>"),
+        ("l", "u"), ("i", "n"), ("y", "</w>"), ("a", "r"),
+        ("p", "ar"), ("g", "</w>"), ("a", "s"), ("h", "</w>"),
+    ]
+    QUERIES["bpe_token_counts"] = Query(
+        lambda spark, sf_dir: B.bpe_token_counts(_docs_df(spark, sf_dir), merges),
+        B.bpe_token_counts_sql(_DOCS_SQL, merges),
+    )
+    QUERIES["bpe_vocab_topk"] = Query(
+        lambda spark, sf_dir: B.bpe_vocab_topk(_docs_df(spark, sf_dir), merges),
+        B.bpe_vocab_topk_sql(_DOCS_SQL, merges),
+    )
+
+
+_register_bpe()
+
+
 @register("ann_quantized_fixed_pivot", None)  # oracle attached below
 def ann_quantized_fixed_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quantized prefilter + re-rank plan made oracle-checkable: a
@@ -2531,6 +2560,8 @@ _MEASURE_FIRST = [
     "dsir_resample",
     "curate_v3",
     "semdedup",
+    "bpe_token_counts",
+    "bpe_vocab_topk",
 ]
 # Trained-ANN forms: k-means is not SQL-expressible, so the driver can only
 # record a weaker no-oracle row for these. Recall >= 0.95 is pytest-enforced

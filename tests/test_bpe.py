@@ -1,0 +1,132 @@
+"""BPE tokenizer: the chained-replace segmentation must agree with the
+pure-Python left-to-right merge reference on arbitrary words and merge
+lists, training must be self-consistent with application, and the
+distinct-word join must reassemble documents in order.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from chroma_spark.operators import bpe as B
+
+from .conftest import SF_SMALL
+
+
+def _py_segment(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    syms = list(word.replace(B.SEP, "")) + [B.EOW]
+    for m in merges:
+        syms = B._merge_seq(syms, m)
+    return syms
+
+
+def _docs(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").alias("id"), F.col("text").alias("document"))
+    )
+
+
+def test_segment_matches_python_reference_on_random_words(spark):
+    """200 random words x 3 random merge programs: the Catalyst replace
+    chain must equal the array-form left-to-right reference exactly."""
+    rnd = random.Random(11)
+    alphabet = "abcde"
+    words = ["".join(rnd.choice(alphabet) for _ in range(rnd.randint(1, 12))) for _ in range(200)]
+    for trial in range(3):
+        # random merge program over symbols reachable from earlier merges
+        symbols = list(alphabet) + [B.EOW]
+        merges: list[tuple[str, str]] = []
+        for _ in range(12):
+            a, b = rnd.choice(symbols), rnd.choice(symbols)
+            merges.append((a, b))
+            symbols.append(a + b)
+        df = spark.createDataFrame([(w,) for w in words], "w STRING").withColumn(
+            "syms", B.segment(F.col("w"), merges)
+        )
+        got = {r.w: list(r.syms) for r in df.collect()}
+        for w in set(words):
+            assert got[w] == _py_segment(w, merges), (trial, w, merges)
+
+
+def test_segment_whole_symbol_anchoring_regression(spark):
+    """The prefix-encoding bug this module was almost shipped with: after
+    ('n','</w>') creates symbol 'n</w>', a later ('i','n') must NOT match
+    the 'n' prefix inside 'n</w>'."""
+    merges = [("n", B.EOW), ("i", "n")]
+    row = (
+        spark.range(1)
+        .select(B.segment(F.lit("join"), merges).alias("s"))
+        .collect()[0]
+    )
+    assert list(row.s) == ["j", "o", "i", "n</w>"]
+    # and a run of the same pair still merges left-to-right
+    row2 = (
+        spark.range(1)
+        .select(B.segment(F.lit("aaa"), [("a", "a")]).alias("s"))
+        .collect()[0]
+    )
+    assert list(row2.s) == ["aa", "a", B.EOW]
+
+
+def test_segment_round_trips_and_strips_sep(spark):
+    merges = [("a", "b"), ("ab", "c")]
+    words = ["abc", "abcabc", f"a{B.SEP}bc", "zzz", "a"]
+    df = spark.createDataFrame([(w,) for w in words], "w STRING").withColumn(
+        "syms", B.segment(F.col("w"), merges)
+    )
+    for r in df.collect():
+        joined = "".join(r.syms)
+        assert joined == r.w.replace(B.SEP, "") + B.EOW, r.w
+
+
+def test_train_is_deterministic_and_self_consistent(spark):
+    """Tokenizing a SEEN word must reproduce the trainer's final vocab
+    segmentation (the train/apply order-semantics contract), and two
+    trainings of the same corpus must learn identical merges."""
+    docs = _docs(spark, SF_SMALL)
+    wf = B.word_frequencies(docs)
+    merges, vocab = B.train_local(wf, 16)
+    merges2, _ = B.train_local(list(wf), 16)
+    assert merges == merges2 and len(merges) == 16
+    segs = (
+        docs.select(F.explode(B.tokens(F.col("document"))).alias("w"))
+        .distinct()
+        .withColumn("syms", B.segment(F.col("w"), merges))
+        .collect()
+    )
+    assert len(segs) > 0
+    for r in segs:
+        assert list(r.syms) == vocab[r.w], r.w
+
+
+def test_more_merges_never_increase_token_count(spark):
+    docs = _docs(spark, SF_SMALL)
+    merges = B.bpe_train(docs, 16)
+    n8 = B.bpe_token_counts(docs, merges[:8]).agg(F.sum("n_bpe")).collect()[0][0]
+    n16 = B.bpe_token_counts(docs, merges).agg(F.sum("n_bpe")).collect()[0][0]
+    n0 = B.bpe_token_counts(docs, []).agg(F.sum("n_bpe")).collect()[0][0]
+    assert n16 <= n8 <= n0
+
+
+def test_tokenize_reassembles_in_word_order(spark):
+    df = spark.createDataFrame([(1, "cab abc"), (2, ""), (3, "abc")], "id LONG, document STRING")
+    out = {r.id: list(r.bpe_tokens) for r in B.bpe_tokenize(df, [("a", "b")]).collect()}
+    assert out[1] == ["c", "ab", B.EOW, "ab", "c", B.EOW]
+    assert out[3] == ["ab", "c", B.EOW]
+    assert 2 not in out  # no tokens -> no row; bpe_token_counts restores it
+    counts = {r.id: (r.n_words, r.n_bpe, r.head) for r in B.bpe_token_counts(df, [("a", "b")]).collect()}
+    assert counts[2] == (0, 0, "")
+    assert counts[1] == (2, 6, "c ab </w> ab c </w>")
+
+
+def test_registry_bpe_plans_have_no_python_udf(spark):
+    """The apply path is plan literals + joins: no BatchEvalPython /
+    ArrowEvalPython stage may appear."""
+    from chroma_spark.registry import QUERIES
+
+    for name in ("bpe_token_counts", "bpe_vocab_topk"):
+        plan = QUERIES[name].fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, name
