@@ -1828,6 +1828,35 @@ class Collection:
             n=desc["n"],
         )
 
+    def semantic_near_duplicates(
+        self, threshold: float = 0.05, method: str = "arrow"
+    ) -> DataFrame:
+        """SemDeDup decisions ``(id, group, cd, keep)`` served from the
+        built vector index (Abbas et al. 2023): the IVF posting lists ARE
+        the paper's clustering, so assignment costs nothing — within-list
+        cosine pairs above ``threshold`` connect into duplicate groups and
+        the member furthest from its centroid is kept. ``method="arrow"``
+        (default) runs the per-cluster GEMM bulk tier; ``"expr"`` is the
+        oracle-parity form. Like the minhash dedup index, the layout must
+        be fresh (no pending WAL tail) so decisions cover exactly one
+        collection version."""
+        from .operators.dedup import semdedup_from_postings
+
+        vi = self._store.meta.vector_index
+        if vi is None:
+            raise CollectionError("no vector index; call build_vector_index() first")
+        if self._store.meta.log_paths:
+            raise CollectionError(
+                "vector index is stale (WAL tail pending); compact() refreshes it"
+            )
+        centroids, postings = self._load_vector_index()
+        return semdedup_from_postings(
+            postings.select("centroid_id", "id", "embedding"),
+            centroids.select("centroid_id", "centroid"),
+            threshold,
+            method=method,
+        )
+
     def build_fts_index(self, text_col: str = "document", n_buckets: int = 64) -> dict:
         """Build + register the trigram FTS posting index over ``text_col``
         (operators/fts.py; the reference's full-text segment,

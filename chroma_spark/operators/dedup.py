@@ -857,6 +857,7 @@ def semdedup(
     vec_col: str = "embedding",
     cluster_col: str = "centroid_id",
     centroid_dist_col: str = "cd",
+    method: str = "expr",
 ) -> DataFrame:
     """Keep/drop decision per row from a cluster assignment frame
     ``(id, embedding, centroid_id, cd)`` where ``cd`` is the row's
@@ -866,28 +867,37 @@ def semdedup(
     within-cluster duplicate component (own id for singletons), ``keep`` =
     true for the component member with the LARGEST centroid distance
     (ties: smallest id) and for all singletons.
+
+    ``method="expr"`` (DuckDB-parity oracle path) generates pairs with the
+    Catalyst cosine expression; ``"arrow"`` is the bulk tier
+    (:func:`semdedup_pairs_arrow`, per-cluster GEMM) for corpus-scale runs.
     """
     from pyspark.sql import Window
 
     from ..functions.distance import cosine
 
-    a = assigned.select(
-        F.col(cluster_col).alias("__c"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-    )
-    b = assigned.select(
-        F.col(cluster_col).alias("__c"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-    )
-    dist = F.round(cosine(F.col("va"), F.col("vb")), 6) + F.lit(0.0)
-    pairs = (
-        a.join(b, "__c")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", dist.alias("__d"))
-        .filter(F.col("__d") <= threshold)
-    )
+    if method == "arrow":
+        pairs = semdedup_pairs_arrow(
+            assigned, threshold, id_col=id_col, vec_col=vec_col, cluster_col=cluster_col
+        )
+    else:
+        a = assigned.select(
+            F.col(cluster_col).alias("__c"),
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"),
+        )
+        b = assigned.select(
+            F.col(cluster_col).alias("__c"),
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vb"),
+        )
+        dist = F.round(cosine(F.col("va"), F.col("vb")), 6) + F.lit(0.0)
+        pairs = (
+            a.join(b, "__c")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", dist.alias("__d"))
+            .filter(F.col("__d") <= threshold)
+        )
     comp = connected_components(pairs)
     members = assigned.select(
         F.col(id_col).alias("id"), F.col(centroid_dist_col).alias("cd")
@@ -942,6 +952,7 @@ def semdedup_from_postings(
     threshold: float,
     id_col: str = "id",
     vec_col: str = "embedding",
+    method: str = "expr",
 ) -> DataFrame:
     """SemDeDup served from a built IVF layout: ``postings`` already carry
     ``(centroid_id, id, embedding)`` (assignment cost zero — the same
@@ -949,15 +960,26 @@ def semdedup_from_postings(
     is the layout's ``(centroid_id, centroid)`` table. K-means layouts are
     not SQL-expressible, so this form is pytest-verified against
     `semdedup` on the same assignment."""
+    assigned = primary_assignment(postings, centroids, id_col=id_col, vec_col=vec_col)
+    return semdedup(assigned, threshold, vec_col=vec_col, method=method)
+
+
+def primary_assignment(
+    postings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(id, embedding, centroid_id, cd)`` — each row's PRIMARY cluster
+    from a (possibly replicated) posting table: the closest centroid by
+    rounded cosine distance (deterministic — not ``dropDuplicates``, whose
+    surviving row is partition-order dependent)."""
     from ..functions.distance import cosine
 
     from .topk import topk_per_group
 
     cd = F.round(cosine(F.col(vec_col), F.col("centroid")), 6) + F.lit(0.0)
-    # replicas>1 layouts multi-assign boundary rows: the row's PRIMARY
-    # cluster is its closest centroid (deterministic — not dropDuplicates,
-    # whose surviving row is partition-order dependent)
-    assigned = topk_per_group(
+    return topk_per_group(
         postings.select("centroid_id", F.col(id_col).alias("id"), F.col(vec_col))
         .join(F.broadcast(centroids), "centroid_id")
         .select("id", F.col(vec_col), "centroid_id", cd.alias("cd")),
@@ -966,4 +988,58 @@ def semdedup_from_postings(
         1,
         two_stage=False,
     )
-    return semdedup(assigned, threshold, vec_col=vec_col)
+
+
+def semdedup_pairs_arrow(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    cluster_col: str = "centroid_id",
+    block: int = 2048,
+) -> DataFrame:
+    """Within-cluster cosine-distance pairs via a per-cluster numpy GEMM
+    (``applyInPandas`` keyed by cluster — one Arrow batch per posting
+    list). The bulk tier of the same arrow-vs-expr split used everywhere
+    else (``ann/ivf assign_to_centroids``): interpreted array-lambda
+    cosine over the O(N^2/k) within-cluster pairs is the scale killer,
+    a blocked ``B @ X.T`` is ~100x faster; the expr form inside
+    :func:`semdedup` remains the DuckDB-parity oracle path. Distances are
+    rounded to 6dp with the same eps as the expr form, so pair sets can
+    differ only at 1e-6 rounding knife-edges (float-sum order). ``block``
+    caps the similarity-matrix slab at ``block x cluster_size`` so a
+    skewed giant cluster streams instead of materializing c^2 floats.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.distance import NORM_EPS
+
+    id_type = dict(assigned.dtypes)[id_col]
+    thr = float(threshold)
+    blk = int(block)
+
+    def emit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": pdf[id_col][:0], "id_b": pdf[id_col][:0]})
+        ids = pdf[id_col].to_numpy()
+        x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.sqrt((x * x).sum(axis=1))
+        out_a, out_b = [], []
+        for s in range(0, n, blk):
+            b = x[s : s + blk]
+            d = 1.0 - (b @ x.T) / (np.outer(norms[s : s + blk], norms) + NORM_EPS)
+            d = np.round(d, 6) + 0.0
+            ii, jj = np.nonzero(d <= thr)
+            gi, gj = ids[s + ii], ids[jj]
+            m = gi < gj
+            out_a.append(gi[m])
+            out_b.append(gj[m])
+        return pd.DataFrame({"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)})
+
+    return (
+        assigned.select(cluster_col, id_col, vec_col)
+        .groupBy(cluster_col)
+        .applyInPandas(emit, f"id_a {id_type}, id_b {id_type}")
+    )

@@ -1,0 +1,92 @@
+"""BPE tokenizer at corpus scale over the .dedup_scale seeded corpora.
+
+Measures the three costs that matter at 100 TB, separately:
+
+1. **word count** — the only corpus-sized pass (explode + map-side
+   combined groupBy + top-``max_words`` collect);
+2. **merge training** — driver-local over the collected word types
+   (vocabulary-bounded by design: pair statistics live on word TYPES
+   weighted by frequency, never token instances);
+3. **apply** — distinct-word segmentation (vocab-sized frame evaluates
+   the replace chain) joined back + per-doc reassembly, reported as
+   end-to-end `bpe_token_counts` aggregation over the full corpus.
+
+Usage: python scripts/bpe_scale_bench.py [--n 1000000] [--merges 256]
+Results merge into .dedup_scale/bpe_n{n}.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from chroma_spark.operators import bpe as B  # noqa: E402
+from chroma_spark.session import get_spark  # noqa: E402
+
+BASE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".dedup_scale")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--merges", type=int, default=256)
+    ap.add_argument("--max-words", type=int, default=50_000)
+    args = ap.parse_args()
+
+    spark = get_spark("bpe-scale")
+    docs = spark.read.parquet(os.path.join(BASE, f"docs_n{args.n}")).select("id", "document")
+
+    t0 = time.time()
+    wf = B.word_frequencies(docs, max_words=args.max_words)
+    t_count = time.time() - t0
+    total_words = sum(c for _, c in wf)
+    print(f"word count: {len(wf)} types / {total_words} tokens in {t_count:.1f}s", flush=True)
+
+    t0 = time.time()
+    merges, _ = B.train_local(wf, args.merges)
+    t_train = time.time() - t0
+    print(f"trained {len(merges)} merges in {t_train:.1f}s (first 8: {merges[:8]})", flush=True)
+
+    t0 = time.time()
+    agg = (
+        B.bpe_token_counts(docs, merges)
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_words").alias("words"),
+            F.sum("n_bpe").alias("bpe"),
+        )
+        .collect()[0]
+    )
+    t_apply = time.time() - t0
+    print(
+        f"apply: {agg.docs} docs, {agg.words} words -> {agg.bpe} bpe tokens "
+        f"({agg.bpe / max(1, agg.words):.2f} sym/word) in {t_apply:.1f}s",
+        flush=True,
+    )
+
+    out_path = os.path.join(BASE, f"bpe_n{args.n}.json")
+    results = json.load(open(out_path)) if os.path.exists(out_path) else {}
+    results[str(args.merges)] = {
+        "n_docs": int(agg.docs),
+        "word_types": len(wf),
+        "total_words": int(agg.words),
+        "bpe_tokens": int(agg.bpe),
+        "syms_per_word": round(agg.bpe / max(1, agg.words), 3),
+        "count_s": round(t_count, 1),
+        "train_s": round(t_train, 1),
+        "apply_s": round(t_apply, 1),
+    }
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {out_path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

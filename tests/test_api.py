@@ -1560,3 +1560,37 @@ def test_filtered_index_query_boosts_nprobe(spark, tmp_path):
     # nprobe=1 would probe a's list and find nothing without the boost
     res = col.query([[0.0, 0.0]], n_results=3, where={"lab": "d"}, nprobe=1)
     assert res["ids"][0] == ["d0", "d1", "d2"]
+
+
+def test_semantic_near_duplicates_from_vector_index(client, spark):
+    """SemDeDup served from the collection's own IVF layout: planted
+    near-identical vectors land in one group with exactly one keeper;
+    a pending WAL tail or a missing index raises."""
+    import random
+
+    col = client.create_collection("semdd", dimension=8)
+    rnd = random.Random(5)
+    ids = [f"d{i:02d}" for i in range(24)]
+    embs = [[rnd.gauss(0, 1) for _ in range(8)] for _ in ids]
+    # d21/d22 are near-copies of d20 (tiny perturbation)
+    embs[21] = [v * 1.0005 + 1e-4 for v in embs[20]]
+    embs[22] = [v * 0.9995 - 1e-4 for v in embs[20]]
+    col.add(ids=ids, embeddings=embs)
+    with pytest.raises(CollectionError, match="no vector index"):
+        col.semantic_near_duplicates()
+    col.build_vector_index(n_lists=2)
+    rows = {r.id: r for r in col.semantic_near_duplicates(threshold=0.001).collect()}
+    assert len(rows) == 24
+    dup_group = {rows[i].group for i in ("d20", "d21", "d22")}
+    assert len(dup_group) == 1
+    keepers = [i for i in ("d20", "d21", "d22") if rows[i].keep]
+    assert len(keepers) == 1
+    assert all(rows[i].keep for i in rows if i not in ("d20", "d21", "d22"))
+    # expr tier agrees end to end through the API path
+    expr_rows = {r.id: r for r in col.semantic_near_duplicates(threshold=0.001, method="expr").collect()}
+    assert {(r.id, r.group, r.keep) for r in rows.values()} == {
+        (r.id, r.group, r.keep) for r in expr_rows.values()
+    }
+    col.add(ids=["zz"], embeddings=[[0.0] * 8])
+    with pytest.raises(CollectionError, match="stale"):
+        col.semantic_near_duplicates()

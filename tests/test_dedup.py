@@ -246,3 +246,24 @@ def test_semdedup_registry_plan_has_no_cartesian_product(spark):
     # the fixed-centroid assignment broadcasts 8 centroids by design; the
     # within-cluster pair join must stay a keyed equi-join
     assert "CartesianProduct" not in plan
+
+
+def test_semdedup_arrow_tier_matches_expr(spark):
+    """The GEMM pair tier must produce the identical decision frame as the
+    Catalyst-expression oracle path on the same assignment (same clusters,
+    same rounding discipline)."""
+    from chroma_spark.ann.ivf import build_ivf
+
+    records, _ = _planted_embeddings(spark)
+    cents, postings = build_ivf(records, n_lists=8, replicas=2)
+    expr = {
+        (r.id, r.group, r.cd, r.keep)
+        for r in D.semdedup_from_postings(postings, cents, threshold=0.05).collect()
+    }
+    arrow = {
+        (r.id, r.group, r.cd, r.keep)
+        for r in D.semdedup_from_postings(
+            postings, cents, threshold=0.05, method="arrow"
+        ).collect()
+    }
+    assert arrow == expr and len(expr) == records.count()
