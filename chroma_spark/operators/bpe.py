@@ -245,6 +245,22 @@ SELECT d.id, coalesce(p.n_words, 0) AS n_words, coalesce(p.n_bpe, 0) AS n_bpe,
 FROM __docs d LEFT JOIN __per_doc p ON d.id = p.id"""
 
 
+def bpe_symbol_frequencies(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "document",
+    id_col: str = "id",
+) -> DataFrame:
+    """Corpus-level ``(symbol, freq)`` under a merge table. Cardinality is
+    bounded by alphabet + ``len(merges)`` — config-sized at any corpus."""
+    return (
+        bpe_tokenize(docs, merges, text_col, id_col)
+        .select(F.explode("bpe_tokens").alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+
+
 def bpe_vocab_topk(
     docs: DataFrame,
     merges: list[tuple[str, str]],
@@ -256,12 +272,7 @@ def bpe_vocab_topk(
     asc) — the learned-vocabulary histogram a tokenizer report shows."""
     from .topk import topk_per_group
 
-    counts = (
-        bpe_tokenize(docs, merges, text_col, id_col)
-        .select(F.explode("bpe_tokens").alias("symbol"))
-        .groupBy("symbol")
-        .agg(F.count("*").cast("long").alias("freq"))
-    )
+    counts = bpe_symbol_frequencies(docs, merges, text_col, id_col)
     return topk_per_group(
         counts, [], [F.col("freq").desc(), F.col("symbol").asc()], k
     )

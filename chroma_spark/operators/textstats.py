@@ -698,13 +698,21 @@ FROM (
 
 
 def pack_sequences(
-    docs: DataFrame, budget: int, text_col: str = "document", id_col: str = "id"
+    docs: DataFrame,
+    budget: int,
+    text_col: str = "document",
+    id_col: str = "id",
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Concatenate-and-chunk sequence packing: lay every document's tokens
     end to end in ``id`` order and cut fixed ``budget``-token training
     sequences — ``(id, n_tokens, seq_id, seq_offset)`` says which sequence
     each document starts in and at which offset (documents span cuts,
     exactly like LLM pretraining packing).
+
+    ``n_tokens_col`` packs by a caller-supplied per-doc length column
+    instead of the whitespace token count — e.g. BPE counts from
+    ``operators.bpe.bpe_token_counts`` for tokenizer-true budgets.
 
     Scale shape: the global prefix sum is TWO-PHASE — range-repartition by
     id, a per-partition running sum (window partitioned by the physical
@@ -721,11 +729,11 @@ def pack_sequences(
     # coalesces repartitions without one — and range sampling is
     # deterministically seeded, so both jobs agree
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    length = (
+        F.col(n_tokens_col) if n_tokens_col is not None else F.size(tokens(F.col(text_col)))
+    )
     df = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
-        )
+        docs.select(F.col(id_col).alias("id"), length.cast("long").alias("n_tokens"))
         .repartitionByRange(n_parts, F.col("id"))
         .sortWithinPartitions("id")
         .withColumn("__pid", F.spark_partition_id())
@@ -757,12 +765,17 @@ def pack_sequences(
 
 
 def pack_sequences_sql(
-    docs_sql: str, budget: int, text_col: str = "document", id_col: str = "id"
+    docs_sql: str,
+    budget: int,
+    text_col: str = "document",
+    id_col: str = "id",
+    n_tokens_sql: str | None = None,
 ) -> str:
-    toks = tokens_sql(f'"{text_col}"')
+    toks = tokens_sql('"' + text_col + '"')
+    length = n_tokens_sql if n_tokens_sql is not None else f"len({toks})"
     return f"""
 WITH __t AS (
-  SELECT "{id_col}" AS id, CAST(len({toks}) AS BIGINT) AS n_tokens FROM ({docs_sql})
+  SELECT "{id_col}" AS id, CAST({length} AS BIGINT) AS n_tokens FROM ({docs_sql})
 ),
 __c AS (
   SELECT id, n_tokens,

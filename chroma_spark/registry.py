@@ -2077,6 +2077,21 @@ def _register_bpe() -> None:
         B.bpe_vocab_topk_sql(_DOCS_SQL, merges),
     )
 
+    # tokenizer-true sequence packing: the prefix-sum packer fed by BPE
+    # counts instead of whitespace counts — budgets now mean model tokens
+    from .operators import textstats as T
+
+    QUERIES["pack_sequences_bpe"] = Query(
+        lambda spark, sf_dir: T.pack_sequences(
+            B.bpe_token_counts(_docs_df(spark, sf_dir), merges).select("id", "n_bpe"),
+            budget=512,
+            n_tokens_col="n_bpe",
+        ),
+        T.pack_sequences_sql(
+            B.bpe_token_counts_sql(_DOCS_SQL, merges), 512, n_tokens_sql="n_bpe"
+        ),
+    )
+
 
 _register_bpe()
 
@@ -2562,6 +2577,7 @@ _MEASURE_FIRST = [
     "semdedup",
     "bpe_token_counts",
     "bpe_vocab_topk",
+    "pack_sequences_bpe",
 ]
 # Trained-ANN forms: k-means is not SQL-expressible, so the driver can only
 # record a weaker no-oracle row for these. Recall >= 0.95 is pytest-enforced

@@ -101,6 +101,9 @@ def make_attached_function(name: str, kind: str, **params):
     - ``quality_score`` (params: ``weights``/``intercept``/``dim`` from
       :func:`~chroma_spark.operators.quality_model.train_quality_classifier`,
       optional ``text_col``) — linear quality scores over the new state.
+    - ``bpe_vocab`` (params: optional ``n_merges``/``max_words``/
+      ``text_col``) — re-learn a BPE merge table from the new state and
+      write the symbol histogram with merge ranks.
     """
     from .compactor import AttachedFunction
 
@@ -171,10 +174,46 @@ def make_attached_function(name: str, kind: str, **params):
                 raise ValueError(f"lm_perplexity: state lacks {text_col!r}")
             return lm_perplexity(state, add_k=add_k, text_col=text_col)
 
+    elif kind == "bpe_vocab":
+        # Trainable BPE vocabulary over the NEW compacted state
+        # (operators/bpe.py): every compaction re-learns ``n_merges``
+        # merges from the corpus's word-frequency table (vocabulary-
+        # bounded — the only corpus-sized cost is one word-count pass)
+        # and writes the resulting symbol histogram with each learned
+        # merge's rank. Reading the output back gives a tokenizer report
+        # that tracks the corpus as it grows: (symbol, freq, merge_rank)
+        # where merge_rank is NULL for base characters.
+        n_merges = int(params.get("n_merges", 256))
+        max_words = int(params.get("max_words", 50_000))
+        text_col = params.get("text_col", "document")
+
+        def fn(state: DataFrame, batch: DataFrame) -> DataFrame:  # noqa: ARG001
+            from ..operators.bpe import bpe_symbol_frequencies, bpe_train
+
+            if text_col not in state.columns:
+                raise ValueError(f"bpe_vocab: state lacks {text_col!r}")
+            merges = bpe_train(state, n_merges, text_col=text_col, max_words=max_words)
+            freqs = bpe_symbol_frequencies(state, merges, text_col=text_col)
+            # distinct merges can synthesize the same symbol text ((a,bc)
+            # and (ab,c) both -> "abc"): keep the first-learned rank so
+            # the join never fans out
+            rank_of: dict[str, int] = {}
+            for i, (a, b) in enumerate(merges):
+                rank_of.setdefault(a + b, i + 1)
+            ranks = state.sparkSession.createDataFrame(
+                list(rank_of.items()) or [("", 0)],
+                "symbol STRING, merge_rank INT",
+            )
+            if not rank_of:
+                ranks = ranks.filter(F.lit(False))
+            return freqs.join(F.broadcast(ranks), "symbol", "left").select(
+                "symbol", "freq", "merge_rank"
+            )
+
     else:
         raise ValueError(
             f"unknown attached-function kind {kind!r}; "
             "expected statistics | record_counter | revision_history | "
-            "quality_score | lm_perplexity"
+            "quality_score | lm_perplexity | bpe_vocab"
         )
     return AttachedFunction(name=name, fn=fn)

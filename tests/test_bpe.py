@@ -130,3 +130,21 @@ def test_registry_bpe_plans_have_no_python_udf(spark):
     for name in ("bpe_token_counts", "bpe_vocab_topk"):
         plan = QUERIES[name].fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan, name
+
+
+def test_pack_sequences_by_bpe_counts(spark):
+    """n_tokens_col packs by the supplied per-doc length: cumulative
+    offsets follow BPE counts, not whitespace counts."""
+    from chroma_spark.operators.bpe import bpe_token_counts
+    from chroma_spark.operators.textstats import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "abc abc abc"), (2, "zz"), (3, "abc")], "id LONG, document STRING"
+    )
+    counts = bpe_token_counts(df, [("a", "b"), ("ab", "c")]).select("id", "n_bpe")
+    out = {r.id: r for r in pack_sequences(counts, budget=5, n_tokens_col="n_bpe").collect()}
+    # doc1: 3 words x [abc,</w>] = 6 symbols; doc2: z z </w> = 3; doc3: 2
+    assert (out[1].n_tokens, out[2].n_tokens, out[3].n_tokens) == (6, 3, 2)
+    assert (out[1].seq_id, out[1].seq_offset) == (0, 0)
+    assert (out[2].seq_id, out[2].seq_offset) == (1, 1)   # starts at token 6
+    assert (out[3].seq_id, out[3].seq_offset) == (1, 4)   # starts at token 9

@@ -387,3 +387,36 @@ def test_attach_lm_perplexity_runs_at_compaction(spark, tmp_path):
     out2 = col2.read_function_output("ppl", version=v2)
     assert out2.count() == 4
     assert out2.filter("id = 'a'").collect()[0].ppl != out["a"].ppl  # corpus changed
+
+
+def test_attach_bpe_vocab_runs_at_compaction(spark, tmp_path):
+    """bpe_vocab as a persisted attached function: compaction re-learns
+    the merge table from the new state and writes the symbol histogram;
+    learned-merge symbols carry their rank, base characters don't."""
+    from chroma_spark.api import Client
+    from chroma_spark.operators.bpe import EOW, bpe_symbol_frequencies, bpe_train
+
+    client = Client(spark, str(tmp_path / "bpe_root"))
+    col = client.create_collection("cbpe", dimension=2)
+    col.attach_function("vocab", "bpe_vocab", n_merges=4)
+    col.add(
+        ids=["a", "b", "c"],
+        embeddings=[[0.0, 1.0], [1.0, 0.0], [0.5, 0.5]],
+        documents=["the the the cat", "the cat cat", "dog"],
+    )
+    v = col.compact()
+    out = {r.symbol: r for r in col.read_function_output("vocab", version=v).collect()}
+    docs = spark.createDataFrame(
+        [("a", "the the the cat"), ("b", "the cat cat"), ("c", "dog")],
+        "id STRING, document STRING",
+    )
+    merges = bpe_train(docs, 4)
+    direct = {r.symbol: r.freq for r in bpe_symbol_frequencies(docs, merges).collect()}
+    assert {s: r.freq for s, r in out.items()} == direct
+    rank_of: dict = {}
+    for i, (a, b) in enumerate(merges):
+        rank_of.setdefault(a + b, i + 1)
+    for s, r in out.items():
+        assert r.merge_rank == rank_of.get(s), s
+    # the most frequent word collapses to few symbols: "the" appears 4x
+    assert any(s.endswith(EOW) and out[s].freq >= 4 for s in out if len(s) > len(EOW))
