@@ -2096,6 +2096,66 @@ def _register_bpe() -> None:
 _register_bpe()
 
 
+def _register_sketch() -> None:
+    """KMV distinct sketch vs exact, per source: the estimate ITSELF is
+    oracle-checked (md5 bottom-k is engine-portable, unlike HLL), and the
+    rel_err column documents the sketch's accuracy in the output."""
+    from .functions.text import tokens, word_ngrams, word_ngrams_sql
+    from .operators import sketch as S
+
+    k = 256
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load(spark, sf_dir, "documents").select(
+            "source", F.col("text").alias("document")
+        )
+        grams = docs.select(
+            "source",
+            F.explode(word_ngrams(tokens(F.col("document")), 3)).alias("g"),
+        )
+        sk = S.kmv_distinct(grams, F.col("g"), k=k, group_cols=["source"])
+        exact = (
+            grams.distinct()
+            .groupBy("source")
+            .agg(F.count("*").cast("long").alias("exact_distinct"))
+        )
+        return sk.join(exact, "source").select(
+            "source",
+            "n_kept",
+            "est_distinct",
+            "exact_distinct",
+            (
+                F.round(
+                    F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                    / F.col("exact_distinct"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("rel_err"),
+        )
+
+    toks = "list_filter(string_split_regex(lower(coalesce(document, ''))," + " '\\s+'), t -> t != '')"
+    grams_sql = (
+        "SELECT source, unnest("
+        + word_ngrams_sql(f"({toks})", 3)
+        + ") AS g FROM (SELECT source, text AS document FROM documents)"
+    )
+    sk_sql = S.kmv_distinct_sql(grams_sql, "g", k=k, group_cols=["source"])
+    oracle = f"""
+WITH __sk AS ({sk_sql}),
+__exact AS (
+  SELECT source, CAST(count(DISTINCT g) AS BIGINT) AS exact_distinct
+  FROM ({grams_sql}) GROUP BY source
+)
+SELECT s.source, s.n_kept, s.est_distinct, e.exact_distinct,
+       (round(abs(s.est_distinct - e.exact_distinct) / e.exact_distinct, 6) + 0.0) AS rel_err
+FROM __sk s JOIN __exact e ON s.source = e.source"""
+    QUERIES["distinct_ngrams_kmv"] = Query(fn, oracle)
+
+
+_register_sketch()
+
+
 @register("ann_quantized_fixed_pivot", None)  # oracle attached below
 def ann_quantized_fixed_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quantized prefilter + re-rank plan made oracle-checkable: a
@@ -2578,6 +2638,7 @@ _MEASURE_FIRST = [
     "bpe_token_counts",
     "bpe_vocab_topk",
     "pack_sequences_bpe",
+    "distinct_ngrams_kmv",
 ]
 # Trained-ANN forms: k-means is not SQL-expressible, so the driver can only
 # record a weaker no-oracle row for these. Recall >= 0.95 is pytest-enforced
