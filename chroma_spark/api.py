@@ -1857,6 +1857,66 @@ class Collection:
             method=method,
         )
 
+    def build_tokenizer(
+        self, n_merges: int = 256, max_words: int = 50_000, text_col: str = "document"
+    ) -> dict:
+        """Train and persist a FROZEN BPE merge table on the current state
+        (operators/bpe.py) — the realistic LLM workflow: the tokenizer is
+        trained once on a corpus snapshot and then applied unchanged as
+        the corpus grows (re-training would silently change every token
+        count downstream; the ``bpe_vocab`` attached function is the
+        opposite tool — it re-learns at every compaction to TRACK drift).
+        The merge table is config-sized, so it lives in the collection
+        metadata like an embedding-function spec and any later process
+        rebuilds the identical tokenizer."""
+        from .operators.bpe import bpe_train
+
+        state = self.snapshot()
+        if state is None or text_col not in state.columns:
+            raise CollectionError(f"no text column {text_col!r} to train a tokenizer on")
+        docs = state.filter(F.col(text_col).isNotNull())
+        merges = bpe_train(docs, n_merges, text_col=text_col, max_words=max_words)
+        desc = {
+            "merges": [[a, b] for a, b in merges],
+            "text_col": text_col,
+            "version": self._store.meta.version,
+            "max_words": int(max_words),
+        }
+        self._store.catalog.mutate(
+            self._store.name,
+            lambda m: m.metadata.__setitem__("__tokenizer__", desc),
+        )
+        return desc
+
+    def _tokenizer(self) -> tuple[list[tuple[str, str]], str]:
+        desc = self._store.meta.metadata.get("__tokenizer__")
+        if desc is None:
+            raise CollectionError("no tokenizer; call build_tokenizer() first")
+        return [tuple(m) for m in desc["merges"]], desc["text_col"]
+
+    def tokenize(self, read_level: str = "index_and_wal") -> DataFrame:
+        """``(id, bpe_tokens)`` for every document under the persisted
+        frozen merge table (read-level aware, like ``count``)."""
+        from .operators.bpe import bpe_tokenize
+
+        merges, text_col = self._tokenizer()
+        state = self.snapshot(read_level)
+        if state is None:
+            raise CollectionError("empty collection")
+        return bpe_tokenize(state.filter(F.col(text_col).isNotNull()), merges, text_col=text_col)
+
+    def token_counts(self, read_level: str = "index_and_wal") -> DataFrame:
+        """``(id, n_words, n_bpe, head)`` under the persisted tokenizer —
+        the per-document token-budget accounting a training pipeline reads
+        before packing/mixing."""
+        from .operators.bpe import bpe_token_counts
+
+        merges, text_col = self._tokenizer()
+        state = self.snapshot(read_level)
+        if state is None:
+            raise CollectionError("empty collection")
+        return bpe_token_counts(state, merges, text_col=text_col)
+
     def build_fts_index(self, text_col: str = "document", n_buckets: int = 64) -> dict:
         """Build + register the trigram FTS posting index over ``text_col``
         (operators/fts.py; the reference's full-text segment,

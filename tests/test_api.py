@@ -1594,3 +1594,43 @@ def test_semantic_near_duplicates_from_vector_index(client, spark):
     col.add(ids=["zz"], embeddings=[[0.0] * 8])
     with pytest.raises(CollectionError, match="stale"):
         col.semantic_near_duplicates()
+
+
+def test_persisted_tokenizer_lifecycle(client, spark, tmp_path):
+    """build_tokenizer freezes a merge table in the collection config:
+    token counts stay stable as the corpus grows, a cold re-open rebuilds
+    the identical tokenizer, and WAL-tail docs are visible read-level
+    aware before compaction."""
+    from chroma_spark.api import Client
+
+    col = client.create_collection("tok", dimension=2)
+    with pytest.raises(CollectionError, match="no tokenizer"):
+        col.token_counts()
+    col.add(
+        ids=["a", "b"],
+        embeddings=[[0.0, 1.0], [1.0, 0.0]],
+        documents=["the cat sat on the mat", "the cat cat"],
+    )
+    col.compact()
+    desc = col.build_tokenizer(n_merges=8)
+    # the trainer stops early once no pair repeats (tiny corpus)
+    assert 1 <= len(desc["merges"]) <= 8
+    before = {r.id: (r.n_words, r.n_bpe) for r in col.token_counts().collect()}
+    assert set(before) == {"a", "b"} and before["a"][0] == 6
+
+    # corpus grows; frozen merges don't move, new doc visible pre-compaction
+    col.add(ids=["c"], embeddings=[[0.5, 0.5]], documents=["dog dog dog"])
+    after = {r.id: (r.n_words, r.n_bpe) for r in col.token_counts().collect()}
+    assert after["a"] == before["a"] and after["b"] == before["b"]
+    assert after["c"][0] == 3
+    assert col._store.meta.metadata["__tokenizer__"]["merges"] == desc["merges"]
+    # index_only skips the WAL tail
+    assert {r.id for r in col.token_counts(read_level="index_only").collect()} == {"a", "b"}
+
+    # cold re-open: the persisted spec rebuilds the identical tokenizer
+    client2 = Client(spark, client.catalog.root)
+    col2 = client2.get_collection("tok")
+    again = {r.id: (r.n_words, r.n_bpe) for r in col2.token_counts().collect()}
+    assert again == after
+    toks = {r.id: list(r.bpe_tokens) for r in col2.tokenize().collect()}
+    assert sum(len(t) for t in toks.values()) == sum(n for _, n in after.values())
