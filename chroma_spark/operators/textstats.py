@@ -877,3 +877,72 @@ SELECT id,
         AND len(kept) >= {int(min_lines)}) AS passes,
        coalesce(array_to_string(kept, chr(10)), '') AS clean_text
 FROM __k"""
+
+
+def pack_materialize(
+    docs: DataFrame,
+    budget: int,
+    text_col: str = "document",
+    id_col: str = "id",
+) -> DataFrame:
+    """Materialize the packed training sequences themselves:
+    ``(seq_id, seq_len, seq_text)`` — every document's tokens laid end to
+    end in ``id`` order and re-bucketed into fixed ``budget``-token
+    sequences, documents spanning cuts (the step after
+    :func:`pack_sequences` assigns offsets; this one emits the actual
+    sequences a trainer would read). The final sequence is the only one
+    shorter than ``budget``.
+
+    Scale shape: one posexplode (corpus-sized, 1->n_tokens fan-out), a
+    broadcast join against the doc-offset frame from the two-phase prefix
+    sum, and ONE shuffle keyed by ``seq_id`` (uniform by construction —
+    every sequence holds exactly ``budget`` tokens). The within-sequence
+    order rebuild is an array_sort over ``budget``-sized groups.
+    """
+    offsets = pack_sequences(docs, budget, text_col=text_col, id_col=id_col).select(
+        "id", (F.col("seq_id") * budget + F.col("seq_offset")).alias("__start")
+    )
+    toked = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    placed = toked.join(offsets, "id").select(
+        "tok",
+        (F.col("__start") + F.col("pos")).alias("__gpos"),
+    )
+    return (
+        placed.groupBy(F.expr(f"__gpos DIV {int(budget)}").cast("bigint").alias("seq_id"))
+        .agg(
+            F.count("*").cast("long").alias("seq_len"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("__gpos"), F.col("tok")))),
+                    lambda x: x.tok,
+                ),
+            ).alias("seq_text"),
+        )
+    )
+
+
+def pack_materialize_sql(
+    docs_sql: str, budget: int, text_col: str = "document", id_col: str = "id"
+) -> str:
+    pack = pack_sequences_sql(docs_sql, budget, text_col=text_col, id_col=id_col)
+    toks = tokens_sql(f'"{text_col}"')
+    return f"""
+WITH __pack AS ({pack}),
+__off AS (SELECT id, (seq_id * {int(budget)} + seq_offset) AS __start FROM __pack),
+__tok AS (
+  SELECT id, pos, toks[pos + 1] AS tok FROM (
+    SELECT "{id_col}" AS id, toks, unnest(range(0, len(toks))) AS pos
+    FROM (SELECT "{id_col}", {toks} AS toks FROM ({docs_sql}))
+  )
+),
+__placed AS (
+  SELECT t.tok, (o.__start + t.pos) AS gpos
+  FROM __tok t JOIN __off o ON t.id = o.id
+)
+SELECT CAST(gpos // {int(budget)} AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS seq_len,
+       array_to_string(list(tok ORDER BY gpos), ' ') AS seq_text
+FROM __placed GROUP BY seq_id"""

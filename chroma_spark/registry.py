@@ -2081,6 +2081,10 @@ def _register_bpe() -> None:
     # counts instead of whitespace counts — budgets now mean model tokens
     from .operators import textstats as T
 
+    QUERIES["pack_materialize"] = Query(
+        lambda spark, sf_dir: T.pack_materialize(_docs_df(spark, sf_dir), budget=512),
+        T.pack_materialize_sql(_DOCS_SQL, 512),
+    )
     QUERIES["pack_sequences_bpe"] = Query(
         lambda spark, sf_dir: T.pack_sequences(
             B.bpe_token_counts(_docs_df(spark, sf_dir), merges).select("id", "n_bpe"),
@@ -2638,6 +2642,7 @@ _MEASURE_FIRST = [
     "bpe_token_counts",
     "bpe_vocab_topk",
     "pack_sequences_bpe",
+    "pack_materialize",
     "distinct_ngrams_kmv",
 ]
 # Trained-ANN forms: k-means is not SQL-expressible, so the driver can only

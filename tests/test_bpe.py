@@ -148,3 +148,19 @@ def test_pack_sequences_by_bpe_counts(spark):
     assert (out[1].seq_id, out[1].seq_offset) == (0, 0)
     assert (out[2].seq_id, out[2].seq_offset) == (1, 1)   # starts at token 6
     assert (out[3].seq_id, out[3].seq_offset) == (1, 4)   # starts at token 9
+
+
+def test_pack_materialize_reconstructs_token_stream(spark):
+    """Concatenating the materialized sequences in seq_id order must
+    reproduce the corpus token stream in id order exactly; every sequence
+    but the last is budget-sized."""
+    from chroma_spark.operators.textstats import pack_materialize
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g"), (3, ""), (4, "h i j k")],
+        "id LONG, document STRING",
+    )
+    rows = sorted(pack_materialize(df, budget=3).collect(), key=lambda r: r.seq_id)
+    assert [r.seq_len for r in rows] == [3, 3, 3, 2]
+    stream = " ".join(r.seq_text for r in rows)
+    assert stream == "a b c d e f g h i j k"
