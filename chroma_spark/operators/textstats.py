@@ -732,11 +732,21 @@ def pack_sequences(
     length = (
         F.col(n_tokens_col) if n_tokens_col is not None else F.size(tokens(F.col(text_col)))
     )
+    # FREEZE the range partitioning before deriving both jobs from it: the
+    # per-partition totals collect and the output window must see the
+    # IDENTICAL boundaries, but repartitionByRange SAMPLES its boundaries
+    # per execution — on multi-file inputs two executions can split ids
+    # differently, which silently mis-carries every offset after the first
+    # divergent boundary (caught by the 1M pack_materialize conservation
+    # check; single-file toy inputs never trip it). The checkpoint
+    # materializes a narrow (id, n_tokens) frame — 16 bytes/doc — so both
+    # jobs read the same frozen partitions.
     df = (
         docs.select(F.col(id_col).alias("id"), length.cast("long").alias("n_tokens"))
         .repartitionByRange(n_parts, F.col("id"))
         .sortWithinPartitions("id")
         .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     # bounded collect: one row per partition (the distributed-prefix-sum
     # carry), never data rows

@@ -38,6 +38,8 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--merges", type=int, default=256)
     ap.add_argument("--max-words", type=int, default=50_000)
+    ap.add_argument("--pack", action="store_true", help="also measure pack_materialize")
+    ap.add_argument("--budget", type=int, default=2048)
     args = ap.parse_args()
 
     spark = get_spark("bpe-scale")
@@ -71,6 +73,36 @@ def main() -> None:
         flush=True,
     )
 
+    pack_row = None
+    if args.pack:
+        from chroma_spark.operators.textstats import pack_materialize
+
+        t0 = time.time()
+        p = (
+            pack_materialize(docs, budget=args.budget)
+            .agg(
+                F.count("*").alias("seqs"),
+                F.sum("seq_len").alias("toks"),
+                F.sum((F.col("seq_len") == args.budget).cast("long")).alias("full"),
+            )
+            .collect()[0]
+        )
+        t_pack = time.time() - t0
+        conserved = int(p.toks) == int(agg.words)
+        pack_row = {
+            "budget": args.budget,
+            "sequences": int(p.seqs),
+            "full_sequences": int(p.full),
+            "tokens": int(p.toks),
+            "conserved": conserved,
+            "pack_s": round(t_pack, 1),
+        }
+        print(
+            f"pack: {p.seqs} sequences x {args.budget} ({p.full} full), "
+            f"{p.toks} tokens (conserved={conserved}) in {t_pack:.1f}s",
+            flush=True,
+        )
+
     out_path = os.path.join(BASE, f"bpe_n{args.n}.json")
     results = json.load(open(out_path)) if os.path.exists(out_path) else {}
     results[str(args.merges)] = {
@@ -83,6 +115,8 @@ def main() -> None:
         "train_s": round(t_train, 1),
         "apply_s": round(t_apply, 1),
     }
+    if pack_row is not None:
+        results[str(args.merges)]["pack"] = pack_row
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {out_path}", flush=True)

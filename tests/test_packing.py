@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 
 def test_pack_sequences_concat_and_chunk(spark):
     """Documents lay end to end in id order; sequences cut every `budget`
@@ -68,3 +70,47 @@ def test_token_entropy_values(spark):
     expected = -(2/6 * math.log2(2/6) + 3/6 * math.log2(3/6) + 1/6 * math.log2(1/6))
     assert abs(got["mixed"][1] - round(expected, 6)) < 1e-9
     assert got["empty"] == (0, 0.0)
+
+
+def test_pack_sequences_multifile_boundary_stability(spark, tmp_path):
+    """Regression: on a MULTI-FILE input, repartitionByRange samples its
+    boundaries per execution — without freezing the partitioning, the
+    totals job and the output job could split ids differently and
+    mis-carry every offset after the first divergent boundary (caught at
+    1M by pack_materialize's conservation check). Starts must equal the
+    true global prefix sum."""
+    from pyspark.sql import Window
+
+    from chroma_spark.operators.textstats import pack_materialize, pack_sequences
+
+    n = 4000
+    docs = (
+        spark.range(n)
+        .select(
+            "id",
+            F.concat_ws(
+                " ", F.transform(F.sequence(F.lit(1), (F.col("id") % 37 + 3).cast("int")), lambda i: F.concat(F.lit("w"), i.cast("string")))
+            ).alias("document"),
+        )
+        .repartition(16)  # multi-partition, hash-shuffled input order
+    )
+    path = str(tmp_path / "multifile_docs")
+    docs.write.parquet(path)
+    docs = spark.read.parquet(path)
+
+    ps = pack_sequences(docs, budget=64)
+    chk = ps.select("id", "n_tokens", (F.col("seq_id") * 64 + F.col("seq_offset")).alias("start"))
+    w = Window.orderBy("id")
+    bad = (
+        chk.withColumn(
+            "expect", F.coalesce(F.sum("n_tokens").over(w) - F.col("n_tokens"), F.lit(0))
+        )
+        .filter(F.col("start") != F.col("expect"))
+        .count()
+    )
+    assert bad == 0
+
+    total = docs.select(F.sum(F.size(F.split(F.col("document"), " "))).alias("t")).collect()[0].t
+    rows = sorted(pack_materialize(docs, budget=64).collect(), key=lambda r: r.seq_id)
+    assert sum(r.seq_len for r in rows) == total
+    assert all(r.seq_len == 64 for r in rows[:-1]) and rows[-1].seq_len <= 64
