@@ -40,6 +40,7 @@ def main() -> None:
     ap.add_argument("--max-words", type=int, default=50_000)
     ap.add_argument("--pack", action="store_true", help="also measure pack_materialize")
     ap.add_argument("--budget", type=int, default=2048)
+    ap.add_argument("--kmv", action="store_true", help="also measure the KMV distinct sketch vs exact")
     args = ap.parse_args()
 
     spark = get_spark("bpe-scale")
@@ -103,6 +104,49 @@ def main() -> None:
             flush=True,
         )
 
+    kmv_row = None
+    if args.kmv:
+        from chroma_spark.functions.text import tokens, word_ngrams
+        from chroma_spark.operators.sketch import (
+            kmv_distinct,
+            kmv_distinct_arrow,
+            kmv_distinct_filtered,
+        )
+
+        grams = docs.select(
+            F.explode(word_ngrams(tokens(F.col("document")), 3)).alias("g")
+        )
+        t0 = time.time()
+        skf = kmv_distinct_filtered(grams, F.col("g"), k=1024).collect()[0]
+        t_skf = time.time() - t0
+        t0 = time.time()
+        ska = kmv_distinct_arrow(grams, F.col("g"), k=1024).collect()[0]
+        t_ska = time.time() - t0
+        t0 = time.time()
+        sk = kmv_distinct(grams, F.col("g"), k=1024).collect()[0]
+        t_sk = time.time() - t0
+        t0 = time.time()
+        exact = grams.distinct().count()
+        t_exact = time.time() - t0
+        assert tuple(ska) == tuple(sk), (tuple(ska), tuple(sk))
+        assert tuple(skf) == tuple(sk), (tuple(skf), tuple(sk))
+        rel = abs(sk.est_distinct - exact) / exact
+        kmv_row = {
+            "k": 1024,
+            "est": sk.est_distinct,
+            "exact": exact,
+            "rel_err": round(rel, 4),
+            "sketch_filtered_s": round(t_skf, 1),
+            "sketch_arrow_s": round(t_ska, 1),
+            "sketch_expr_s": round(t_sk, 1),
+            "exact_s": round(t_exact, 1),
+        }
+        print(
+            f"kmv: est {sk.est_distinct:.0f} vs exact {exact} (rel {rel:.4f}) — "
+            f"filtered {t_skf:.1f}s vs arrow {t_ska:.1f}s vs expr {t_sk:.1f}s vs exact-distinct {t_exact:.1f}s",
+            flush=True,
+        )
+
     out_path = os.path.join(BASE, f"bpe_n{args.n}.json")
     results = json.load(open(out_path)) if os.path.exists(out_path) else {}
     results[str(args.merges)] = {
@@ -117,6 +161,8 @@ def main() -> None:
     }
     if pack_row is not None:
         results[str(args.merges)]["pack"] = pack_row
+    if kmv_row is not None:
+        results[str(args.merges)]["kmv"] = kmv_row
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {out_path}", flush=True)

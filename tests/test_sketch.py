@@ -47,3 +47,56 @@ def test_kmv_grouped_and_mergeable(spark):
         for r in S.kmv_merge(shipped, k=128, group_cols=["g"]).collect()
     }
     assert merged == whole and len(whole) == 3
+
+
+def test_kmv_arrow_tier_identical_to_expr(spark):
+    """The partial-sketch tier (mapInPandas bottom-k per partition, no
+    corpus-wide shuffle) must produce the identical sketch as the expr
+    path — grouped, ungrouped, and on empty input."""
+    df = spark.range(60_000).select(
+        "id",
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 9973).cast("string").alias("v"),
+    ).repartition(8)
+    expr = sorted(tuple(r) for r in S.kmv_distinct(df, F.col("v"), k=64, group_cols=["g"]).collect())
+    arrow = sorted(tuple(r) for r in S.kmv_distinct_arrow(df, F.col("v"), k=64, group_cols=["g"]).collect())
+    assert expr == arrow
+    assert tuple(S.kmv_distinct(df, F.col("v"), k=64).collect()[0]) == tuple(
+        S.kmv_distinct_arrow(df, F.col("v"), k=64).collect()[0]
+    )
+    # empty input: grouped -> no rows; ungrouped -> the (0, 0.0) empty
+    # sketch (global aggregates always emit one row — both tiers agree)
+    empty = df.filter(F.lit(False))
+    assert S.kmv_distinct_arrow(empty, F.col("v"), k=8, group_cols=["g"]).count() == 0
+    row = S.kmv_distinct_arrow(empty, F.col("v"), k=8).collect()[0]
+    assert (row.n_kept, row.est_distinct) == (0, 0.0)
+
+
+def test_kmv_filtered_tier_identical_to_expr(spark):
+    """The threshold-prefilter tier must be output-identical to the expr
+    path — including rare groups missed by the sample and forced
+    threshold escalation from an adversarially bad sample estimate."""
+    df = spark.range(60_000).select(
+        "id",
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 9973).cast("string").alias("v"),
+    ).repartition(8)
+    expr = sorted(tuple(r) for r in S.kmv_distinct(df, F.col("v"), k=64, group_cols=["g"]).collect())
+    filt = sorted(tuple(r) for r in S.kmv_distinct_filtered(df, F.col("v"), k=64, group_cols=["g"]).collect())
+    assert expr == filt
+    # rare group (5 rows) that a 1% sample usually misses entirely
+    df2 = df.unionByName(
+        spark.range(5).select("id", F.lit("z").alias("g"), (F.col("id") + 10**6).cast("string").alias("v"))
+    )
+    e2 = sorted(tuple(r) for r in S.kmv_distinct(df2, F.col("v"), k=64, group_cols=["g"]).collect())
+    f2 = sorted(tuple(r) for r in S.kmv_distinct_filtered(df2, F.col("v"), k=64, group_cols=["g"]).collect())
+    assert e2 == f2
+    assert ("z", 5, 5.0) in f2  # exact for the tiny group
+    # undersized thresholds must escalate, never truncate the sketch
+    f3 = sorted(
+        tuple(r)
+        for r in S.kmv_distinct_filtered(
+            df, F.col("v"), k=64, group_cols=["g"], sample_fraction=0.001, safety=0.05
+        ).collect()
+    )
+    assert expr == f3
