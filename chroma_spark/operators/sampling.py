@@ -473,3 +473,55 @@ FROM (
 )
 ORDER BY __g DESC, id ASC
 LIMIT {int(k)}"""
+
+
+def cap_per_group(
+    df: DataFrame,
+    cap: int,
+    group_col: str = "source",
+    id_col: str = "id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Frequency cap: keep at most ``cap`` rows per group, chosen by a
+    deterministic md5 order (the RefinedWeb / Dolma per-domain cap — a
+    handful of giant domains would otherwise dominate the training mix;
+    Penedo et al. 2023 §3.4 applies exactly this shape to URLs).
+
+    Unlike :func:`hash_sample` (a RATE per group) this is a hard COUNT per
+    group, so it needs a per-group top-k rather than a stateless filter.
+    The selection order is ``md5(salt || id)`` — reproducible across
+    engines/runs/layouts, and stable under re-partitioning. Returns the
+    input columns unchanged for the surviving rows.
+
+    Scale shape: two-stage top-k (:func:`~chroma_spark.operators.topk.
+    topk_per_group`) — the 100-TB skew case IS the motivating case here (a
+    single domain with billions of pages), and stage 1 cuts every
+    (group, input-partition) to ``cap`` rows before the per-group shuffle.
+    """
+    from .topk import topk_per_group
+
+    h = md5_long(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    capped = topk_per_group(
+        df.withColumn("__h", h),
+        [group_col],
+        [F.col("__h").asc(), F.col(id_col).asc()],
+        int(cap),
+    )
+    return capped.drop("__h")
+
+
+def cap_per_group_sql(
+    src_sql: str,
+    cap: int,
+    group_col: str = "source",
+    id_col: str = "id",
+    salt: str = "cap",
+) -> str:
+    """DuckDB twin of :func:`cap_per_group` (QUALIFY row_number form)."""
+    h = md5_long_sql(f"({sql_lit(salt)} || CAST(\"{id_col}\" AS VARCHAR))")
+    return f"""
+SELECT * EXCLUDE (__h) FROM (
+  SELECT *, {h} AS __h FROM ({src_sql})
+)
+QUALIFY row_number() OVER (PARTITION BY "{group_col}" ORDER BY __h ASC, "{id_col}" ASC)
+        <= {int(cap)}"""

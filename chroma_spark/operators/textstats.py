@@ -956,3 +956,63 @@ SELECT CAST(gpos // {int(budget)} AS BIGINT) AS seq_id,
        CAST(count(*) AS BIGINT) AS seq_len,
        array_to_string(list(tok ORDER BY gpos), ' ') AS seq_text
 FROM __placed GROUP BY seq_id"""
+
+
+# regex pipeline shared (textually) by both engines; Java and RE2 agree on
+# these constructs (inline (?is), non-greedy .*?, [^>] classes)
+_HTML_STRIP_STEPS = [
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?s)<[^>]+>", " "),
+]
+_HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # last, so "&amp;lt;" decodes to "&lt;" not "<"
+]
+
+
+def html_to_text(
+    docs: DataFrame, html_col: str = "document", id_col: str = "id"
+) -> DataFrame:
+    """Extract visible text from HTML markup — the first step of every
+    web-scrape training pipeline (the trafilatura/justext stage in C4 /
+    RefinedWeb, heuristic-regex grade): drop ``<script>``/``<style>``
+    payloads and comments, strip remaining tags, decode the common
+    entities, collapse whitespace. Returns ``(id, clean_text, n_chars)``.
+
+    Pure column expressions — one projection over the scan, no shuffle, no
+    UDF; at 100 TB this runs at parquet-scan speed. Real codec-grade
+    extraction (DOM parsing, boilerplate classification) belongs in a
+    ``mapInPandas`` stage like the multimodal decoders; this is the
+    always-available vectorized tier.
+    """
+    s = F.coalesce(F.col(html_col), F.lit(""))
+    for pat, repl in _HTML_STRIP_STEPS:
+        s = F.regexp_replace(s, pat, repl)
+    for ent, ch in _HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        s.alias("clean_text"),
+        F.length(s).cast("long").alias("n_chars"),
+    )
+
+
+def html_to_text_sql(docs_sql: str, html_col: str = "document", id_col: str = "id") -> str:
+    s = f'coalesce("{html_col}", \'\')'
+    for pat, repl in _HTML_STRIP_STEPS:
+        s = f"regexp_replace({s}, {sql_lit(pat)}, {sql_lit(repl)}, 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        s = f"replace({s}, {sql_lit(ent)}, {sql_lit(ch)})"
+    s = f"trim(regexp_replace({s}, '\\s+', ' ', 'g'))"
+    return (
+        f'SELECT "{id_col}" AS id, {s} AS clean_text, '
+        f'CAST(length({s}) AS BIGINT) AS n_chars FROM ({docs_sql})'
+    )

@@ -1211,6 +1211,57 @@ def _register_decontam() -> None:
 _register_decontam()
 
 
+# --- Per-source frequency cap + HTML text extraction (web-pipeline ops;
+# operators/sampling.cap_per_group, textstats.html_to_text) ---
+
+
+def _register_cap_html() -> None:
+    from .functions.text import sql_lit
+    from .operators.sampling import cap_per_group, cap_per_group_sql
+    from .operators.textstats import html_to_text, html_to_text_sql
+
+    # hard per-domain document cap (the RefinedWeb/Dolma per-domain cap):
+    # 10 < the 25-per-source floor of every SF, so the cap binds everywhere
+    docs_src_sql = "SELECT doc_id AS id, source FROM documents"
+    QUERIES["cap_per_source"] = Query(
+        lambda spark, sf_dir: cap_per_group(
+            load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"), "source"),
+            cap=10,
+            group_col="source",
+            salt="cap1",
+        ),
+        cap_per_group_sql(docs_src_sql, cap=10, group_col="source", salt="cap1"),
+    )
+
+    # wrap the plain-text corpus in deterministic markup so the script/style/
+    # comment/tag strip and entity-decode paths are all exercised; both
+    # engines construct the identical input from the same raw column
+    pre = (
+        '<html><head><style>p {color: red}</style>'
+        '<script type="text/javascript">var x = 1 < 2;</script></head>'
+        '<body><!-- header\n comment --><h1>Doc</h1><p class="t">&quot;'
+    )
+    post = '&quot; &amp;lt; tail&nbsp;text</p></body></html>'
+
+    def html_fn(spark, sf_dir):
+        docs = load(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("id"),
+            F.concat(F.lit(pre), F.col("text"), F.lit(post)).alias("document"),
+        )
+        return html_to_text(docs)
+
+    QUERIES["html_extract_text"] = Query(
+        html_fn,
+        html_to_text_sql(
+            f"SELECT doc_id AS id, {sql_lit(pre)} || text || {sql_lit(post)}"
+            " AS document FROM documents"
+        ),
+    )
+
+
+_register_cap_html()
+
+
 # --- Span-level exact dedup, C4 cleaning, cluster-balanced sampling
 # (registered at the end of the module: the balanced sampler reuses the
 # fixed-centroid discipline defined with the ANN oracles below) ---
@@ -2644,6 +2695,8 @@ _MEASURE_FIRST = [
     "pack_sequences_bpe",
     "pack_materialize",
     "distinct_ngrams_kmv",
+    "cap_per_source",
+    "html_extract_text",
 ]
 # Trained-ANN forms: k-means is not SQL-expressible, so the driver can only
 # record a weaker no-oracle row for these. Recall >= 0.95 is pytest-enforced

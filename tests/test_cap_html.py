@@ -1,0 +1,87 @@
+"""Behavioral tests for the per-group frequency cap and HTML text
+extraction (cross-engine value parity is covered by test_oracle_parity via
+the registry; these pin the SEMANTICS)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from chroma_spark.operators.sampling import cap_per_group, cap_per_group_sql
+from chroma_spark.operators.textstats import html_to_text, html_to_text_sql
+
+
+def _grouped(spark, n_parts):
+    rows = [(i, "big" if i < 40 else ("mid" if i < 48 else "tiny")) for i in range(50)]
+    return rows, spark.createDataFrame(rows, "id INT, source STRING").repartition(n_parts)
+
+
+def test_cap_per_group_binds_and_is_deterministic(spark, duck):
+    rows, df = _grouped(spark, 4)
+    out = cap_per_group(df, cap=5, group_col="source").collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["source"], set()).add(r["id"])
+    # hard cap binds on big groups, small groups pass through whole
+    assert len(by_group["big"]) == 5
+    assert len(by_group["mid"]) == 5
+    assert len(by_group["tiny"]) == 2
+    # survivor set is a function of (salt, id) only — stable under layout
+    _, df2 = _grouped(spark, 13)
+    out2 = cap_per_group(df2, cap=5, group_col="source").collect()
+    assert {(r["id"], r["source"]) for r in out2} == {
+        (r["id"], r["source"]) for r in out
+    }
+    # a different salt picks a different (but equally sized) survivor set
+    out3 = cap_per_group(df, cap=5, group_col="source", salt="other").collect()
+    assert len(out3) == len(out)
+    assert {r["id"] for r in out3} != {r["id"] for r in out}
+    # DuckDB twin agrees exactly
+    duck.register("__capdocs", pd.DataFrame(rows, columns=["id", "source"]))
+    ora = duck.execute(
+        cap_per_group_sql("SELECT * FROM __capdocs", cap=5, group_col="source")
+    ).fetchall()
+    assert {(r[0], r[1]) for r in ora} == {(r["id"], r["source"]) for r in out}
+
+
+def test_cap_per_group_plan_is_two_stage(spark):
+    _, df = _grouped(spark, 4)
+    plan = cap_per_group(df, cap=5, group_col="source")._jdf.queryExecution().executedPlan().toString()
+    # stage 1 partitions by (group, input partition id): the skew-safe form
+    assert plan.count("Window") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_html_to_text_strips_and_decodes(spark, duck):
+    rows = [
+        (1, "<html><head><script>var x = '<p>';</script><style>b {x}</style>"
+            "</head><body><h1>Title</h1><p>Hello <b>world</b></p></body></html>"),
+        (2, "plain text, no markup"),
+        (3, "a &lt;tag&gt; &amp;amp; &quot;quotes&quot; &amp; &nbsp;spaces"),
+        (4, "<!-- multi\nline\ncomment -->visible<br/>text"),
+        (5, None),
+        (6, "<SCRIPT>upper().case;</SCRIPT>kept"),
+    ]
+    df = spark.createDataFrame(rows, "id INT, document STRING")
+    out = {r["id"]: r for r in html_to_text(df).collect()}
+    assert out[1]["clean_text"] == "Title Hello world"
+    assert out[2]["clean_text"] == "plain text, no markup"
+    # &amp;amp; decodes ONE level (to &amp;), like a single-pass decoder
+    assert out[3]["clean_text"] == 'a <tag> &amp; "quotes" & spaces'
+    assert out[4]["clean_text"] == "visible text"
+    assert out[5]["clean_text"] == "" and out[5]["n_chars"] == 0
+    assert out[6]["clean_text"] == "kept"  # (?i) case-insensitive script strip
+    assert all(r["n_chars"] == len(r["clean_text"]) for r in out.values())
+    # DuckDB twin agrees exactly (None document -> '' both sides)
+    duck.register("__htmldocs", pd.DataFrame(rows, columns=["id", "document"]))
+    ora = duck.execute(
+        html_to_text_sql("SELECT * FROM __htmldocs") + " ORDER BY id"
+    ).fetchall()
+    for oid, text, nchars in ora:
+        assert out[oid]["clean_text"] == text
+        assert out[oid]["n_chars"] == nchars
+
+
+def test_html_to_text_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "<p>x</p>")], "id INT, document STRING")
+    plan = html_to_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection: runs at scan speed
