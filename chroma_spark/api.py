@@ -491,6 +491,33 @@ class Collection:
         )
         return int(row["n"])
 
+    def add_files(
+        self, path: str, format: str = "jsonl", op: str = "ADD", order_by=None, **reader_kwargs
+    ) -> int:
+        """Ingest a file corpus (JSONL / CSV / text directory, glob, or
+        single file) as ONE distributed ``add_records`` write — the loader
+        loop every reference user hand-rolls around client ``add()``
+        batches (`chromadb/api/models/Collection.py:81`), collapsed into a
+        single plan: read -> canonicalize -> (auto-embed) -> WAL append.
+        ``reader_kwargs`` pass through to the format's reader in
+        ``sources/files.py`` (``schema`` matters at scale — see there)."""
+        from .sources.files import (
+            read_documents_csv,
+            read_documents_jsonl,
+            read_documents_text,
+        )
+
+        readers = {
+            "jsonl": read_documents_jsonl,
+            "json": read_documents_jsonl,
+            "csv": read_documents_csv,
+            "text": read_documents_text,
+        }
+        if format not in readers:
+            raise CollectionError(f"add_files format must be one of {sorted(readers)}")
+        records = readers[format](self._client.spark, path, **reader_kwargs)
+        return self.add_records(records, op=op, order_by=order_by)
+
     def delete_records(self, ids: DataFrame) -> int:
         """Bulk delete by a DataFrame of ids — the distributed twin of
         ``delete(ids=[...])`` for pipeline-scale removals (e.g. the output
