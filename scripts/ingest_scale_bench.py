@@ -63,11 +63,45 @@ def gen_records(spark, lo: int, hi: int, dim: int = 64):
     )
 
 
+def bench_files(spark, client, args, results) -> None:
+    """File-ingest path: export the same records as sharded JSONL.gz, then
+    ingest through ``Collection.add_files`` — measures the full
+    read->canonicalize->WAL path of sources/files.py at scale."""
+    from chroma_spark.sources.files import write_documents_jsonl
+
+    corpus = os.path.join(BASE, f"jsonl_n{args.n}")
+    shutil.rmtree(corpus, ignore_errors=True)
+    t0 = time.time()
+    write_documents_jsonl(
+        gen_records(spark, 0, args.n, args.dim).repartition(32), corpus
+    )
+    results["jsonl_export_s"] = round(time.time() - t0, 1)
+
+    col = client.create_collection("ingest_files", dimension=args.dim, space="cosine")
+    schema = (
+        "id STRING, embedding ARRAY<FLOAT>, document STRING, "
+        "src STRING, score DOUBLE"
+    )
+    t0 = time.time()
+    n2 = col.add_files(
+        corpus, format="jsonl", schema=schema, id_col="id",
+        document_col="document", embedding_col="embedding",
+    )
+    results["files_ingest_s"] = round(time.time() - t0, 1)
+    results["files_ingest_rps"] = int(args.n / results["files_ingest_s"])
+    assert n2 == args.n
+    assert col.count() == args.n
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=500_000)
     ap.add_argument("--incr", type=int, default=50_000)
     ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--files", action="store_true",
+                    help="also measure the JSONL add_files ingest path")
+    ap.add_argument("--files-only", action="store_true",
+                    help="measure ONLY the JSONL add_files ingest path")
     args = ap.parse_args()
 
     from chroma_spark.api import Client
@@ -81,6 +115,18 @@ def main() -> None:
     col = client.create_collection("ingest_bench", dimension=args.dim, space="cosine")
 
     results = {"n": args.n, "incr": args.incr, "dim": args.dim}
+
+    if args.files_only:
+        bench_files(spark, client, args, results)
+        out = os.path.join(BASE, f"results_files_n{args.n}.json")
+        with open(out, "w") as f:
+            json.dump(results, f, indent=2, sort_keys=True)
+        print(f"\nwrote {out}\n")
+        print("| n | jsonl export s | add_files ingest s (rec/s) |")
+        print("|---|---|---|")
+        print(f"| {args.n} | {results['jsonl_export_s']} "
+              f"| {results['files_ingest_s']} ({results['files_ingest_rps']}/s) |")
+        return
 
     t0 = time.time()
     n_written = col.add_records(gen_records(spark, 0, args.n, args.dim))
@@ -110,6 +156,9 @@ def main() -> None:
     res = col.query(query_embeddings=[[0.1] * args.dim], n_results=10)
     results["post_maintenance_query_s"] = round(time.time() - t0, 2)
     assert len(res["ids"][0]) == 10
+
+    if args.files:
+        bench_files(spark, client, args, results)
 
     os.makedirs(BASE, exist_ok=True)
     out = os.path.join(BASE, f"results_n{args.n}.json")
