@@ -1141,6 +1141,30 @@ def _register_decontam() -> None:
         ),
     )
 
+    # Bloom tier of the same check: bounded-broadcast membership with
+    # deterministic false positives (m sized to make a few FPs certain at
+    # this SF, proving cross-engine FP determinism, not just hit parity)
+    from .operators.decontam import bloom_contamination, bloom_contamination_sql
+
+    def bloom_fn(spark, sf_dir):
+        docs = load(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("id"), F.col("text").alias("document"), "source"
+        )
+        return bloom_contamination(
+            docs.filter(F.col("source") != eval_src),
+            docs.filter(F.col("source") == eval_src),
+            n=n, m_bits=1 << 14, n_hashes=4,
+        )
+
+    QUERIES["decontaminate_bloom"] = Query(
+        bloom_fn,
+        bloom_contamination_sql(
+            f"SELECT doc_id AS id, text AS document FROM documents WHERE source != {sql_lit(eval_src)}",
+            f"SELECT text AS document FROM documents WHERE source = {sql_lit(eval_src)}",
+            n=n, m_bits=1 << 14, n_hashes=4,
+        ),
+    )
+
     pat, rep = r"\b(customer|vector)\b", "[REDACTED]"
     QUERIES["text_redact"] = Query(
         lambda spark, sf_dir: redact(_docs_df(spark, sf_dir), pat, rep),
@@ -2697,6 +2721,7 @@ _MEASURE_FIRST = [
     "distinct_ngrams_kmv",
     "cap_per_source",
     "html_extract_text",
+    "decontaminate_bloom",
 ]
 # Trained-ANN forms: k-means is not SQL-expressible, so the driver can only
 # record a weaker no-oracle row for these. Recall >= 0.95 is pytest-enforced

@@ -316,3 +316,83 @@ def test_curate_pipeline_stages(spark):
     assert {r.id for r in full.collect()} == {"d1"}  # d1/d2 share even 5-char prefix
     again = curate(df, min_words=10, dedup_prefix_chars=40, sample_rate=0.99, salt="s")
     assert {r.id for r in again.collect()} <= {"d1"}
+
+
+# --- Bloom tier ---
+
+
+def _bloom_corpora(spark):
+    train = _df(
+        spark,
+        [
+            ("t1", "the quick brown fox jumps over the lazy dog"),
+            ("t2", "entirely novel content with no overlap at all"),
+            ("t3", "prefix words then the quick brown fox appears here"),
+            ("t4", None),
+        ],
+    )
+    eval_set = _df(spark, [("e1", "she saw the quick brown fox leap")])
+    return train, eval_set
+
+
+def test_bloom_contamination_superset_of_exact(spark):
+    from chroma_spark.operators.decontam import bloom_contamination
+
+    train, eval_set = _bloom_corpora(spark)
+    # realistic sizing: no false positives expected -> identical to exact
+    exact = {r.id: r.n_hits for r in ngram_contamination(train, eval_set, n=4).collect()}
+    bloom = {
+        r.id: r.n_flagged
+        for r in bloom_contamination(train, eval_set, n=4, m_bits=1 << 20, n_hashes=4).collect()
+    }
+    assert bloom == exact == {"t1": 1, "t3": 1}
+    # every exact hit is flagged at ANY sizing (Bloom never misses)
+    tiny = {
+        r.id: r.n_flagged
+        for r in bloom_contamination(train, eval_set, n=4, m_bits=256, n_hashes=2).collect()
+    }
+    assert set(exact) <= set(tiny)
+    assert all(tiny[k] >= exact[k] for k in exact)
+
+
+def test_bloom_false_positives_are_deterministic(spark):
+    from chroma_spark.operators.decontam import bloom_contamination
+
+    train, eval_set = _bloom_corpora(spark)
+    # tiny filter -> false positives are certain; they must be IDENTICAL
+    # across runs and input layouts (hash-derived, not probabilistic)
+    a = sorted(
+        (r.id, r.n_flagged)
+        for r in bloom_contamination(train, eval_set, n=4, m_bits=8, n_hashes=2).collect()
+    )
+    b = sorted(
+        (r.id, r.n_flagged)
+        for r in bloom_contamination(
+            train.repartition(7), eval_set.repartition(3), n=4, m_bits=8, n_hashes=2
+        ).collect()
+    )
+    assert a == b
+    # the saturated filter flags clean doc t2 (a false positive) and extra
+    # grams in t1/t3 — all hash-determined, so the exact values are stable
+    assert a == [("t1", 5), ("t2", 2), ("t3", 4)]
+
+
+def test_bloom_build_reuse_and_plan(spark):
+    from chroma_spark.operators.decontam import bloom_build, bloom_contamination
+
+    train, eval_set = _bloom_corpora(spark)
+    words = bloom_build(eval_set, n=4, m_bits=1 << 12, n_hashes=4)
+    rows = words.collect()
+    # packed words: bounded by m_bits/32, bits land in the low 32 only
+    assert 0 < len(rows) <= (1 << 12) // 32
+    assert all(0 <= r["__w"] < (1 << 12) // 32 for r in rows)
+    assert all(0 < r["__bits"] <= 0xFFFFFFFF for r in rows)
+    via_prebuilt = bloom_contamination(
+        train, None, n=4, m_bits=1 << 12, n_hashes=4, filter_words=words
+    )
+    direct = bloom_contamination(train, eval_set, n=4, m_bits=1 << 12, n_hashes=4)
+    assert sorted(map(tuple, via_prebuilt.collect())) == sorted(map(tuple, direct.collect()))
+    plan = direct._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan and "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Pandas" not in plan  # whole plan is JVM built-ins
