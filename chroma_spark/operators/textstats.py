@@ -1016,3 +1016,63 @@ def html_to_text_sql(docs_sql: str, html_col: str = "document", id_col: str = "i
         f'SELECT "{id_col}" AS id, {s} AS clean_text, '
         f'CAST(length({s}) AS BIGINT) AS n_chars FROM ({docs_sql})'
     )
+
+
+def _q_name(p: float) -> str:
+    s = ("%g" % (float(p) * 100)).replace(".", "_")
+    return f"p{s}"
+
+
+def length_quantiles(
+    docs: DataFrame,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    group_col: str | None = None,
+    text_col: str = "document",
+    measure: str = "chars",
+) -> DataFrame:
+    """Exact length quantiles per group — the sequence-length planning stat
+    behind packing budgets and truncation policies (what fraction of docs
+    fit 2k/8k context, per source). ``measure``: 'chars' (bytes-ish) or
+    'tokens' (whitespace).
+
+    EXACT percentiles (Spark ``percentile``, sort-based partial aggregate)
+    rather than ``approx_percentile``: the GK sketch's merge is
+    layout-dependent and engine-internal, so only the exact form is
+    reproducible and oracle-checkable. Cost at 100 TB: one shuffle of ONE
+    long per doc keyed by group — a stats query, not a hot path; swap in
+    approx_percentile when 0.1% error is fine and the group count is huge.
+    """
+    if measure == "chars":
+        m = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    elif measure == "tokens":
+        m = F.size(tokens(F.col(text_col)))
+    else:
+        raise ValueError("measure must be 'chars' or 'tokens'")
+    groups = [group_col] if group_col else []
+    aggs = [F.count("*").cast("long").alias("n_docs")] + [
+        (F.round(F.percentile("__m", F.lit(float(p))), 6) + F.lit(0.0)).alias(_q_name(p))
+        for p in probs
+    ]
+    return docs.select(*groups, m.cast("double").alias("__m")).groupBy(*groups).agg(*aggs)
+
+
+def length_quantiles_sql(
+    docs_sql: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    group_col: str | None = None,
+    text_col: str = "document",
+    measure: str = "chars",
+) -> str:
+    if measure == "chars":
+        m = f'length(coalesce("{text_col}", \'\'))'
+    else:
+        m = "len({})".format(tokens_sql(f'"{text_col}"'))
+    qs = ", ".join(
+        f"(round(quantile_cont(__m, {float(p)}), 6) + 0.0) AS {_q_name(p)}" for p in probs
+    )
+    g = f'"{group_col}", ' if group_col else ""
+    gb = f'GROUP BY "{group_col}"' if group_col else ""
+    return (
+        f"SELECT {g}CAST(count(*) AS BIGINT) AS n_docs, {qs} "
+        f'FROM (SELECT {g}CAST({m} AS DOUBLE) AS __m FROM ({docs_sql})) {gb}'
+    )

@@ -1282,6 +1282,23 @@ def _register_cap_html() -> None:
         ),
     )
 
+    # exact per-source token-length quantiles (packing/truncation planning)
+    from .operators.textstats import length_quantiles, length_quantiles_sql
+
+    probs = (0.25, 0.5, 0.9, 0.99)
+    QUERIES["doc_length_quantiles"] = Query(
+        lambda spark, sf_dir: length_quantiles(
+            load(spark, sf_dir, "documents").select(
+                F.col("text").alias("document"), "source"
+            ),
+            probs=probs, group_col="source", measure="tokens",
+        ),
+        length_quantiles_sql(
+            "SELECT text AS document, source FROM documents",
+            probs=probs, group_col="source", measure="tokens",
+        ),
+    )
+
 
 _register_cap_html()
 
@@ -2722,6 +2739,7 @@ _MEASURE_FIRST = [
     "cap_per_source",
     "html_extract_text",
     "decontaminate_bloom",
+    "doc_length_quantiles",
 ]
 # Trained-ANN forms: k-means is not SQL-expressible, so the driver can only
 # record a weaker no-oracle row for these. Recall >= 0.95 is pytest-enforced

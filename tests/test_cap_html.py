@@ -85,3 +85,33 @@ def test_html_to_text_is_shuffle_free(spark):
     df = spark.createDataFrame([(1, "<p>x</p>")], "id INT, document STRING")
     plan = html_to_text(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure projection: runs at scan speed
+
+
+def test_length_quantiles_exact_and_grouped(spark, duck):
+    from chroma_spark.operators.textstats import length_quantiles, length_quantiles_sql
+
+    rows = [
+        (f"a{i}", "w " * i + "end", "ga") for i in range(1, 8)
+    ] + [("b1", "one two three", "gb"), ("b2", None, "gb")]
+    df = spark.createDataFrame(rows, "id STRING, document STRING, g STRING")
+    out = {
+        r["g"]: r
+        for r in length_quantiles(
+            df, probs=(0.5, 0.9), group_col="g", measure="tokens"
+        ).collect()
+    }
+    # ga docs have 2..8 tokens -> exact interpolated median = 5
+    assert out["ga"]["n_docs"] == 7 and out["ga"]["p50"] == 5.0
+    # null document -> 0 tokens (coalesce to empty): gb = [3, 0] -> p50 = 1.5
+    assert out["gb"]["n_docs"] == 2 and out["gb"]["p50"] == 1.5
+    import pandas as pd
+
+    duck.register("__lq", pd.DataFrame(rows, columns=["id", "document", "g"]))
+    ora = duck.execute(
+        length_quantiles_sql(
+            "SELECT * FROM __lq", probs=(0.5, 0.9), group_col="g", measure="tokens"
+        )
+    ).fetchall()
+    assert {(r[0], r[1], r[2], r[3]) for r in ora} == {
+        (r["g"], r["n_docs"], r["p50"], r["p90"]) for r in out.values()
+    }
