@@ -2286,6 +2286,49 @@ class Collection:
         self._store.catalog.create(child)
         return Collection(self._client, self._client._scoped(name))
 
+    def copy_to(
+        self,
+        name: str,
+        where: dict | None = None,
+        where_document: dict | None = None,
+        client: "Client | None" = None,
+    ) -> "Collection":
+        """MATERIALIZED copy (vs ``fork``'s zero-copy shared-files clone):
+        config + records flow into a fresh collection, optionally filtered
+        to a subset. The reference CLI's copy command pages ``get()`` +
+        ``add()`` through the driver at ``--batch 100``
+        (`rust/cli/src/commands/copy.rs:81,298`); here the snapshot flows
+        as ONE distributed ``add_records`` write — 100 TB copies without a
+        driver loop. Pass ``client`` to copy across stores (the
+        local<->cloud direction of the CLI)."""
+        dst_client = client or self._client
+        meta = self._store.meta
+        from .schema import Schema
+
+        dst = dst_client.create_collection(
+            name,
+            dimension=meta.dimension,
+            space=meta.space,
+            metadata=dict(meta.metadata),
+            schema=Schema.from_dict(meta.schema),
+        )
+        snap = self.snapshot()
+        if snap is None:
+            return dst
+        self._validate_indexed(where, where_document)
+        if where is not None:
+            snap = snap.filter(where_to_column(where, known_keys=frozenset(snap.columns)))
+        if where_document is not None:
+            cands = self._fts_candidates(where_document)
+            if cands is not None:
+                snap = snap.join(cands, "id", "semi")
+            snap = snap.filter(where_doc_to_column(where_document))
+        records = snap.drop("seq_id", "op", "where_json", "offset_id")
+        if records.isEmpty():
+            return dst
+        dst.add_records(records)
+        return dst
+
     # ------------------------------------------------------------------
     # read surface
     # ------------------------------------------------------------------

@@ -1634,3 +1634,46 @@ def test_persisted_tokenizer_lifecycle(client, spark, tmp_path):
     assert again == after
     toks = {r.id: list(r.bpe_tokens) for r in col2.tokenize().collect()}
     assert sum(len(t) for t in toks.values()) == sum(n for _, n in after.values())
+
+
+def test_copy_to_materialized_full_and_filtered(spark, tmp_path):
+    client = Client(spark, str(tmp_path / "store"))
+    col = client.create_collection(
+        "src", dimension=2, space="cosine", metadata={"team": "data"}
+    )
+    col.add(
+        ids=["a", "b", "c"],
+        embeddings=[[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+        documents=["alpha doc", "beta doc", "gamma text"],
+        metadatas=[{"k": 1}, {"k": 2}, {"k": 3}],
+    )
+    # full copy preserves records and config
+    dst = col.copy_to("dst")
+    assert dst.count() == 3
+    row = dst.get(ids=["b"])[0]
+    assert row["document"] == "beta doc" and row["k"] == 2
+    res = dst.query(query_embeddings=[[0.1, 0.9]], n_results=1)
+    assert res["ids"][0] == ["b"]  # space/dimension carried over
+    # the copy is MATERIALIZED: writes to src do not leak into dst (and
+    # vice versa), unlike fork's shared files
+    col.add(ids=["d"], embeddings=[[0.5, 0.5]], documents=["delta"])
+    dst.delete(ids=["a"])
+    assert col.count() == 4 and dst.count() == 2
+    # filtered subset copy
+    sub = col.copy_to("sub", where={"k": {"$gte": 2}}, where_document={"$contains": "doc"})
+    assert sorted(r["id"] for r in sub.get()) == ["b"]
+    # empty result still creates the (empty) destination
+    none = col.copy_to("none", where={"k": {"$gt": 99}})
+    assert none.count() == 0 and "none" in client.list_collections()
+
+
+def test_copy_to_across_clients(spark, tmp_path):
+    src_client = Client(spark, str(tmp_path / "store_a"))
+    dst_client = Client(spark, str(tmp_path / "store_b"))
+    col = src_client.create_collection("src", dimension=2)
+    col.add(ids=["x"], embeddings=[[1.0, 2.0]], documents=["cross-store"])
+    moved = col.copy_to("moved", client=dst_client)
+    assert moved.count() == 1
+    assert "moved" in dst_client.list_collections()
+    assert "moved" not in src_client.list_collections()
+    assert dst_client.get_collection("moved").get(ids=["x"])[0]["document"] == "cross-store"
