@@ -256,6 +256,21 @@ class Client:
         names = [n[len(prefix):] for n in self.catalog.list() if n.startswith(prefix)]
         return names[offset : offset + limit if limit is not None else None]
 
+    def vacuum(self, keep_last: int = 1, grace_seconds: float = 60.0) -> dict[str, list[int]]:
+        """Store-wide maintenance sweep — the CLI ``vacuum`` analog
+        (`rust/cli/src/commands/vacuum.rs:224`): fold every collection's
+        pending WAL into its base (compaction runs attached functions and
+        incremental index maintenance as usual), then GC unreferenced base
+        versions / index layouts / orphaned WAL dirs under ``gc``'s
+        mark-and-sweep + fork-ref-count rules. Returns
+        ``{collection: [pruned base versions]}``."""
+        out: dict[str, list[int]] = {}
+        for name in self.list_collections():
+            col = self.get_collection(name)
+            col.compact()
+            out[name] = col.gc(keep_last=keep_last, grace_seconds=grace_seconds)
+        return out
+
 
 class Collection:
     def __init__(self, client: Client, name: str) -> None:

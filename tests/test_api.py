@@ -1677,3 +1677,21 @@ def test_copy_to_across_clients(spark, tmp_path):
     assert "moved" in dst_client.list_collections()
     assert "moved" not in src_client.list_collections()
     assert dst_client.get_collection("moved").get(ids=["x"])[0]["document"] == "cross-store"
+
+
+def test_client_vacuum_compacts_and_prunes(spark, tmp_path):
+    client = Client(spark, str(tmp_path / "store"))
+    a = client.create_collection("va", dimension=2)
+    b = client.create_collection("vb", dimension=2)
+    a.add(ids=["1"], embeddings=[[1.0, 0.0]], documents=["one"])
+    a.compact()
+    a.add(ids=["2"], embeddings=[[0.0, 1.0]], documents=["two"])
+    b.add(ids=["9"], embeddings=[[1.0, 1.0]], documents=["nine"])
+    pruned = client.vacuum(grace_seconds=0.0)
+    assert set(pruned) == {"va", "vb"}
+    # both collections fully compacted: WAL folded, reads intact
+    assert a.count(read_level="index_only") == 2
+    assert b.count(read_level="index_only") == 1
+    # va's pre-vacuum base version (superseded twice) got pruned
+    assert len(pruned["va"]) >= 1
+    assert a.get(ids=["1"])[0]["document"] == "one"
