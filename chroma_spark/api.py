@@ -533,6 +533,45 @@ class Collection:
         records = readers[format](self._client.spark, path, **reader_kwargs)
         return self.add_records(records, op=op, order_by=order_by)
 
+    def export_files(
+        self,
+        path: str,
+        format: str = "jsonl",
+        include: Sequence[str] = ("documents", "metadatas"),
+        where: dict | None = None,
+        where_document: dict | None = None,
+        shards: int | None = None,
+        mode: str = "error",
+    ) -> int:
+        """Export the collection (optionally filtered/projected) as sharded
+        JSONL — the interchange shape downstream tokenizer/training jobs
+        read, and the inverse of :meth:`add_files`. Returns rows written.
+        One distributed write; ``shards`` controls output file count (gz
+        shards are non-splittable on re-read, so pick ~0.1-1 GB each)."""
+        from .sources.files import write_documents_jsonl
+
+        if format not in ("jsonl", "json"):
+            raise CollectionError("export_files supports format='jsonl'")
+        snap = self.snapshot()
+        if snap is None:
+            raise CollectionError("nothing to export: collection is empty")
+        self._validate_indexed(where, where_document)
+        if where is not None:
+            snap = snap.filter(where_to_column(where, known_keys=frozenset(snap.columns)))
+        if where_document is not None:
+            cands = self._fts_candidates(where_document)
+            if cands is not None:
+                snap = snap.join(cands, "id", "semi")
+            snap = snap.filter(where_doc_to_column(where_document))
+        drop = {"embeddings": "embedding", "documents": "document", "uris": "uri"}
+        hidden = {v for k, v in drop.items() if k not in include}
+        hidden |= {"seq_id", "op", "where_json", "offset_id"}
+        out = snap.drop(*hidden)
+        if shards is not None:
+            out = out.repartition(int(shards))
+        write_documents_jsonl(out, path, mode=mode)
+        return self._client.spark.read.json(path).count()
+
     def delete_records(self, ids: DataFrame) -> int:
         """Bulk delete by a DataFrame of ids — the distributed twin of
         ``delete(ids=[...])`` for pipeline-scale removals (e.g. the output

@@ -148,3 +148,25 @@ def test_write_documents_jsonl_roundtrip(spark, tmp_path):
     back = spark.read.json(out)
     assert back.count() == 6
     assert {r["id"] for r in back.select("id").collect()} == {f"d{i}" for i in range(6)}
+
+
+def test_export_files_roundtrip_filtered(spark, tmp_path):
+    client = Client(spark, str(tmp_path / "store"))
+    col = client.create_collection("exp", dimension=2)
+    col.add(
+        ids=["a", "b", "c"],
+        embeddings=[[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+        documents=["alpha doc", "beta doc", "gamma text"],
+        metadatas=[{"k": 1}, {"k": 2}, {"k": 3}],
+    )
+    out = str(tmp_path / "export")
+    n = col.export_files(out, where={"k": {"$lte": 2}}, include=["documents", "metadatas"])
+    assert n == 2
+    back = {r["id"]: r for r in spark.read.json(out).collect()}
+    assert set(back) == {"a", "b"}
+    assert back["a"]["document"] == "alpha doc" and back["b"]["k"] == 2
+    assert "embedding" not in spark.read.json(out).columns  # not in include
+    # re-ingest the export into a fresh collection (the full loop)
+    col2 = client.create_collection("reimp")
+    assert col2.add_files(out, format="jsonl", id_col="id", document_col="document") == 2
+    assert col2.get(ids=["b"])[0]["k"] == 2
