@@ -321,8 +321,14 @@ class Collection:
         self._store.catalog.mutate(self._store.name, _set)
 
     def _validate_indexed(self, where, where_document, knn: bool = False, sparse: bool = False) -> None:
-        """Frontend index gate (service_based_frontend.rs:2813-2819): reject
-        queries touching keys whose index is disabled."""
+        """Frontend filter gate: payload validation first (malformed
+        operators/values reject BEFORE execution, even against an empty
+        collection — the reference validates at the frontend), then the
+        index gate (service_based_frontend.rs:2813-2819: reject queries
+        touching keys whose index is disabled)."""
+        from .where import validate_payloads
+
+        validate_payloads(where, where_document)
         s = self.schema
         if s is None:
             return

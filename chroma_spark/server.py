@@ -1,0 +1,330 @@
+"""HTTP facade: the reference's v2 REST API served over the Spark engine.
+
+Mirrors the route inventory and wire shapes of the reference server
+(`chromadb/server/fastapi/__init__.py:279-455` route table,
+`server/fastapi/types.py` request models, `chromadb/api/types.py:619`
+column-major Get/QueryResult) on Flask (the HTTP stack available in this
+environment; the reference uses FastAPI — same JSON contract). A client
+written against `chroma run`'s API can point here unchanged for the
+covered surface: heartbeat/version/pre-flight, tenant + database CRUD,
+collection CRUD (+ fork), and record add/update/upsert/get/delete/count/
+query.
+
+Design notes:
+- ONE SparkSession serves every request (Spark is the execution engine;
+  concurrent Flask requests become concurrent Spark jobs — the scheduler
+  interleaves fairly). Engine `Client` objects are constructed per
+  (tenant, database) scope and cached: construction is a catalog open,
+  the reference's per-request segment-manager lookup analog.
+- Record ops address collections by id OR name (the reference uses the
+  uuid in record routes, the name in collection routes).
+- Errors map to the reference's status discipline: unknown things are
+  404, invalid payloads 400 (`fastapi/__init__.py` raises 404/400 the
+  same way).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from .api import Client
+from .sources.collection import CollectionError
+
+PAYLOAD_KEYS = ("id", "embedding", "document", "uri")
+
+
+def _rows_to_get_result(rows: list[dict], include: list[str]) -> dict:
+    """Column-major GetResult (chromadb/api/types.py:619) from the
+    engine's row dicts (metadata keys arrive flattened)."""
+    out: dict[str, Any] = {
+        "ids": [r["id"] for r in rows],
+        "embeddings": None,
+        "documents": None,
+        "uris": None,
+        "metadatas": None,
+        "include": list(include),
+    }
+    if "embeddings" in include:
+        out["embeddings"] = [r.get("embedding") for r in rows]
+    if "documents" in include:
+        out["documents"] = [r.get("document") for r in rows]
+    if "uris" in include:
+        out["uris"] = [r.get("uri") for r in rows]
+    if "metadatas" in include:
+        metas = []
+        for r in rows:
+            m = {k: v for k, v in r.items() if k not in PAYLOAD_KEYS and v is not None}
+            metas.append(m or None)
+        out["metadatas"] = metas
+    return out
+
+
+def _collection_model(client: Client, name: str) -> dict:
+    meta = client.catalog.get(client._scoped(name))
+    return {
+        "id": meta.id,
+        "name": name,
+        "metadata": {k: v for k, v in meta.metadata.items() if not k.startswith("__")}
+        or None,
+        "dimension": meta.dimension,
+        "tenant": client.tenant,
+        "database": client.database,
+        "configuration_json": {"space": meta.space},
+        "version": meta.version,
+    }
+
+
+def create_app(spark, root: str, allow_reset: bool = False):
+    """Build the Flask app over one engine store. ``spark`` is the shared
+    session; ``root`` the store directory (same layout `Client` uses)."""
+    from flask import Flask, jsonify, request
+
+    app = Flask("chroma_spark")
+    clients: dict[tuple[str, str], Client] = {}
+    admin = Client(spark, root)  # default scope; also the tenant-admin surface
+    admin.allow_reset = allow_reset
+
+    def scoped(tenant: str, database: str) -> Client:
+        key = (tenant, database)
+        if key not in clients:
+            clients[key] = Client(spark, root, tenant=tenant, database=database)
+        return clients[key]
+
+    def resolve(client: Client, ident: str):
+        """Collection by name, else by uuid (record routes pass the id)."""
+        try:
+            return client.get_collection(ident)
+        except CollectionError:
+            prefix = f"{client.tenant}/{client.database}/"
+            for scoped_name in client.catalog.list():
+                if not scoped_name.startswith(prefix):
+                    continue
+                if client.catalog.get(scoped_name).id == ident:
+                    return client.get_collection(scoped_name[len(prefix):])
+            raise CollectionError(f"collection {ident!r} does not exist")
+
+    @app.errorhandler(CollectionError)
+    def _collection_error(e):
+        msg = str(e)
+        status = 404 if ("does not exist" in msg or "not found" in msg) else 400
+        return jsonify({"error": type(e).__name__, "message": msg}), status
+
+    @app.errorhandler(ValueError)
+    def _value_error(e):
+        return jsonify({"error": "ValueError", "message": str(e)}), 400
+
+    # -- root / utility ------------------------------------------------
+    @app.get("/api/v2")
+    def api_root():
+        return jsonify({"nanosecond heartbeat": admin.heartbeat()})
+
+    @app.get("/api/v2/heartbeat")
+    def heartbeat():
+        return jsonify({"nanosecond heartbeat": admin.heartbeat()})
+
+    @app.get("/api/v2/version")
+    def version():
+        return jsonify(admin.get_version())
+
+    @app.get("/api/v2/pre-flight-checks")
+    def pre_flight():
+        return jsonify({"max_batch_size": admin.get_max_batch_size()})
+
+    @app.post("/api/v2/reset")
+    def reset():
+        if not allow_reset:
+            raise ValueError(
+                "Resetting is not allowed by this configuration (set allow_reset)"
+            )
+        for c in (admin, *clients.values()):
+            c.allow_reset = True
+            c.reset()
+        clients.clear()
+        return jsonify(True)
+
+    @app.get("/api/v2/auth/identity")
+    def identity():
+        return jsonify(
+            {
+                "user_id": getattr(admin.user, "user_id", "anonymous"),
+                "tenant": admin.tenant,
+                "databases": [admin.database],
+            }
+        )
+
+    # -- tenants / databases --------------------------------------------
+    @app.post("/api/v2/tenants")
+    def create_tenant():
+        admin.create_tenant(request.get_json(force=True)["name"])
+        return jsonify(None)
+
+    @app.get("/api/v2/tenants/<tenant>")
+    def get_tenant(tenant):
+        if tenant not in admin.catalog.list_tenants():
+            raise CollectionError(f"tenant {tenant!r} does not exist")
+        return jsonify({"name": tenant})
+
+    @app.post("/api/v2/tenants/<tenant>/databases")
+    def create_database(tenant):
+        admin.create_database(request.get_json(force=True)["name"], tenant=tenant)
+        return jsonify(None)
+
+    @app.get("/api/v2/tenants/<tenant>/databases")
+    def list_databases(tenant):
+        return jsonify([{"name": n, "tenant": tenant} for n in admin.list_databases(tenant=tenant)])
+
+    @app.get("/api/v2/tenants/<tenant>/databases/<database>")
+    def get_database(tenant, database):
+        d = admin.get_database(database, tenant=tenant)
+        return jsonify({"name": d["name"], "tenant": tenant, "id": d.get("id")})
+
+    @app.delete("/api/v2/tenants/<tenant>/databases/<database>")
+    def delete_database(tenant, database):
+        admin.delete_database(database, tenant=tenant)
+        clients.pop((tenant, database), None)
+        return jsonify(None)
+
+    # -- collections -----------------------------------------------------
+    base = "/api/v2/tenants/<tenant>/databases/<database>"
+
+    @app.get(f"{base}/collections")
+    def list_collections(tenant, database):
+        c = scoped(tenant, database)
+        limit = request.args.get("limit", type=int)
+        offset = request.args.get("offset", default=0, type=int)
+        return jsonify(
+            [_collection_model(c, n) for n in c.list_collections(limit=limit, offset=offset)]
+        )
+
+    @app.get(f"{base}/collections_count")
+    def collections_count(tenant, database):
+        return jsonify(len(scoped(tenant, database).list_collections()))
+
+    @app.post(f"{base}/collections")
+    def create_collection(tenant, database):
+        c = scoped(tenant, database)
+        body = request.get_json(force=True)
+        cfg = body.get("configuration") or {}
+        c.create_collection(
+            body["name"],
+            metadata=body.get("metadata"),
+            dimension=cfg.get("dimension"),
+            space=(cfg.get("spann") or {}).get("space") or cfg.get("space") or "l2",
+            get_or_create=bool(body.get("get_or_create", False)),
+        )
+        return jsonify(_collection_model(c, body["name"]))
+
+    @app.get(f"{base}/collections/<ident>")
+    def get_collection(tenant, database, ident):
+        c = scoped(tenant, database)
+        col = resolve(c, ident)
+        return jsonify(_collection_model(c, col.name))
+
+    @app.put(f"{base}/collections/<ident>")
+    def update_collection(tenant, database, ident):
+        c = scoped(tenant, database)
+        col = resolve(c, ident)
+        body = request.get_json(force=True)
+        col.modify(name=body.get("new_name"), metadata=body.get("new_metadata"))
+        return jsonify(None)
+
+    @app.delete(f"{base}/collections/<ident>")
+    def delete_collection(tenant, database, ident):
+        c = scoped(tenant, database)
+        col = resolve(c, ident)
+        c.delete_collection(col.name)
+        return jsonify(None)
+
+    @app.post(f"{base}/collections/<ident>/fork")
+    def fork_collection(tenant, database, ident):
+        c = scoped(tenant, database)
+        col = resolve(c, ident)
+        new = request.get_json(force=True)["new_name"]
+        col.fork(new)
+        return jsonify(_collection_model(c, new))
+
+    # -- records -----------------------------------------------------------
+    def _record_op(tenant, database, ident, op):
+        c = scoped(tenant, database)
+        col = resolve(c, ident)
+        body = request.get_json(force=True)
+        kw = {
+            "ids": body["ids"],
+            "embeddings": body.get("embeddings"),
+            "documents": body.get("documents"),
+            "uris": body.get("uris"),
+            "metadatas": body.get("metadatas"),
+        }
+        getattr(col, op)(**kw)
+        return jsonify(True)
+
+    @app.post(f"{base}/collections/<ident>/add")
+    def add(tenant, database, ident):
+        return _record_op(tenant, database, ident, "add")
+
+    @app.post(f"{base}/collections/<ident>/update")
+    def update(tenant, database, ident):
+        return _record_op(tenant, database, ident, "update")
+
+    @app.post(f"{base}/collections/<ident>/upsert")
+    def upsert(tenant, database, ident):
+        return _record_op(tenant, database, ident, "upsert")
+
+    @app.post(f"{base}/collections/<ident>/get")
+    def get_records(tenant, database, ident):
+        c = scoped(tenant, database)
+        col = resolve(c, ident)
+        body = request.get_json(force=True)
+        include = body.get("include") or ["metadatas", "documents"]
+        rows = col.get(
+            ids=body.get("ids"),
+            where=body.get("where"),
+            where_document=body.get("where_document"),
+            limit=body.get("limit"),
+            offset=body.get("offset") or 0,
+            include=include,
+        )
+        return jsonify(_rows_to_get_result(rows, include))
+
+    @app.post(f"{base}/collections/<ident>/delete")
+    def delete_records(tenant, database, ident):
+        c = scoped(tenant, database)
+        col = resolve(c, ident)
+        body = request.get_json(force=True)
+        col.delete(
+            ids=body.get("ids"),
+            where=body.get("where"),
+            where_document=body.get("where_document"),
+        )
+        return jsonify(None)
+
+    @app.get(f"{base}/collections/<ident>/count")
+    def count_records(tenant, database, ident):
+        c = scoped(tenant, database)
+        return jsonify(resolve(c, ident).count())
+
+    @app.post(f"{base}/collections/<ident>/query")
+    def query_records(tenant, database, ident):
+        c = scoped(tenant, database)
+        col = resolve(c, ident)
+        body = request.get_json(force=True)
+        include = body.get("include") or ["metadatas", "documents", "distances"]
+        res = col.query(
+            query_embeddings=body.get("query_embeddings"),
+            n_results=int(body.get("n_results", 10)),
+            where=body.get("where"),
+            where_document=body.get("where_document"),
+            ids=body.get("ids"),
+            include=include,
+        )
+        res["include"] = list(include)
+        return jsonify(res)
+
+    return app
+
+
+def run_server(spark, root: str, host: str = "127.0.0.1", port: int = 8000, **kw) -> None:
+    """Serve the store over HTTP (the `chroma run` analog). Flask's dev
+    server is fine behind local testing; front a WSGI server in
+    production."""
+    create_app(spark, root, **kw).run(host=host, port=port)

@@ -394,3 +394,16 @@ def validate_regex(pattern: str) -> None:
             re.compile(pattern)
     except re.error as e:
         raise WhereError(f"invalid regex: {e}") from e
+
+
+def validate_payloads(where: dict | None = None, wd: dict | None = None) -> None:
+    """Frontend-style payload validation needing no SparkSession and no
+    data: evaluate the pure-Python twins against an empty record. Total
+    for well-formed payloads; raises WhereError on malformed ones. The
+    reference validates filters BEFORE execution, so even a query against
+    an empty collection must reject a bad operator — entry points call
+    this ahead of any empty-snapshot early return."""
+    if where is not None:
+        where_matches({}, where)
+    if wd is not None:
+        where_doc_matches("", wd)

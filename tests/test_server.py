@@ -1,0 +1,124 @@
+"""HTTP facade (chroma_spark/server.py): the reference's v2 REST routes
+served over the Spark engine, exercised through Flask's test client (same
+WSGI path a real socket would hit)."""
+
+from __future__ import annotations
+
+import pytest
+
+flask = pytest.importorskip("flask")
+
+from chroma_spark.server import create_app  # noqa: E402
+
+BASE = "/api/v2/tenants/default_tenant/databases/default_database"
+
+
+@pytest.fixture()
+def http(spark, tmp_path):
+    app = create_app(spark, str(tmp_path / "store"), allow_reset=True)
+    app.testing = True
+    with app.test_client() as c:
+        yield c
+
+
+def test_utility_routes(http):
+    assert "nanosecond heartbeat" in http.get("/api/v2/heartbeat").get_json()
+    assert isinstance(http.get("/api/v2/version").get_json(), str)
+    assert http.get("/api/v2/pre-flight-checks").get_json()["max_batch_size"] > 0
+    ident = http.get("/api/v2/auth/identity").get_json()
+    assert ident["tenant"] == "default_tenant"
+
+
+def test_tenant_database_crud(http):
+    assert http.post("/api/v2/tenants", json={"name": "acme"}).status_code == 200
+    assert http.get("/api/v2/tenants/acme").get_json() == {"name": "acme"}
+    assert http.get("/api/v2/tenants/ghost").status_code == 404
+    r = http.post("/api/v2/tenants/acme/databases", json={"name": "prod"})
+    assert r.status_code == 200
+    names = [d["name"] for d in http.get("/api/v2/tenants/acme/databases").get_json()]
+    assert "prod" in names
+    assert http.get("/api/v2/tenants/acme/databases/prod").get_json()["name"] == "prod"
+    # collections scope to (tenant, database)
+    cbase = "/api/v2/tenants/acme/databases/prod"
+    http.post(f"{cbase}/collections", json={"name": "scoped"})
+    assert http.get(f"{cbase}/collections_count").get_json() == 1
+    assert http.get(f"{BASE}/collections_count").get_json() == 0
+    # DELETE database cascades (sysdb delete-database semantics)
+    assert http.delete("/api/v2/tenants/acme/databases/prod").status_code == 200
+    assert http.get("/api/v2/tenants/acme/databases/prod").status_code == 404
+
+
+def test_collection_crud_and_records(http):
+    r = http.post(
+        f"{BASE}/collections",
+        json={"name": "col1", "metadata": {"team": "x"},
+              "configuration": {"dimension": 2, "space": "cosine"}},
+    )
+    model = r.get_json()
+    assert r.status_code == 200 and model["name"] == "col1"
+    assert model["metadata"] == {"team": "x"} and model["dimension"] == 2
+    cid = model["id"]
+
+    # records address the collection by uuid (reference record routes)
+    assert http.post(
+        f"{BASE}/collections/{cid}/add",
+        json={"ids": ["a", "b", "c"],
+              "embeddings": [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+              "documents": ["alpha doc", "beta doc", "gamma"],
+              "metadatas": [{"k": 1}, {"k": 2}, None]},
+    ).get_json() is True
+    assert http.get(f"{BASE}/collections/{cid}/count").get_json() == 3
+
+    got = http.post(
+        f"{BASE}/collections/{cid}/get",
+        json={"where": {"k": {"$gte": 2}}, "include": ["documents", "metadatas"]},
+    ).get_json()
+    assert got["ids"] == ["b"] and got["documents"] == ["beta doc"]
+    assert got["metadatas"] == [{"k": 2}] and got["embeddings"] is None
+
+    res = http.post(
+        f"{BASE}/collections/{cid}/query",
+        json={"query_embeddings": [[0.1, 0.9]], "n_results": 2},
+    ).get_json()
+    assert res["ids"][0][0] == "b" and len(res["ids"][0]) == 2
+    assert res["distances"][0][0] == pytest.approx(0.0, abs=0.03)
+
+    # update + upsert + delete
+    http.post(f"{BASE}/collections/{cid}/update",
+              json={"ids": ["a"], "metadatas": [{"k": 9}]})
+    http.post(f"{BASE}/collections/{cid}/upsert",
+              json={"ids": ["d"], "embeddings": [[0.5, 0.5]], "documents": ["delta"]})
+    http.post(f"{BASE}/collections/{cid}/delete", json={"ids": ["c"]})
+    got = http.post(f"{BASE}/collections/{cid}/get", json={}).get_json()
+    assert sorted(got["ids"]) == ["a", "b", "d"]
+
+    # collection-level routes address by NAME; PUT renames
+    assert http.get(f"{BASE}/collections/col1").get_json()["id"] == cid
+    http.put(f"{BASE}/collections/col1", json={"new_name": "col2"})
+    assert http.get(f"{BASE}/collections/col1").status_code == 404
+    assert http.get(f"{BASE}/collections/col2").get_json()["id"] == cid
+
+    # fork, then clean up both
+    fork = http.post(f"{BASE}/collections/{cid}/fork", json={"new_name": "col2fork"})
+    assert fork.get_json()["name"] == "col2fork"
+    assert http.get(f"{BASE}/collections/col2fork/count").get_json() == 3
+    assert http.delete(f"{BASE}/collections/col2fork").status_code == 200
+    names = [c["name"] for c in http.get(f"{BASE}/collections").get_json()]
+    assert names == ["col2"]
+
+
+def test_error_statuses_and_reset(http):
+    assert http.get(f"{BASE}/collections/ghost").status_code == 404
+    http.post(f"{BASE}/collections", json={"name": "e1", "configuration": {"dimension": 2}})
+    # bad where payload -> 400
+    r = http.post(
+        f"{BASE}/collections/e1/get", json={"where": {"k": {"$bogus": 1}}}
+    )
+    assert r.status_code == 400
+    # duplicate create -> 400; get_or_create -> 200
+    assert http.post(f"{BASE}/collections", json={"name": "e1"}).status_code == 400
+    assert http.post(
+        f"{BASE}/collections", json={"name": "e1", "get_or_create": True}
+    ).status_code == 200
+    assert http.post("/api/v2/reset").get_json() is True
+    assert http.get(f"{BASE}/collections_count").get_json() == 0
