@@ -122,3 +122,37 @@ def test_error_statuses_and_reset(http):
     ).status_code == 200
     assert http.post("/api/v2/reset").get_json() is True
     assert http.get(f"{BASE}/collections_count").get_json() == 0
+
+
+def test_real_socket_serving(spark, tmp_path):
+    """One request over an actual TCP socket (the WSGI tests above cover
+    routing; this pins that run_server-style serving works end to end)."""
+    import json
+    import socket
+    import threading
+    import urllib.request
+
+    from werkzeug.serving import make_server
+
+    app = create_app(spark, str(tmp_path / "sockstore"))
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    srv = make_server("127.0.0.1", port, app)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/v2/heartbeat", timeout=30
+        ) as r:
+            assert "nanosecond heartbeat" in json.loads(r.read())
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{BASE}/collections",
+            data=json.dumps({"name": "sock"}).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert json.loads(r.read())["name"] == "sock"
+    finally:
+        srv.shutdown()
