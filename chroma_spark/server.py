@@ -303,6 +303,45 @@ def create_app(spark, root: str, allow_reset: bool = False):
         c = scoped(tenant, database)
         return jsonify(resolve(c, ident).count())
 
+    @app.post(f"{base}/collections/<ident>/search")
+    def search_records(tenant, database, ident):
+        """Hybrid search — one SearchResponse entry per payload in
+        ``searches`` (api_types.rs:2493: column-major ids/documents/
+        embeddings/metadatas/scores + the echoed select keys)."""
+        c = scoped(tenant, database)
+        col = resolve(c, ident)
+        body = request.get_json(force=True)
+        levels = {"IndexAndWal": "index_and_wal", "IndexOnly": "index_only"}
+        rl = body.get("read_level") or "index_and_wal"
+        rl = levels.get(rl, rl)
+        resp: dict[str, Any] = {
+            "ids": [], "documents": [], "embeddings": [],
+            "metadatas": [], "scores": [], "select": [],
+        }
+        for payload in body.get("searches") or []:
+            payload = dict(payload)
+            if isinstance(payload.get("select"), dict):  # wire form Select{keys}
+                payload["select"] = payload["select"].get("keys") or []
+            rows = [r.asDict() for r in col.search(read_level=rl, **payload).collect()]
+            keys = payload.get("select") or []
+            resp["ids"].append([r["id"] for r in rows])
+            resp["select"].append(list(keys))
+            for field, colname in (
+                ("documents", "document"),
+                ("embeddings", "embedding"),
+                ("scores", "score"),
+            ):
+                resp[field].append(
+                    [r.get(colname) for r in rows] if rows and colname in rows[0] else None
+                )
+            reserved = set(PAYLOAD_KEYS) | {"score", "offset_id"}
+            metas = [
+                {k: v for k, v in r.items() if k not in reserved and v is not None} or None
+                for r in rows
+            ]
+            resp["metadatas"].append(metas if any(m for m in metas) else None)
+        return jsonify(resp)
+
     @app.post(f"{base}/collections/<ident>/query")
     def query_records(tenant, database, ident):
         c = scoped(tenant, database)

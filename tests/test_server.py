@@ -156,3 +156,39 @@ def test_real_socket_serving(spark, tmp_path):
             assert json.loads(r.read())["name"] == "sock"
     finally:
         srv.shutdown()
+
+
+def test_search_route(http):
+    r = http.post(
+        f"{BASE}/collections",
+        json={"name": "s1", "configuration": {"dimension": 2, "space": "cosine"}},
+    )
+    cid = r.get_json()["id"]
+    http.post(
+        f"{BASE}/collections/{cid}/add",
+        json={"ids": ["a", "b", "c"],
+              "embeddings": [[1.0, 0.0], [0.0, 1.0], [0.9, 0.1]],
+              "documents": ["alpha", "beta", "близко"],
+              "metadatas": [{"k": 1}, {"k": 2}, {"k": 3}]},
+    )
+    resp = http.post(
+        f"{BASE}/collections/{cid}/search",
+        json={
+            "searches": [
+                {"rank": {"$knn": {"query": [1.0, 0.0], "limit": 3}},
+                 "limit": 2,
+                 "select": {"keys": ["#id", "#document", "#score", "#metadata"]}},
+                {"where": {"k": {"$gte": 3}},
+                 "select": ["#id"]},
+            ],
+            "read_level": "IndexAndWal",
+        },
+    ).get_json()
+    # per-search column-major entries (api_types.rs SearchResponse)
+    assert resp["ids"][0] == ["a", "c"]  # cosine order to [1, 0]
+    assert resp["documents"][0] == ["alpha", "близко"]
+    assert resp["scores"][0][0] == pytest.approx(0.0, abs=1e-6)
+    assert resp["metadatas"][0] == [{"k": 1}, {"k": 3}]
+    assert resp["ids"][1] == ["c"]
+    assert resp["scores"][1] is None  # un-ranked search has no score column
+    assert resp["select"][1] == ["#id"]
