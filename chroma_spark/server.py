@@ -367,3 +367,27 @@ def run_server(spark, root: str, host: str = "127.0.0.1", port: int = 8000, **kw
     server is fine behind local testing; front a WSGI server in
     production."""
     create_app(spark, root, **kw).run(host=host, port=port)
+
+
+def main() -> None:
+    """``python -m chroma_spark.server --root /path/to/store`` — the
+    `chroma run --path` analog (rust/cli/src/commands/run.rs)."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description="Serve a chroma_spark store over HTTP")
+    ap.add_argument("--root", required=True, help="store directory (Client root)")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--allow-reset", action="store_true")
+    args = ap.parse_args()
+
+    from .session import get_spark
+
+    run_server(
+        get_spark("chroma-spark-server"), args.root,
+        host=args.host, port=args.port, allow_reset=args.allow_reset,
+    )
+
+
+if __name__ == "__main__":
+    main()
