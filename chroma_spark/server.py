@@ -74,20 +74,60 @@ def _collection_model(client: Client, name: str) -> dict:
     }
 
 
-def create_app(spark, root: str, allow_reset: bool = False):
+def create_app(
+    spark,
+    root: str,
+    allow_reset: bool = False,
+    auth_provider=None,
+    authz_provider=None,
+    quota_enforcer=None,
+    rate_limiter=None,
+):
     """Build the Flask app over one engine store. ``spark`` is the shared
-    session; ``root`` the store directory (same layout `Client` uses)."""
+    session; ``root`` the store directory (same layout `Client` uses).
+
+    Middleware mirrors the reference's per-request order: authn from the
+    ``Authorization: Bearer``/``X-Chroma-Token`` header (the token_authn
+    wire contract) on every route except the utility probes, then — inside
+    the engine Client — authz per action, rate bucket, quota measurement.
+    AuthError -> 401, AuthzError -> 403, quota/rate -> 400."""
     from flask import Flask, jsonify, request
 
+    from .auth import AuthError, AuthzError
+
     app = Flask("chroma_spark")
-    clients: dict[tuple[str, str], Client] = {}
-    admin = Client(spark, root)  # default scope; also the tenant-admin surface
+    clients: dict[tuple, Client] = {}
+    admission = {"quota_enforcer": quota_enforcer, "rate_limiter": rate_limiter}
+    admin = Client(spark, root, **admission)  # default scope + tenant admin
     admin.allow_reset = allow_reset
 
+    OPEN = {"/api/v2", "/api/v2/heartbeat", "/api/v2/version", "/api/v2/pre-flight-checks"}
+
+    def _credentials() -> dict:
+        h = request.headers.get("Authorization", "")
+        token = h[7:] if h.startswith("Bearer ") else request.headers.get("X-Chroma-Token", "")
+        return {"token": token}
+
+    @app.before_request
+    def _authn():
+        if auth_provider is None or request.path in OPEN:
+            return None
+        auth_provider.authenticate_or_raise(_credentials())
+
+    @app.errorhandler(AuthError)
+    def _auth_error(e):
+        status = 403 if isinstance(e, AuthzError) else 401
+        return jsonify({"error": type(e).__name__, "message": str(e)}), status
+
     def scoped(tenant: str, database: str) -> Client:
-        key = (tenant, database)
+        creds = _credentials() if auth_provider is not None else None
+        key = (tenant, database, (creds or {}).get("token"))
         if key not in clients:
-            clients[key] = Client(spark, root, tenant=tenant, database=database)
+            clients[key] = Client(
+                spark, root, tenant=tenant, database=database,
+                auth_provider=auth_provider, authz_provider=authz_provider,
+                credentials=creds, **admission,
+            )
         return clients[key]
 
     def resolve(client: Client, ident: str):
@@ -144,12 +184,17 @@ def create_app(spark, root: str, allow_reset: bool = False):
 
     @app.get("/api/v2/auth/identity")
     def identity():
+        if auth_provider is not None:
+            u = auth_provider.authenticate_or_raise(_credentials())
+            return jsonify(
+                {
+                    "user_id": u.user_id,
+                    "tenant": u.tenant or admin.tenant,
+                    "databases": u.databases or [admin.database],
+                }
+            )
         return jsonify(
-            {
-                "user_id": getattr(admin.user, "user_id", "anonymous"),
-                "tenant": admin.tenant,
-                "databases": [admin.database],
-            }
+            {"user_id": "anonymous", "tenant": admin.tenant, "databases": [admin.database]}
         )
 
     # -- tenants / databases --------------------------------------------

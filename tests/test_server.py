@@ -192,3 +192,47 @@ def test_search_route(http):
     assert resp["ids"][1] == ["c"]
     assert resp["scores"][1] is None  # un-ranked search has no score column
     assert resp["select"][1] == ["#id"]
+
+
+def test_authenticated_server(spark, tmp_path):
+    """Per-request token authn + RBAC authz over HTTP, the reference's
+    middleware order (401 no/bad token, 403 insufficient role)."""
+    from chroma_spark.auth import (
+        SimpleRBACAuthorizationProvider,
+        TokenAuthenticationProvider,
+    )
+
+    authn = TokenAuthenticationProvider(
+        [
+            {"id": "writer", "tokens": ["w-tok"]},
+            {"id": "reader", "tokens": ["r-tok"]},
+        ]
+    )
+    authz = SimpleRBACAuthorizationProvider(
+        {
+            "roles": {"rw": ["*"], "ro": ["get", "query", "list_collections"]},
+            "users": [{"id": "writer", "role": "rw"}, {"id": "reader", "role": "ro"}],
+        }
+    )
+    app = create_app(
+        spark, str(tmp_path / "store"), auth_provider=authn, authz_provider=authz
+    )
+    app.testing = True
+    http = app.test_client()
+    w = {"Authorization": "Bearer w-tok"}
+    r = {"X-Chroma-Token": "r-tok"}
+
+    # utility probes stay open; everything else requires a valid token
+    assert http.get("/api/v2/heartbeat").status_code == 200
+    assert http.get(f"{BASE}/collections").status_code == 401
+    assert http.get(f"{BASE}/collections", headers={"Authorization": "Bearer nope"}).status_code == 401
+    assert http.get("/api/v2/auth/identity", headers=w).get_json()["user_id"] == "writer"
+
+    # writer can create + add; reader can read but not write (403)
+    assert http.post(f"{BASE}/collections", headers=w,
+                     json={"name": "c", "configuration": {"dimension": 2}}).status_code == 200
+    assert http.post(f"{BASE}/collections/c/add", headers=w,
+                     json={"ids": ["a"], "embeddings": [[1.0, 0.0]]}).status_code == 200
+    assert http.post(f"{BASE}/collections/c/get", headers=r, json={}).get_json()["ids"] == ["a"]
+    assert http.post(f"{BASE}/collections/c/add", headers=r,
+                     json={"ids": ["b"], "embeddings": [[0.0, 1.0]]}).status_code == 403
