@@ -236,3 +236,54 @@ def test_authenticated_server(spark, tmp_path):
     assert http.post(f"{BASE}/collections/c/get", headers=r, json={}).get_json()["ids"] == ["a"]
     assert http.post(f"{BASE}/collections/c/add", headers=r,
                      json={"ids": ["b"], "embeddings": [[0.0, 1.0]]}).status_code == 403
+
+
+def test_http_client_end_to_end(spark, tmp_path):
+    """Client/server split with our own stdlib HttpClient over a real
+    socket — no SparkSession on the client side."""
+    import socket
+    import threading
+
+    import pytest as _pytest
+    from werkzeug.serving import make_server
+
+    from chroma_spark.http_client import HttpClient, HttpClientError
+
+    app = create_app(spark, str(tmp_path / "store"))
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    srv = make_server("127.0.0.1", port, app, threaded=True)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        client = HttpClient(port=port)
+        assert client.heartbeat() > 0
+        assert client.get_max_batch_size() > 0
+
+        col = client.create_collection("remote", dimension=2, space="cosine",
+                                       metadata={"via": "http"})
+        assert col.metadata == {"via": "http"}
+        col.add(ids=["a", "b"], embeddings=[[1.0, 0.0], [0.0, 1.0]],
+                documents=["alpha", "beta"], metadatas=[{"k": 1}, {"k": 2}])
+        assert col.count() == 2
+        got = col.get(where={"k": 2})
+        assert got["ids"] == ["b"] and got["documents"] == ["beta"]
+        res = col.query([[0.9, 0.1]], n_results=1)
+        assert res["ids"][0] == ["a"]
+        sr = col.search({"rank": {"$knn": {"query": [1.0, 0.0], "limit": 2}},
+                         "select": ["#id", "#score"]})
+        assert sr["ids"][0] == ["a", "b"]
+        twin = col.fork("remote2")
+        assert twin.name == "remote2" and client.count_collections() == 2
+        col.modify(name="renamed")
+        assert sorted(client.list_collections()) == ["remote2", "renamed"]
+        client.delete_collection("remote2")
+        # server-side errors surface with status + message
+        with _pytest.raises(HttpClientError) as ei:
+            client.get_collection("ghost")
+        assert ei.value.status == 404
+        with _pytest.raises(HttpClientError) as ei:
+            col.get(where={"k": {"$nope": 1}})
+        assert ei.value.status == 400
+    finally:
+        srv.shutdown()
