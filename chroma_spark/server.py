@@ -250,12 +250,15 @@ def create_app(
         c = scoped(tenant, database)
         body = request.get_json(force=True)
         cfg = body.get("configuration") or {}
+        ef = cfg.get("embedding_function") or {}
         c.create_collection(
             body["name"],
             metadata=body.get("metadata"),
             dimension=cfg.get("dimension"),
             space=(cfg.get("spann") or {}).get("space") or cfg.get("space") or "l2",
             get_or_create=bool(body.get("get_or_create", False)),
+            embedding_function=ef.get("name"),
+            embedding_function_kwargs=ef.get("config") or ef.get("kwargs"),
         )
         return jsonify(_collection_model(c, body["name"]))
 

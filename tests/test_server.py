@@ -287,3 +287,24 @@ def test_http_client_end_to_end(spark, tmp_path):
         assert ei.value.status == 400
     finally:
         srv.shutdown()
+
+
+def test_server_embedding_function_config(http):
+    """configuration.embedding_function persists and auto-embeds documents
+    added over HTTP (the reference stores the EF in configuration_json)."""
+    r = http.post(
+        f"{BASE}/collections",
+        json={"name": "efcol",
+              "configuration": {"embedding_function": {
+                  "name": "hashing", "config": {"dim": 8}}}},
+    )
+    assert r.status_code == 200
+    cid = r.get_json()["id"]
+    assert http.post(
+        f"{BASE}/collections/{cid}/add",
+        json={"ids": ["x", "y"], "documents": ["hello world", "totally different text"]},
+    ).status_code == 200
+    got = http.post(
+        f"{BASE}/collections/{cid}/get", json={"include": ["embeddings"]}
+    ).get_json()
+    assert all(len(e) == 8 for e in got["embeddings"])
