@@ -308,3 +308,47 @@ def test_server_embedding_function_config(http):
         f"{BASE}/collections/{cid}/get", json={"include": ["embeddings"]}
     ).get_json()
     assert all(len(e) == 8 for e in got["embeddings"])
+
+
+def test_concurrent_http_requests(spark, tmp_path):
+    """Parallel requests over one SparkSession: the threaded WSGI server
+    drives concurrent Spark jobs (scheduler interleaves); per-thread
+    collections isolate the write paths, one shared collection serves
+    concurrent reads."""
+    import socket
+    import threading
+
+    from werkzeug.serving import make_server
+
+    from chroma_spark.http_client import HttpClient
+
+    app = create_app(spark, str(tmp_path / "store"))
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    srv = make_server("127.0.0.1", port, app, threaded=True)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    shared = HttpClient(port=port).create_collection("shared", dimension=2)
+    shared.add(ids=["s1", "s2"], embeddings=[[1.0, 0.0], [0.0, 1.0]])
+    errors: list = []
+
+    def worker(i: int) -> None:
+        try:
+            c = HttpClient(port=port)
+            col = c.create_collection(f"w{i}", dimension=2)
+            col.add(ids=[f"{i}-a", f"{i}-b"], embeddings=[[1.0, 0.0], [0.0, float(i + 1)]])
+            assert col.count() == 2
+            res = c.get_collection("shared").query([[1.0, 0.0]], n_results=1)
+            assert res["ids"][0] == ["s1"]
+        except Exception as e:  # noqa: BLE001
+            errors.append((i, repr(e)))
+
+    try:
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+        [t.start() for t in threads]
+        [t.join(timeout=300) for t in threads]
+        assert not errors, errors
+        names = HttpClient(port=port).list_collections()
+        assert len(names) == 7  # shared + 6 workers
+    finally:
+        srv.shutdown()
