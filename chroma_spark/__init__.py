@@ -26,7 +26,11 @@ Layout:
   ann/                   IVF (SPANN-style) ANN + sign-bit/SQ4/PQ tiers
   streaming/             Structured Streaming compactor, windows, builders
   quota.py               frontend quota enforcement + rate limiting
+  auth.py                token authn + simple-RBAC authz middleware
   api.py                 Client / Collection public API
+  sources/files.py       JSONL/CSV/text ingestion + streaming reader + sink
+  server.py              HTTP facade of the v2 REST API (Flask)
+  http_client.py         stdlib HttpClient for the facade
 """
 
 __version__ = "0.1.0"
