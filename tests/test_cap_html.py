@@ -115,3 +115,38 @@ def test_length_quantiles_exact_and_grouped(spark, duck):
     assert {(r[0], r[1], r[2], r[3]) for r in ora} == {
         (r["g"], r["n_docs"], r["p50"], r["p90"]) for r in out.values()
     }
+
+
+# --- cross-engine property test: html_to_text on adversarial markup ---
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_FRAGMENTS = st.sampled_from(
+    [
+        "<p>", "</p>", "<P class='x'>", "<br/>", "<", ">", "&", ";",
+        "<script>", "</script>", "<SCRIPT >", "</ SCRIPT>", "<style>",
+        "</style>", "<!--", "-->", "&amp;", "&lt;", "&gt;", "&quot;",
+        "&nbsp;", "&bogus;", "&amp;lt;", "word", "two words", "x=1<2",
+        " ", "\t", "\n", "a&b", "<a href='#'>", "</a>", "<<>>", "<>",
+    ]
+)
+
+
+@settings(max_examples=150, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(parts=st.lists(_FRAGMENTS, min_size=0, max_size=12))
+def test_html_to_text_property_cross_engine(spark, duck, parts):
+    """Java regex (Spark) and RE2 (DuckDB) must agree on EVERY markup shape
+    the strip pipeline can see — unterminated tags, nested script, stray
+    ampersands, double-encoded entities, whitespace runs."""
+    from chroma_spark.operators.textstats import html_to_text, html_to_text_sql
+
+    doc = "".join(parts)
+    df = spark.createDataFrame([(1, doc)], "id INT, document STRING")
+    got = html_to_text(df).collect()[0]
+    exp = duck.execute(
+        html_to_text_sql("SELECT 1 AS id, ? AS document", html_col="document"),
+        [doc],
+    ).fetchone()
+    assert got["clean_text"] == exp[1], f"doc={doc!r}"
+    assert got["n_chars"] == exp[2]
