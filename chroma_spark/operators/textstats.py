@@ -1076,3 +1076,95 @@ def length_quantiles_sql(
         f"SELECT {g}CAST(count(*) AS BIGINT) AS n_docs, {qs} "
         f'FROM (SELECT {g}CAST({m} AS DOUBLE) AS __m FROM ({docs_sql})) {gb}'
     )
+
+
+def corpus_report(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "document",
+    kmv_k: int = 128,
+) -> DataFrame:
+    """Dataset-card report: one long-format row ``(group, stat, value)``
+    per statistic per source — the summary block of a HF/Dolma-style data
+    card, composed from the engine's own primitives in ONE oracle-checked
+    query. Stats: ``n_docs``, ``total_tokens``, ``p50_tokens``,
+    ``p95_tokens``, ``mean_chars``, ``empty_frac`` (token-less docs), and
+    ``distinct_3grams_est`` (KMV sketch — exact below k).
+
+    Scale shape: one groupBy over per-row column math for the moment
+    stats (map-side combined), one exact-percentile aggregate (narrow,
+    one long per doc), and the KMV bottom-k for the distinct estimate —
+    no corpus-sized collect anywhere; the long format keeps the output
+    ``groups x stats`` rows regardless of corpus size."""
+    from .sketch import kmv_distinct
+
+    g = F.col(group_col).alias("grp")
+    n_tok = F.size(tokens(F.coalesce(F.col(text_col), F.lit(""))))
+    chars = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    base = docs.select(g, n_tok.alias("__t"), chars.alias("__c"))
+    agg = base.groupBy("grp").agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum("__t").cast("double").alias("total_tokens"),
+        F.percentile("__t", F.lit(0.5)).alias("p50_tokens"),
+        F.percentile("__t", F.lit(0.95)).alias("p95_tokens"),
+        F.avg("__c").alias("mean_chars"),
+        F.avg((F.col("__t") == 0).cast("double")).alias("empty_frac"),
+    )
+    stats = ["n_docs", "total_tokens", "p50_tokens", "p95_tokens", "mean_chars", "empty_frac"]
+    long = None
+    for s in stats:
+        part = agg.select(
+            "grp", F.lit(s).alias("stat"),
+            (F.round(F.col(s), 6) + F.lit(0.0)).alias("value"),
+        )
+        long = part if long is None else long.unionByName(part)
+    grams = docs.select(
+        g, F.explode(word_ngrams(tokens(F.coalesce(F.col(text_col), F.lit(""))), 3)).alias("__ng")
+    )
+    kmv = kmv_distinct(grams, F.col("__ng"), k=kmv_k, group_cols=["grp"]).select(
+        "grp", F.lit("distinct_3grams_est").alias("stat"),
+        (F.round(F.col("est_distinct"), 6) + F.lit(0.0)).alias("value"),
+    )
+    return long.unionByName(kmv).select(F.col("grp").alias(group_col), "stat", "value")
+
+
+def corpus_report_sql(
+    docs_sql: str,
+    group_col: str = "source",
+    text_col: str = "document",
+    kmv_k: int = 128,
+) -> str:
+    from .sketch import kmv_distinct_sql
+
+    toks = tokens_sql(f'coalesce("{text_col}", \'\')')
+    base = (
+        f'SELECT "{group_col}" AS grp, len({toks}) AS __t, '
+        f'length(coalesce("{text_col}", \'\')) AS __c FROM ({docs_sql})'
+    )
+    agg = f"""
+SELECT grp,
+       CAST(count(*) AS DOUBLE) AS n_docs,
+       CAST(sum(__t) AS DOUBLE) AS total_tokens,
+       quantile_cont(__t, 0.5) AS p50_tokens,
+       quantile_cont(__t, 0.95) AS p95_tokens,
+       avg(__c) AS mean_chars,
+       avg(CASE WHEN __t = 0 THEN 1.0 ELSE 0.0 END) AS empty_frac
+FROM ({base}) GROUP BY grp"""
+    stats = ["n_docs", "total_tokens", "p50_tokens", "p95_tokens", "mean_chars", "empty_frac"]
+    parts = [
+        f"SELECT grp, '{s}' AS stat, (round({s}, 6) + 0.0) AS value FROM __agg"
+        for s in stats
+    ]
+    grams = (
+        f'SELECT "{group_col}" AS grp, unnest({word_ngrams_sql(toks, 3)}) AS ng '
+        f"FROM ({docs_sql})"
+    )
+    kmv = kmv_distinct_sql(grams, "ng", k=kmv_k, group_cols=["grp"])
+    parts.append(
+        "SELECT grp, 'distinct_3grams_est' AS stat, (round(est_distinct, 6) + 0.0) AS value "
+        f"FROM ({kmv})"
+    )
+    union = " UNION ALL ".join(f"({p})" for p in parts)
+    return (
+        f'WITH __agg AS ({agg}) SELECT grp AS "{group_col}", stat, value FROM ({union})'
+    )

@@ -1282,6 +1282,20 @@ def _register_cap_html() -> None:
         ),
     )
 
+    # dataset-card report: all the summary stats of a corpus as ONE
+    # long-format oracle-checked query (counts, token moments, exact
+    # percentiles, KMV distinct-gram estimate)
+    from .operators.textstats import corpus_report, corpus_report_sql
+
+    QUERIES["corpus_report"] = Query(
+        lambda spark, sf_dir: corpus_report(
+            load(spark, sf_dir, "documents").select(
+                F.col("text").alias("document"), "source"
+            ),
+        ),
+        corpus_report_sql("SELECT text AS document, source FROM documents"),
+    )
+
     # exact per-source token-length quantiles (packing/truncation planning)
     from .operators.textstats import length_quantiles, length_quantiles_sql
 
@@ -2740,6 +2754,7 @@ _MEASURE_FIRST = [
     "html_extract_text",
     "decontaminate_bloom",
     "doc_length_quantiles",
+    "corpus_report",
 ]
 # Trained-ANN forms: k-means is not SQL-expressible, so the driver can only
 # record a weaker no-oracle row for these. Recall >= 0.95 is pytest-enforced

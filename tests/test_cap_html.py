@@ -5,6 +5,7 @@ the registry; these pin the SEMANTICS)."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 
 from chroma_spark.operators.sampling import cap_per_group, cap_per_group_sql
 from chroma_spark.operators.textstats import html_to_text, html_to_text_sql
@@ -150,3 +151,22 @@ def test_html_to_text_property_cross_engine(spark, duck, parts):
     ).fetchone()
     assert got["clean_text"] == exp[1], f"doc={doc!r}"
     assert got["n_chars"] == exp[2]
+
+
+def test_corpus_report_semantics(spark):
+    from chroma_spark.operators.textstats import corpus_report
+
+    rows = [
+        ("one two three", "ga"), ("four five", "ga"), ("", "ga"),
+        ("a b c d e f", "gb"),
+    ]
+    df = spark.createDataFrame(rows, "document STRING, source STRING")
+    got = {(r["source"], r["stat"]): r["value"] for r in corpus_report(df).collect()}
+    assert got[("ga", "n_docs")] == 3.0
+    assert got[("ga", "total_tokens")] == 5.0
+    assert got[("ga", "p50_tokens")] == 2.0
+    assert got[("ga", "empty_frac")] == pytest.approx(1 / 3, abs=1e-6)
+    # 6 tokens -> 4 distinct 3-grams, far below k -> KMV is EXACT
+    assert got[("gb", "distinct_3grams_est")] == 4.0
+    assert got[("gb", "empty_frac")] == 0.0
+    assert len(got) == 2 * 7  # 2 groups x 7 stats
